@@ -1,0 +1,250 @@
+"""Vectorized NibblePack codec — the innermost kernel of the engine.
+
+NibblePack packs groups of 8 u64 values into: a 1-byte nonzero bitmask,
+a 1-byte nibble-width descriptor, and the minimum number of nibbles per
+nonzero value, concatenated little-endian-bitwise and padded to a byte
+boundary.  This is a bit-identical, numpy-vectorized re-implementation of
+the algorithm in the reference Rust crate (semantics per
+reference src/nibblepacking.rs:108-232 `nibble_pack8` /
+`pack_to_even_nibbles` / `pack_universal`, and decode per
+src/nibblepacking.rs:414-476 `nibble_unpack8`).  Unlike the reference,
+which packs one 8-group at a time, this implementation packs/unpacks an
+arbitrary number of 8-groups in one shot with no per-row (or even
+per-group) Python — `np.repeat`/`np.cumsum` index machinery replaces the
+reference's SIMD lanes.
+
+Wire format per 8-group (little-endian):
+  +0  u8 nonzero bitmask (bit i set => inputs[i] != 0); if 0 the group
+      is 1 byte total
+  +1  u8 nibble word: hi nibble = (num_nibbles - 1), lo nibble =
+      trailing_zero_nibbles
+  +2  packed payload: for each nonzero value in lane order,
+      (value >> 4*trailing_zero_nibbles) emitted as num_nibbles 4-bit
+      nibbles, least-significant nibble first, the whole group padded to
+      a byte boundary with zero bits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_POPCOUNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.int64)
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Per-element bit length of a uint64 array (0 for 0). Exact for all 64 bits."""
+    hi = (x >> _U64(32)).astype(np.uint64)
+    lo = (x & _U64(0xFFFFFFFF)).astype(np.uint64)
+    # float64 is exact for 32-bit ints; frexp exponent == bit length
+    bl_hi = np.frexp(hi.astype(np.float64))[1]
+    bl_lo = np.frexp(lo.astype(np.float64))[1]
+    return np.where(hi > 0, bl_hi + 32, bl_lo).astype(np.int64)
+
+
+def _within(counts: np.ndarray, total: int | None = None) -> np.ndarray:
+    """For run lengths `counts`, return [0..c0-1, 0..c1-1, ...] vectorized."""
+    if total is None:
+        total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def pack_groups(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a (G, 8) uint64 array into NibblePack bytes.
+
+    Returns (out_bytes: uint8 1-D array of all groups concatenated,
+             group_sizes: int64 (G,) bytes consumed per group).
+    """
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    assert vals.ndim == 2 and vals.shape[1] == 8
+    G = vals.shape[0]
+    if G == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+
+    nz = vals != 0
+    mask = np.packbits(nz, axis=1, bitorder="little").ravel()  # (G,) uint8
+    nzg = mask != 0
+
+    ored = np.bitwise_or.reduce(vals, axis=1)
+    bl = _bit_length_u64(ored)                      # 64 - leading_zeros
+    lowbit = ored & (~ored + _U64(1))
+    tz_bits = _bit_length_u64(lowbit) - 1           # trailing zeros (=-1 for ored==0)
+    tz_nib = np.where(nzg, tz_bits // 4, 0).astype(np.int64)
+    num_nib = np.where(nzg, 16 - (64 - bl) // 4 - tz_nib, 0).astype(np.int64)
+
+    shifted = vals >> (tz_nib * 4).astype(np.uint64)[:, None]
+
+    # nibble counts per (group, lane)
+    cnt = np.where(nz, num_nib[:, None], 0).astype(np.int64)
+    flat_cnt = cnt.ravel()
+    gn = cnt.sum(axis=1)                            # nibbles per group
+    pnb = (gn + 1) // 2                             # payload bytes per group
+    padded_len = pnb * 2
+
+    total_nibs = int(gn.sum())
+    # source value index + nibble ordinal for every output nibble
+    src = np.repeat(np.arange(G * 8, dtype=np.int64), flat_cnt)
+    k = _within(flat_cnt, total_nibs)
+    nib = ((shifted.ravel()[src] >> (_U64(4) * k.astype(np.uint64))) & _U64(0xF)).astype(np.uint8)
+
+    # scatter nibbles into per-group byte-padded streams
+    pad_start = np.concatenate(([0], np.cumsum(padded_len)[:-1]))
+    pos_in_group = _within(gn, total_nibs)
+    dst = np.repeat(pad_start, gn) + pos_in_group
+    nibarr = np.zeros(int(padded_len.sum()), dtype=np.uint8)
+    nibarr[dst] = nib
+    payload = nibarr[0::2] | (nibarr[1::2] << 4)
+
+    # assemble [mask][nibword][payload...] per group
+    gsize = 1 + np.where(nzg, 1 + pnb, 0)
+    out_off = np.concatenate(([0], np.cumsum(gsize)[:-1]))
+    out = np.zeros(int(gsize.sum()), dtype=np.uint8)
+    out[out_off] = mask
+    nibword = (((num_nib - 1) << 4) | tz_nib).astype(np.uint8)
+    out[out_off[nzg] + 1] = nibword[nzg]
+    total_payload = int(pnb.sum())
+    if total_payload:
+        pay_dst = np.repeat(out_off + 2, pnb) + _within(pnb, total_payload)
+        out[pay_dst] = payload
+    return out, gsize
+
+
+def group_sizes(data: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Byte size of each NibblePack group starting at offsets `offs` in `data`."""
+    mask = data[offs]
+    nzg = mask != 0
+    safe = np.minimum(offs + 1, len(data) - 1)
+    nibw = np.where(nzg, data[safe], 0)
+    num_nib = ((nibw >> 4) + 1).astype(np.int64)
+    popc = _POPCOUNT8[mask]
+    pay_bytes = (num_nib * 4 * popc + 7) // 8
+    return np.where(nzg, 2 + pay_bytes, 1)
+
+
+def unpack_groups(data: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unpack NibblePack groups at byte offsets `offs` of `data`.
+
+    Returns (vals: (G, 8) uint64, sizes: int64 (G,) bytes consumed).
+    All groups are decoded in one vectorized pass.
+    """
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    offs = np.asarray(offs, dtype=np.int64)
+    G = len(offs)
+    out = np.zeros((G, 8), dtype=np.uint64)
+    if G == 0:
+        return out, np.empty(0, dtype=np.int64)
+
+    mask = data[offs]
+    nzg = mask != 0
+    safe = np.minimum(offs + 1, len(data) - 1)
+    nibw = np.where(nzg, data[safe], 0)
+    num_nib = ((nibw >> 4) + 1).astype(np.int64)
+    tz_nib = (nibw & 0xF).astype(np.int64)
+    popc = _POPCOUNT8[mask]
+    gn = np.where(nzg, num_nib * popc, 0)           # nibbles per group
+    pb = (gn + 1) // 2                              # payload bytes per group
+    sizes = np.where(nzg, 2 + pb, 1)
+
+    total_pb = int(pb.sum())
+    if total_pb == 0:
+        return out, sizes
+
+    # gather payload bytes of all groups
+    src_byte = np.repeat(offs + 2, pb) + _within(pb, total_pb)
+    pay = data[src_byte]
+    nibs = np.empty(2 * total_pb, dtype=np.uint8)
+    nibs[0::2] = pay & 0xF
+    nibs[1::2] = pay >> 4
+    pad_start = np.concatenate(([0], np.cumsum(2 * pb)[:-1]))
+
+    # per nonzero value: group index, ordinal within group
+    nv = int(popc.sum())
+    gv = np.repeat(np.arange(G, dtype=np.int64), popc)
+    j = _within(popc, nv)
+    width = num_nib[gv]                             # nibbles per value
+    total_w = int(width.sum())
+    vstart = np.concatenate(([0], np.cumsum(width)[:-1]))
+    srcnib = np.repeat(pad_start[gv] + j * width, width) + _within(width, total_w)
+    k = _within(width, total_w)
+    shift = (4 * (k + np.repeat(tz_nib[gv], width))).astype(np.uint64)
+    contrib = nibs[srcnib].astype(np.uint64) << shift
+    vals_flat = np.add.reduceat(contrib, vstart) if nv else np.empty(0, dtype=np.uint64)
+
+    # scatter into lanes: np.nonzero walks row-major == value emit order
+    lanes = np.unpackbits(mask[:, None], axis=1, bitorder="little").astype(bool)
+    out[np.nonzero(lanes)] = vals_flat
+    return out, sizes
+
+
+def pack_u64(values: np.ndarray) -> np.ndarray:
+    """Pack a flat uint64 array (padded with zeros to a multiple of 8),
+    mirroring reference src/nibblepacking.rs:68-93 `pack_u64`."""
+    values = np.asarray(values, dtype=np.uint64)
+    n = len(values)
+    padded = n + (-n) % 8
+    buf = np.zeros(padded, dtype=np.uint64)
+    buf[:n] = values
+    out, _ = pack_groups(buf.reshape(-1, 8))
+    return out
+
+
+def unpack_u64(data: np.ndarray, num_values: int) -> np.ndarray:
+    """Unpack `num_values` (rounded up to 8) values from a packed buffer.
+    Sequential group walk is required since sizes are data-dependent; the
+    walk is a cheap scalar offset chase, the decode itself is one
+    vectorized pass (mirrors reference src/nibblepacking.rs:364-377)."""
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    ngroups = (num_values + 7) // 8
+    offs = np.empty(ngroups, dtype=np.int64)
+    off = 0
+    for g in range(ngroups):
+        offs[g] = off
+        m = data[off]
+        if m == 0:
+            off += 1
+        else:
+            nn = (int(data[off + 1]) >> 4) + 1
+            off += 2 + (nn * 4 * int(_POPCOUNT8[m]) + 7) // 8
+    vals, _ = unpack_groups(data, offs)
+    return vals.ravel()[:num_values]
+
+
+def pack_u64_delta(values: np.ndarray) -> np.ndarray:
+    """Delta-vs-previous then pack; decreasing steps clamp to 0
+    (reference src/nibblepacking.rs:15-23)."""
+    values = np.asarray(values, dtype=np.uint64)
+    prev = np.concatenate(([_U64(0)], values[:-1]))
+    deltas = np.where(values >= prev, values - prev, _U64(0))
+    return pack_u64(deltas)
+
+
+def unpack_u64_delta(data: np.ndarray, num_values: int) -> np.ndarray:
+    """Inverse of pack_u64_delta: cumulative sum restore (DeltaSink,
+    reference src/nibblepacking.rs:239-279)."""
+    return np.cumsum(unpack_u64(data, num_values))
+
+
+def pack_f64_xor(values: np.ndarray) -> np.ndarray:
+    """First f64 raw (8 bytes LE), then XOR-with-previous bit patterns
+    NibblePacked (reference src/nibblepacking.rs:29-45)."""
+    values = np.asarray(values, dtype=np.float64)
+    if len(values) == 0:
+        raise ValueError("input too short")
+    bits = values.view(np.uint64)
+    head = bits[:1].tobytes()
+    xored = bits[1:] ^ bits[:-1]
+    return np.concatenate([np.frombuffer(head, dtype=np.uint8), pack_u64(xored)])
+
+
+def unpack_f64_xor(data: np.ndarray, num_values: int) -> np.ndarray:
+    """Inverse of pack_f64_xor (reference src/nibblepacking.rs:392-400)."""
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    first = data[:8].view(np.uint64)[0]
+    rest = unpack_u64(data[8:], num_values - 1)
+    bits = np.empty(num_values, dtype=np.uint64)
+    bits[0] = first
+    bits[1:] = rest[: num_values - 1]
+    return np.bitwise_xor.accumulate(bits).view(np.float64)
