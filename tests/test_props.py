@@ -1,0 +1,83 @@
+"""Property-based round-trip tests, mirroring the reference's proptest
+generators (reference src/nibblepacking.rs:724-787 and
+src/nibblepack_simd.rs:669-743): bit-width in [4, 64), per-element zero
+chance in [0.2, 0.8], increasing-delta variants, plus the checked-in
+shrunk regression seeds (proptest-regressions/*.txt)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from compressed_vec_spark import nibblepack as npk
+from compressed_vec_spark import vector as vec
+
+
+@st.composite
+def octet_nbits(draw):
+    nbits = draw(st.integers(4, 63))
+    chance = draw(st.floats(0.2, 0.8))
+    vals = []
+    for _ in range(8):
+        if draw(st.floats(0, 1)) < chance:
+            vals.append(0)
+        else:
+            vals.append(draw(st.integers(0, (1 << nbits) - 1)))
+    return vals
+
+
+@st.composite
+def varlen_increasing(draw):
+    nbits = draw(st.integers(4, 47))
+    n = draw(st.integers(2, 64))
+    deltas = [draw(st.integers(0, (1 << nbits) - 1)) for _ in range(n)]
+    return list(np.cumsum(deltas).astype(np.uint64))
+
+
+@settings(max_examples=200, deadline=None)
+@given(octet_nbits())
+def test_prop_pack_unpack_identity(vals):
+    arr = np.array([vals], dtype=np.uint64)
+    out, sizes = npk.pack_groups(arr)
+    decoded, sizes2 = npk.unpack_groups(out, np.array([0]))
+    assert (decoded == arr).all()
+    assert sizes.tolist() == sizes2.tolist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(varlen_increasing())
+def test_prop_delta_u64_packing(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    buf = npk.pack_u64_delta(arr)
+    assert (npk.unpack_u64_delta(buf, len(arr)) == arr).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, (1 << 60) - 1), min_size=1, max_size=2000))
+def test_prop_vector_roundtrip_u64(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    buf = vec.encode_vector(arr, "u64")
+    assert (vec.decode_vector(buf, "u64") == arr).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False, width=32),
+                min_size=1, max_size=1500))
+def test_prop_vector_roundtrip_f32(vals):
+    arr = np.array(vals, dtype=np.float32)
+    buf = vec.encode_vector(arr, "f32")
+    assert (vec.decode_vector(buf, "f32") == arr).all()
+
+
+def test_regression_seeds():
+    # reference proptest-regressions/nibblepacking.txt + nibblepack_simd.txt
+    seeds = [
+        [0, 0],
+        [1, 1, 256],
+        [0, 0, 0, 0, 1152921504606846976, 0, 0, 1],
+        [0] * 7 + [5596655808],
+    ]
+    for s in seeds:
+        arr = np.zeros(8, dtype=np.uint64)
+        arr[: len(s)] = np.array(s, dtype=np.uint64)
+        out, _ = npk.pack_groups(arr.reshape(1, 8))
+        decoded, _ = npk.unpack_groups(out, np.array([0]))
+        assert (decoded.ravel() == arr).all()
