@@ -1,0 +1,204 @@
+"""FSST-style string codec for high-cardinality text (text, url).
+
+A deterministic, numpy-vectorized variant of FSST (Boncz, Neumann,
+Leis: "FSST: Fast Random Access String Compression", VLDB 2020):
+a ≤255-entry symbol table of frequent 1-byte and 2-byte symbols, with
+code 255 as the escape marker for literals, exactly FSST's code space.
+This round's table building uses exact single/bigram frequencies of the
+chunk (deterministic: stable sort on (-gain, symbol)), and the greedy
+longest-match encode is resolved with a run-parity trick instead of a
+sequential scan, so encode and decode are both whole-chunk vectorized.
+New work mandated by the north rule; the reference has no string codecs
+(reference src/vector.rs:84-97 carries only legacy string type tags).
+
+Blob layout (little-endian):
+  +0  b'F' magic, u8 version=1
+  +2  u8 n_symbols, u8 n_single    (first n_single symbols are 1-byte)
+  +4  u32 n_strings
+  +8  u32 code-bytes length
+  +12 u32 lengths-vector length
+  +16 symbol heap: n_single bytes then (n_symbols-n_single) byte pairs
+  ..  BinaryVector<u64> of per-string code lengths
+  ..  code bytes
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from .. import vector as vec
+
+MAGIC = b"F\x01"
+ESCAPE = 255
+MAX_SYMBOLS = 255
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy concatenated utf8 bytes + value offsets of a pyarrow
+    string array (nulls treated as empty strings)."""
+    arr = arr.cast(pa.large_utf8())
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int64,
+                            count=len(arr) + 1, offset=arr.offset * 8)
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+    start = offsets[0]
+    return np.ascontiguousarray(data[start:offsets[-1]]), (offsets - start).astype(np.int64)
+
+
+def _greedy_nonoverlap(cand_idx: np.ndarray, seg_of: np.ndarray) -> np.ndarray:
+    """Greedy left-to-right selection of non-overlapping width-2 matches.
+
+    cand_idx: sorted candidate positions; seg_of: segment id per
+    candidate (matches must not chain across segment boundaries).
+    Within each maximal run of consecutive positions in one segment,
+    greedy picks alternate positions starting with the first.
+    """
+    if len(cand_idx) == 0:
+        return cand_idx
+    new_run = np.ones(len(cand_idx), dtype=bool)
+    new_run[1:] = (np.diff(cand_idx) != 1) | (seg_of[1:] != seg_of[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_start_val = cand_idx[np.repeat(run_starts, np.diff(np.append(run_starts, len(cand_idx))))]
+    return cand_idx[((cand_idx - run_start_val) % 2) == 0]
+
+
+def build_table(data: np.ndarray, valid_pair: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Choose up to 255 symbols by exact frequency gain.
+
+    Returns (singles: uint8 array, pairs: (P,2) uint8 array).
+    Gain: a single symbol saves 1 byte/occurrence vs escape; a pair
+    saves 3 bytes/occurrence vs two escapes.
+    """
+    if len(data) == 0:
+        return np.empty(0, np.uint8), np.empty((0, 2), np.uint8)
+    c1 = np.bincount(data, minlength=256).astype(np.int64)
+    if len(data) > 1:
+        pair_ids = data[:-1].astype(np.int64) * 256 + data[1:]
+        c2 = np.bincount(pair_ids[valid_pair], minlength=65536).astype(np.int64)
+    else:
+        c2 = np.zeros(65536, dtype=np.int64)
+    gain1 = c1  # (2 -> 1) per occurrence
+    gain2 = c2 * 3  # (4 -> 1) per occurrence
+    cand_gain = np.concatenate([gain1, gain2])
+    # deterministic: stable argsort on (-gain, id)
+    order = np.argsort(-cand_gain, kind="stable")
+    top = order[cand_gain[order] > 0][:MAX_SYMBOLS]
+    singles = np.sort(top[top < 256]).astype(np.uint8)
+    pair_ids = np.sort(top[top >= 256] - 256)
+    pairs = np.stack([(pair_ids // 256), (pair_ids % 256)], axis=1).astype(np.uint8)
+    return singles, pairs
+
+
+def encode(strings: "pa.Array | list[str]") -> bytes:
+    if not isinstance(strings, pa.Array):
+        strings = pa.array(strings, type=pa.large_utf8())
+    data, offsets = _string_buffers(strings)
+    n_strings = len(offsets) - 1
+    N = len(data)
+
+    # pairs must not span string boundaries
+    valid_pair = np.ones(max(N - 1, 0), dtype=bool)
+    inner_bounds = offsets[1:-1]
+    valid_pair[inner_bounds[(inner_bounds > 0) & (inner_bounds < N)] - 1] = False
+
+    singles, pairs = build_table(data, valid_pair)
+    n_single = len(singles)
+    n_symbols = n_single + len(pairs)
+
+    lut1 = np.full(256, ESCAPE, dtype=np.uint8)
+    lut1[singles] = np.arange(n_single, dtype=np.uint8)
+    lut2 = np.full(65536, ESCAPE, dtype=np.uint8)
+    pair_keys = pairs[:, 0].astype(np.int64) * 256 + pairs[:, 1]
+    lut2[pair_keys] = np.arange(n_single, n_symbols, dtype=np.uint8)
+
+    if N > 1:
+        pair_ids = data[:-1].astype(np.int64) * 256 + data[1:]
+        cand = (lut2[pair_ids] != ESCAPE) & valid_pair
+        cand_idx = np.flatnonzero(cand)
+        seg_of = np.searchsorted(offsets, cand_idx, side="right")
+        taken = _greedy_nonoverlap(cand_idx, seg_of)
+    else:
+        taken = np.empty(0, dtype=np.int64)
+
+    kind = np.zeros(N, dtype=np.uint8)  # 0=single/escape path, 1=pair start, 2=covered
+    kind[taken] = 1
+    kind[taken + 1] = 2
+    is_single = (kind == 0) & (lut1[data] != ESCAPE)
+    is_escape = (kind == 0) & ~is_single
+
+    sizes = np.zeros(N, dtype=np.int64)
+    sizes[kind == 1] = 1
+    sizes[is_single] = 1
+    sizes[is_escape] = 2
+    pos = np.concatenate(([0], np.cumsum(sizes)))
+    total = int(pos[-1])
+    out = np.empty(total, dtype=np.uint8)
+    out[pos[:-1][kind == 1]] = lut2[pair_ids[taken]] if len(taken) else np.empty(0, np.uint8)
+    out[pos[:-1][is_single]] = lut1[data[is_single]]
+    esc_pos = pos[:-1][is_escape]
+    out[esc_pos] = ESCAPE
+    out[esc_pos + 1] = data[is_escape]
+
+    code_lens = np.diff(pos[offsets]).astype(np.uint64)
+    lens_vec = vec.encode_vector(code_lens, "u64")
+
+    sym_heap = singles.tobytes() + pairs.tobytes()
+    return (MAGIC + struct.pack("<BBIII", n_symbols, n_single, n_strings, total, len(lens_vec))
+            + sym_heap + lens_vec + out.tobytes())
+
+
+def decode(blob: bytes) -> pa.Array:
+    assert blob[:2] == MAGIC, "not an FSST blob"
+    n_symbols, n_single, n_strings, code_len, lens_len = struct.unpack_from("<BBIII", blob, 2)
+    p = 16
+    singles = np.frombuffer(blob, dtype=np.uint8, count=n_single, offset=p)
+    p += n_single
+    n_pairs = n_symbols - n_single
+    pairs = np.frombuffer(blob, dtype=np.uint8, count=2 * n_pairs, offset=p).reshape(n_pairs, 2)
+    p += 2 * n_pairs
+    code_lens = vec.decode_vector(blob[p:p + lens_len], "u64").astype(np.int64)[:n_strings]
+    p += lens_len
+    codes = np.frombuffer(blob, dtype=np.uint8, count=code_len, offset=p)
+
+    code_bounds = np.concatenate(([0], np.cumsum(code_lens)))
+
+    # resolve escapes (an escaped literal may itself be 0xFF: greedy parity)
+    esc_idx = np.flatnonzero(codes == ESCAPE)
+    seg_of = np.searchsorted(code_bounds, esc_idx, side="right")
+    esc = _greedy_nonoverlap(esc_idx, seg_of)
+
+    kind = np.zeros(len(codes), dtype=np.uint8)  # 0=symbol, 1=escape, 2=literal
+    kind[esc] = 1
+    kind[esc + 1] = 2
+
+    sym_len = np.concatenate([np.ones(n_single, np.int64),
+                              np.full(n_pairs, 2, np.int64),
+                              np.zeros(256 - n_symbols, np.int64)])
+    sym_first = np.concatenate([singles, pairs[:, 0],
+                                np.zeros(256 - n_symbols, np.uint8)])
+    sym_second = np.concatenate([np.zeros(n_single, np.uint8), pairs[:, 1],
+                                 np.zeros(256 - n_symbols, np.uint8)])
+
+    sizes = np.where(kind == 0, sym_len[codes], np.where(kind == 2, 1, 0))
+    pos = np.concatenate(([0], np.cumsum(sizes)))
+    out = np.empty(int(pos[-1]), dtype=np.uint8)
+    sym_mask = kind == 0
+    out[pos[:-1][sym_mask]] = sym_first[codes[sym_mask]]
+    two = sym_mask & (sym_len[codes] == 2)
+    out[pos[:-1][two] + 1] = sym_second[codes[two]]
+    lit = kind == 2
+    out[pos[:-1][lit]] = codes[lit]
+
+    str_offsets = pos[code_bounds]
+    return pa.LargeStringArray.from_buffers(
+        n_strings,
+        pa.py_buffer(str_offsets.astype(np.int64).tobytes()),
+        pa.py_buffer(out.tobytes()),
+    )
+
+
+def decoded_strings(blob: bytes) -> list[str]:
+    return decode(blob).to_pylist()

@@ -1,0 +1,156 @@
+"""Predicate filtering over compressed vectors WITHOUT full decompression.
+
+Mirrors the reference's filter pipeline (reference src/filter.rs:21-321):
+per-256-element-section boolean masks, with Null/Constant sections
+answered from the header byte alone (no decode), equality and IN-list
+predicates, AND-composition across vectors with section-level
+short-circuit, popcount aggregation (`count_hits`) and match-position
+materialization (`match_positions`).
+
+Vectorized: only the sections that actually need decoding are unpacked,
+in one batch kernel call; everything else is index arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import nibblepack as npk
+from .. import sections as sect
+from .. import vector as vec
+from ..sections import FIXED_LEN
+
+
+def _section_layout(buf: bytes, kind: str):
+    h = vec.read_header(buf)
+    n = h["num_elements"]
+    body = np.frombuffer(buf, dtype=np.uint8, offset=vec.HEADER_BYTES,
+                         count=h["total_bytes"] - vec.HEADER_BYTES)
+    nsect = (n + FIXED_LEN - 1) // FIXED_LEN
+    width = vec._WIDTH_BY_KIND[kind]
+    offs = sect.walk_sections(body, nsect, width)
+    return body, offs, n, width
+
+
+def _const_values(body, starts, width):
+    v = np.zeros(len(starts), dtype=np.uint64)
+    for b in range(width):
+        v |= body[starts + 1 + b].astype(np.uint64) << np.uint64(8 * b)
+    return v
+
+
+def _decode_subset_int(body, starts, types, width) -> np.ndarray:
+    """Decode only the given (packable) sections; (k, 256) uint64."""
+    out = np.zeros((len(starts), FIXED_LEN), dtype=np.uint64)
+    if not len(starts):
+        return out
+    is_delta = types == sect.SECT_DELTA_NP_MED
+    hdr = np.where(is_delta, sect.DELTA_HEADER_SIZE, 3)
+    goffs = sect._group_offsets(body, starts + hdr)
+    vals, _ = npk.unpack_groups(body, goffs.ravel())
+    vals = vals.reshape(len(starts), FIXED_LEN)
+    if is_delta.any():
+        base = np.zeros(int(is_delta.sum()), dtype=np.uint64)
+        d_starts = starts[is_delta]
+        for b in range(width):
+            base |= body[d_starts + 4 + b].astype(np.uint64) << np.uint64(8 * b)
+        vals[is_delta] += base[:, None]
+    out[:] = vals
+    return out
+
+
+def section_masks(buf: bytes, kind: str, pred_values, skip_sections: np.ndarray | None = None) -> np.ndarray:
+    """Per-section 256-bit match masks for `element IN pred_values`.
+
+    Null sections answer via pred(0), Constant via pred(const) — no
+    decode (reference GenericFilterSink match_zero precompute,
+    src/filter.rs:53-107).  `skip_sections` is a bool array marking
+    sections whose mask is already known to be ANDed with all-zero —
+    those are not decoded (MultiVectorFilter short-circuit,
+    src/filter.rs:260-284).
+
+    Returns (S, 256) bool.
+    """
+    body, offs, n, width = _section_layout(buf, kind)
+    starts = offs[:-1]
+    types = body[starts]
+    S = len(starts)
+    masks = np.zeros((S, FIXED_LEN), dtype=bool)
+
+    if kind == "f32":
+        pred = np.asarray(pred_values, dtype=np.float32)
+        match_zero = bool(np.any(pred == np.float32(0.0)))
+    else:
+        pred = np.asarray(pred_values, dtype=np.uint64)
+        match_zero = bool(np.any(pred == 0))
+
+    active = np.ones(S, dtype=bool) if skip_sections is None else ~skip_sections
+
+    null_rows = (types == sect.SECT_NULL) & active
+    if match_zero:
+        masks[null_rows] = True
+
+    const_rows = (types == sect.SECT_CONST) & active
+    c_idx = np.nonzero(const_rows)[0]
+    if len(c_idx):
+        if kind == "f32":
+            cv = _const_values(body, starts[c_idx], 4).astype(np.uint32).view(np.float32)
+        else:
+            cv = _const_values(body, starts[c_idx], width)
+        hit = np.isin(cv, pred)
+        masks[c_idx[hit]] = True
+
+    packable = np.isin(types, (sect.SECT_NP_MED, sect.SECT_DELTA_NP_MED,
+                               sect.SECT_XOR_NP_MED)) & active
+    p_idx = np.nonzero(packable)[0]
+    if len(p_idx):
+        if kind == "f32":
+            goffs = sect._group_offsets(body, starts[p_idx] + 3)
+            raw, _ = npk.unpack_groups(body, goffs.ravel())
+            xored = raw.reshape(len(p_idx), sect.GROUPS_PER_SECT, 8)
+            bits = np.bitwise_xor.accumulate(xored, axis=1)
+            fvals = bits.reshape(len(p_idx), FIXED_LEN).astype(np.uint32).view(np.float32)
+            masks[p_idx] = np.isin(fvals, pred).reshape(len(p_idx), FIXED_LEN)
+        else:
+            vals = _decode_subset_int(body, starts[p_idx], types[p_idx], width)
+            masks[p_idx] = np.isin(vals, pred)
+
+    # tail padding beyond num_elements never matches
+    if S * FIXED_LEN > n:
+        flat = masks.reshape(-1)
+        flat[n:] = False
+    return masks
+
+
+def equals_mask(buf: bytes, kind: str, value) -> np.ndarray:
+    """EqualsSink (reference src/filter.rs:112-139)."""
+    return section_masks(buf, kind, [value])
+
+
+def one_of_mask(buf: bytes, kind: str, values) -> np.ndarray:
+    """OneOfSink / IN-list (reference src/filter.rs:143-177)."""
+    return section_masks(buf, kind, list(values))
+
+
+def multi_vector_and(bufs_kinds_preds: list[tuple[bytes, str, list]]) -> np.ndarray:
+    """AND across same-table column vectors with section short-circuit:
+    sections whose running mask is all-zero skip decode of later vectors
+    (reference MultiVectorFilter, src/filter.rs:239-286).  Order
+    sparse-first for best skipping (reference README.md:29)."""
+    acc = None
+    skip = None
+    for buf, kind, pred in bufs_kinds_preds:
+        m = section_masks(buf, kind, pred, skip_sections=skip)
+        acc = m if acc is None else (acc & m)
+        skip = ~acc.any(axis=1)
+    return acc
+
+
+def count_hits(masks: np.ndarray) -> int:
+    """Popcount aggregation (reference src/filter.rs:296-299)."""
+    return int(masks.sum())
+
+
+def match_positions(masks: np.ndarray) -> np.ndarray:
+    """Matching row ordinals (reference src/filter.rs:302-321)."""
+    return np.flatnonzero(masks.reshape(-1))

@@ -1,0 +1,134 @@
+"""Codec-family tests: dict / RLE / FSST / chunk dispatch round trips,
+determinism, and compression-effectiveness assertions."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from compressed_vec_spark.codecs import chunk, dictionary, fsst, rle, selector
+from compressed_vec_spark.operators import filters
+
+
+LANGS = ["en"] * 60 + ["de"] * 15 + ["fr"] * 10 + ["zh"] * 8 + ["es"] * 7
+
+
+def test_dict_roundtrip_and_code_filter():
+    s = pd.Series([LANGS[i % len(LANGS)] for i in range(1000)])
+    blob = dictionary.encode(s)
+    back = dictionary.decode(blob)
+    assert back.tolist() == s.tolist()
+    # equality filter runs on the compressed code vector, never touching strings
+    code = dictionary.code_of(blob, "en")
+    assert code > 0
+    masks = filters.equals_mask(dictionary.codes_vector(blob), "u32", code)
+    assert filters.count_hits(masks) == (s == "en").sum()
+    assert dictionary.code_of(blob, "xx") == 0
+
+
+def test_dict_nulls():
+    s = pd.Series(["a", None, "b", None, "a"])
+    blob = dictionary.encode(s)
+    back = dictionary.decode(blob)
+    assert back[0] == "a" and back[2] == "b"
+    assert pd.isna(back[1]) and pd.isna(back[3])
+
+
+def test_dict_determinism():
+    s = pd.Series(LANGS * 3)
+    assert dictionary.encode(s) == dictionary.encode(s.copy())
+
+
+def test_rle_roundtrip_sorted_timestamps():
+    base = 1_600_000_000_000_000
+    ts = np.repeat(np.arange(100, dtype=np.uint64) * 1000 + base, 37)
+    blob = rle.encode(ts)
+    assert (rle.decode(blob) == ts).all()
+    assert rle.num_runs(blob) == 100
+    # 3700 8-byte values -> a few hundred bytes
+    assert len(blob) < len(ts)
+
+
+def test_rle_empty_and_single():
+    assert len(rle.decode(rle.encode(np.array([], dtype=np.uint64)))) == 0
+    assert rle.decode(rle.encode(np.array([7], dtype=np.uint64))).tolist() == [7]
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "the theory of the thing is that the threads thread themselves",
+    "",
+    "a",
+    "\xff\xfe unicode snowman ☃ and emoji \U0001f600",
+]
+
+
+def test_fsst_roundtrip():
+    arr = pa.array(TEXTS * 20, type=pa.large_utf8())
+    blob = fsst.encode(arr)
+    assert fsst.decoded_strings(blob) == TEXTS * 20
+    assert fsst.encode(arr) == blob  # deterministic
+
+
+def test_fsst_compresses_english():
+    text = ["the rain in spain falls mainly on the plain " * 10] * 100
+    blob = fsst.encode(text)
+    raw = sum(len(t.encode()) for t in text)
+    assert len(blob) < raw * 0.7
+
+
+def test_fsst_escape_heavy_bytes():
+    # strings full of 0xFF-bytes exercise escape-of-escape resolution
+    texts = ["\xff\xff\xff", "x\xffy", "\xff", ""] * 50
+    blob = fsst.encode(texts)
+    assert fsst.decoded_strings(blob) == texts
+
+
+@pytest.mark.parametrize("series,expect", [
+    (pd.Series(LANGS * 10), "dict"),
+    (pd.Series([f"https://site-{i}.example.com/page/{i*7}" for i in range(3000)]), "fsst"),
+    (pd.Series(np.repeat(np.arange(100), 50)), "rle"),
+    (pd.Series(np.arange(5000) * 977 % 4_000_000_007 + 10**12), "vec_u64"),
+    (pd.Series((np.arange(5000) * 977 % 1000).astype(np.int32)), "vec_u32"),
+    (pd.Series(np.arange(500, dtype=np.float32) / 3), "vec_f32"),
+    (pd.Series(np.arange(500, dtype=np.float64) / 3), "xor_f64"),
+])
+def test_selector_families(series, expect):
+    codec, _ = selector.choose_codec(series)
+    assert codec == expect
+
+
+@pytest.mark.parametrize("series", [
+    pd.Series(np.arange(1000, dtype=np.int64) + 10**15),
+    pd.Series(np.arange(1000, dtype=np.int64) - 500),       # negatives -> zigzag
+    pd.Series(np.repeat(np.arange(20), 100)),
+    pd.Series((np.arange(777) % 97).astype(np.int32)),
+    pd.Series(np.linspace(0, 1, 555).astype(np.float32)),
+    pd.Series(np.linspace(-5, 5, 555)),
+    pd.Series(pd.to_datetime(np.arange(1000) * 10**9 + 1_600_000_000 * 10**9)),
+    pd.Series(LANGS * 5),
+    pd.Series([f"url-{i}-{i*31:x}" for i in range(801)]),
+    pd.Series([b"<html>" + str(i).encode() + b"</html>" for i in range(300)]),
+])
+def test_chunk_roundtrip(series):
+    codec, blob, meta = chunk.encode_column(series)
+    dtype = ("timestamp" if series.dtype.kind == "M"
+             else "int64" if series.dtype.kind == "i" else None)
+    out = chunk.decode_column(blob, dtype)
+    if series.dtype.kind == "M":
+        assert (np.asarray(out) == series.astype("datetime64[us]").to_numpy()).all()
+    elif series.dtype.kind in "iu":
+        assert (np.asarray(out) == series.to_numpy()).all()
+    elif series.dtype.kind == "f":
+        assert (np.asarray(out) == series.to_numpy()).all()
+    else:
+        assert list(out) == series.tolist()
+    assert meta["num_elements"] == len(series)
+
+
+def test_chunk_compression_ratio_on_skewed_ints():
+    # FoR/NibblePack should beat raw 8-byte encoding by a wide margin
+    s = pd.Series(np.arange(100_000, dtype=np.int64) + 1_600_000_000_000)
+    codec, blob, _ = chunk.encode_column(s, codec="vec_u64")
+    assert len(blob) < 100_000 * 8 / 2
