@@ -1,0 +1,55 @@
+"""Decode pipeline: encoded chunk blobs -> original rows, plus the
+bit-identity verifier the north rule requires (byte-identical text per
+url vs the source table)."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..codecs import chunk as chunk_codec
+
+
+def decode_chunks(chunks: DataFrame, schema: str,
+                  dtypes: dict[str, str] | None = None) -> DataFrame:
+    """Reassemble rows from per-column chunk blobs.
+
+    groupBy(chunk_id).applyInPandas zips the decoded columns of one
+    chunk back together — chunks are independent, so this parallelizes
+    per chunk with one narrow shuffle of the (already compressed) blobs.
+    """
+    dtypes = dtypes or {}
+
+    def rebuild(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = {}
+        for _, row in pdf.iterrows():
+            out = chunk_codec.decode_column(bytes(row["blob"]), dtypes.get(row["column"]))
+            cols[row["column"]] = np.asarray(out) if not isinstance(out, pd.Series) else out.to_numpy()
+        return pd.DataFrame(cols)
+
+    return chunks.groupBy("chunk_id").applyInPandas(rebuild, schema=schema)
+
+
+def verify_bit_identical(source: DataFrame, decoded: DataFrame,
+                         key: str = "url", cols: list[str] | None = None) -> dict:
+    """Join source vs decoded on `key` and compare values byte-exactly
+    (sha2 over the binary representation).  Returns mismatch counts —
+    all zeros is the north-rule gate."""
+    cols = cols or [c for c in source.columns if c != key]
+
+    def canon(c):
+        # timestamps/floats can't cast to binary; to_json gives a
+        # canonical byte representation for every type
+        return F.sha2(F.to_json(F.struct(F.col(c))).cast("binary"), 256)
+
+    s = source.select(key, *[canon(c).alias(f"s_{c}") for c in cols])
+    d = decoded.select(key, *[canon(c).alias(f"d_{c}") for c in cols])
+    j = s.join(d, key, "full_outer")
+    agg = j.agg(
+        F.count("*").alias("rows"),
+        *[F.sum((~F.col(f"s_{c}").eqNullSafe(F.col(f"d_{c}"))).cast("long")).alias(c)
+          for c in cols]).collect()[0]
+    return {"rows": agg["rows"], "mismatches": {c: agg[c] for c in cols}}

@@ -1,0 +1,181 @@
+"""Distributed encode pipeline: DataFrame -> encoded column chunks + manifest.
+
+Spark-first design (the reference is a single-threaded library; its
+caller loop becomes Spark's executor grid):
+
+  read parquet/Iceberg
+    -> derive url host, detect heavy-hitter hosts on a sample
+    -> salted repartition on (host, salt)   # defuses Zipf domain skew;
+                                            # salt fan-out only for hot hosts
+    -> sortWithinPartitions(host, warc_ts)  # locality => long RLE runs,
+                                            # small FoR deltas
+    -> mapInPandas(encode)                  # one Arrow batch = one chunk;
+                                            # all codecs vectorized numpy
+    -> chunks parquet (binary blobs) + manifest parquet
+
+Scale notes (100 TB / 1000 executors): the only shuffle is the single
+repartition; chunk encode is embarrassingly parallel afterwards; chunk
+size (Arrow maxRecordsPerBatch) bounds executor memory at
+~chunk_rows x row_width; the heavy-hitter sample is a broadcast of at
+most `max_hot_hosts` strings.  Resume skips completed partitions via a
+broadcast set of part_ids read from the manifest — re-encoding is
+idempotent because generation, partitioning and chunk ids are all
+deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..codecs import chunk as chunk_codec
+
+CHUNK_SCHEMA = (
+    "part_id int, chunk_seq int, chunk_id string, column string, codec string, "
+    "num_elements long, raw_bytes long, encoded_bytes long, sha256 string, "
+    "encode_sec double, blob binary"
+)
+
+MANIFEST_COLS = ["part_id", "chunk_seq", "chunk_id", "column", "codec",
+                 "num_elements", "raw_bytes", "encoded_bytes", "sha256", "encode_sec"]
+
+
+def _raw_size(series: pd.Series) -> int:
+    k = series.dtype.kind
+    if k in "iufM":
+        return len(series) * series.dtype.itemsize if k != "M" else len(series) * 8
+    if len(series) == 0:
+        return 0
+    return int(series.dropna().map(
+        lambda v: len(v) if isinstance(v, (bytes, bytearray)) else len(str(v).encode())
+    ).sum())
+
+
+def with_salted_partitioning(df: DataFrame, url_col: str = "url",
+                             num_partitions: int | None = None,
+                             salt_buckets: int = 16,
+                             hot_threshold: float = 0.01,
+                             sample_fraction: float = 0.05,
+                             max_hot_hosts: int = 1000) -> DataFrame:
+    """Repartition on (host, salt) where only heavy-hitter hosts fan out.
+
+    A sampled groupBy finds hosts holding > hot_threshold of the sample;
+    those get salt in [0, salt_buckets) (spread over many partitions),
+    everything else salts to 0 (stays co-located for compression
+    locality).  The hot list is broadcast — no extra shuffle of the
+    main table beyond the one repartition.
+    """
+    spark = df.sparkSession
+    host = F.expr(f"parse_url({url_col}, 'HOST')")
+    df = df.withColumn("__host", host)
+    sampled = (df.sample(fraction=sample_fraction, seed=42)
+                 .groupBy("__host").count())
+    total = sampled.agg(F.sum("count")).collect()[0][0] or 1
+    hot = [r["__host"] for r in
+           sampled.filter(F.col("count") > hot_threshold * total)
+                  .orderBy(F.desc("count")).limit(max_hot_hosts).collect()]
+    salt = F.when(F.col("__host").isin(hot),
+                  F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
+                  ).otherwise(F.lit(0))
+    df = df.withColumn("__salt", salt.cast("int"))
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    return (df.repartition(n, F.col("__host"), F.col("__salt"))
+              .sortWithinPartitions("__host", *(
+                  ["warc_ts"] if "warc_ts" in df.columns else [])))
+
+
+def _encode_iter(columns: list[str], codec_overrides: dict[str, str],
+                 skip_parts: set[int]):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        part_id = TaskContext.get().partitionId()
+        if part_id in skip_parts:
+            return
+        seq = 0
+        for pdf in batches:
+            rows = []
+            chunk_id = f"p{part_id:05d}-c{seq:05d}"
+            for col in columns:
+                t0 = time.perf_counter()
+                codec, blob, _meta = chunk_codec.encode_column(
+                    pdf[col], codec_overrides.get(col))
+                dt = time.perf_counter() - t0
+                rows.append({
+                    "part_id": part_id, "chunk_seq": seq, "chunk_id": chunk_id,
+                    "column": col, "codec": codec,
+                    "num_elements": len(pdf),
+                    "raw_bytes": _raw_size(pdf[col]),
+                    "encoded_bytes": len(blob),
+                    "sha256": hashlib.sha256(blob).hexdigest(),
+                    "encode_sec": dt, "blob": blob,
+                })
+            seq += 1
+            yield pd.DataFrame(rows)
+    return fn
+
+
+def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
+                 columns: list[str] | None = None,
+                 codec_overrides: dict[str, str] | None = None,
+                 url_col: str | None = "url",
+                 num_partitions: int | None = None,
+                 resume: bool = True,
+                 write: bool = True) -> DataFrame:
+    """Run the encode pipeline; returns the chunks DataFrame.
+
+    When write=True, chunks land at {out_dir}/chunks (parquet,
+    partitioned by part_id for per-partition commit granularity) and the
+    manifest at {out_dir}/manifest.
+    """
+    columns = columns or [c for c in df.columns if not c.startswith("__")]
+    codec_overrides = codec_overrides or {}
+
+    if url_col and url_col in df.columns:
+        df = with_salted_partitioning(df, url_col, num_partitions)
+    elif num_partitions:
+        df = df.repartition(num_partitions)
+
+    skip_parts: set[int] = set()
+    chunks_path = os.path.join(out_dir, "chunks")
+    manifest_path = os.path.join(out_dir, "manifest")
+    if resume and write and os.path.exists(manifest_path):
+        done = (spark.read.parquet(manifest_path)
+                .groupBy("part_id").count().collect())
+        skip_parts = {r["part_id"] for r in done}
+
+    enc = df.mapInPandas(_encode_iter(columns, codec_overrides, skip_parts),
+                         schema=CHUNK_SCHEMA)
+    if not write:
+        return enc
+
+    (enc.write.mode("append").partitionBy("part_id").parquet(chunks_path))
+    # manifest derived from the written chunks (no double encode)
+    written = spark.read.parquet(chunks_path)
+    (written.select(*MANIFEST_COLS)
+            .write.mode("overwrite").parquet(manifest_path))
+    return spark.read.parquet(chunks_path)
+
+
+def manifest_summary(spark: SparkSession, out_dir: str) -> dict:
+    m = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    agg = (m.groupBy("column", "codec")
+           .agg(F.sum("raw_bytes").alias("raw"),
+                F.sum("encoded_bytes").alias("enc"),
+                F.sum("num_elements").alias("elems"),
+                F.count("*").alias("chunks"))
+           .collect())
+    per_col = {f"{r['column']}[{r['codec']}]":
+               {"raw": r["raw"], "encoded": r["enc"],
+                "ratio": (r["raw"] / r["enc"]) if r["enc"] else None,
+                "chunks": r["chunks"]}
+               for r in agg}
+    raw = sum(r["raw"] for r in agg)
+    enc = sum(r["enc"] for r in agg)
+    return {"columns": per_col, "raw_bytes": raw, "encoded_bytes": enc,
+            "ratio": raw / enc if enc else None}

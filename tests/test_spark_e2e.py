@@ -1,0 +1,88 @@
+"""End-to-end Spark tests: synthetic web table -> salted encode ->
+manifest -> decode -> bit-identical per url (the north-rule gate)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from compressed_vec_spark.spark import decode_job, encode_job, webtable
+from compressed_vec_spark.spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("cvx-tests", cores=4, chunk_rows=2048)
+    yield s
+    s.stop()
+
+
+def test_webtable_deterministic(spark):
+    a = webtable.webpages(spark, 500, partitions=2).orderBy("url").collect()
+    b = webtable.webpages(spark, 500, partitions=7).orderBy("url").collect()
+    assert a == b
+    assert len(a) == 500
+    langs = {r["lang"] for r in a}
+    assert "en" in langs and len(langs) > 3
+    r0 = a[0]
+    assert r0["html"] == f"<!DOCTYPE html><html><body><p>{r0['text']}</p></body></html>".encode()
+
+
+def test_encode_decode_bit_identical(spark, tmp_path):
+    out = str(tmp_path / "enc")
+    web = webtable.webpages(spark, 3000, partitions=4)
+    chunks = encode_job.encode_table(spark, web, out, num_partitions=4)
+    assert chunks.count() > 0
+
+    summary = encode_job.manifest_summary(spark, out)
+    assert summary["ratio"] is not None and summary["ratio"] > 1.0
+
+    decoded = decode_job.decode_chunks(
+        spark.read.parquet(os.path.join(out, "chunks")),
+        schema=webtable.SCHEMA,
+        dtypes={"warc_ts": "timestamp"})
+    res = decode_job.verify_bit_identical(web, decoded, key="url")
+    assert res["rows"] == 3000
+    assert all(v == 0 for v in res["mismatches"].values()), res
+
+
+def test_codec_choices_match_north_rule(spark, tmp_path):
+    out = str(tmp_path / "enc2")
+    web = webtable.webpages(spark, 2000, partitions=2)
+    encode_job.encode_table(spark, web, out, num_partitions=2)
+    m = spark.read.parquet(os.path.join(out, "manifest"))
+    codec_by_col = {r["column"]: r["codec"] for r in
+                    m.select("column", "codec").distinct().collect()}
+    assert codec_by_col["lang"] == "dict"          # low-card -> dictionary
+    assert codec_by_col["text"] == "fsst"          # high-card text -> FSST
+    # after host-partitioning, ts runs shorten: RLE only if runs survive,
+    # else sectioned FoR/Delta vector (stats-driven, like AutoEncoder)
+    assert codec_by_col["warc_ts"] in ("rle", "vec_u64")
+    assert codec_by_col["url"] in ("fsst", "dict")
+    assert codec_by_col["html"] == "binary_fsst"
+
+
+def test_resume_skips_completed_partitions(spark, tmp_path):
+    out = str(tmp_path / "enc3")
+    web = webtable.webpages(spark, 1000, partitions=2)
+    encode_job.encode_table(spark, web, out, num_partitions=2)
+    n1 = spark.read.parquet(os.path.join(out, "chunks")).count()
+    # re-run: all partitions already in the manifest -> nothing re-encoded
+    encode_job.encode_table(spark, web, out, num_partitions=2)
+    n2 = spark.read.parquet(os.path.join(out, "chunks")).count()
+    assert n1 == n2
+
+
+def test_salted_partitioning_spreads_hot_host(spark):
+    # one host dominating the table must not land on a single partition
+    web = webtable.webpages(spark, 4000, partitions=4)
+    hot = web.withColumn("__h", F.expr("parse_url(url, 'HOST')"))
+    top = hot.groupBy("__h").count().orderBy(F.desc("count")).first()
+    assert top["count"] > 400  # the Zipf head is actually hot
+    parts = encode_job.with_salted_partitioning(web, num_partitions=8)
+    dist = (parts.withColumn("pid", F.spark_partition_id())
+            .filter(F.col("__host") == top["__h"])
+            .select("pid").distinct().count())
+    assert dist > 1  # hot host fanned out across partitions
