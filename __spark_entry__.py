@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: encode the sf0.001 documents table with the
+engine's auto-selected codecs, verify decode bit-identity in-flight,
+return a per-column codec/compression summary.
+
+queries()/oracle_sql() — one entry per operator family from SURVEY.md §2
+plus the north-rule codecs and training-data ops; every query runs the
+compressed-vec engine inside Spark (vectorized encode + compressed-domain
+filtering in mapInPandas) and is checked against plain ANSI SQL on DuckDB.
 """
 
 from __future__ import annotations
@@ -13,26 +16,110 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from compressed_vec_spark.spark import queries as q
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q.flagship_encode_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # compressed-domain filter family (reference src/filter.rs)
+        "filter_equals_count": q.count_hits_equals,
+        "filter_in_count": q.count_hits_one_of,
+        "multi_vector_and_count": q.multi_vector_and_count,
+        "match_positions": q.match_positions_query,
+        # sink/transform family (reference src/sink.rs, nibblepacking.rs)
+        "add_const_sum": q.add_const_sum,
+        "delta_cumsum": q.delta_cumsum_query,
+        "minmax_stats": q.minmax_stats,
+        # stats-driven codec selection (reference src/section.rs AutoEncoder)
+        "codec_histogram": q.codec_histogram,
+        # north-rule codecs
+        "dict_filter_count": q.dict_filter_count,
+        "rle_run_count": q.rle_run_count,
+        "fsst_text_roundtrip": q.fsst_text_roundtrip,
+        # training-data pipeline operators
+        "exact_dedup": q.exact_dedup,
+        "token_count_per_doc": q.token_count_per_doc,
+        "quality_score": q.quality_score,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_BITS = "(CASE WHEN {x} = 0 THEN 0 ELSE CAST(floor(log2({x})) AS BIGINT) + 1 END)"
+
+
+def _nibbles(x: str) -> str:
+    return f"(({_BITS.format(x=x)} + 3) // 4)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_equals_count":
+            "SELECT count(*) AS hits FROM lineitem WHERE l_linenumber = 3",
+        "filter_in_count":
+            "SELECT count(*) AS hits FROM lineitem "
+            "WHERE CAST(l_quantity AS BIGINT) IN (1, 5, 9)",
+        "multi_vector_and_count":
+            "SELECT count(*) AS hits FROM lineitem "
+            "WHERE CAST(l_quantity AS BIGINT) = 5 AND l_linenumber = 3",
+        "match_positions":
+            "SELECT pos FROM ("
+            "  SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS pos, o_orderstatus"
+            "  FROM orders) t WHERE o_orderstatus = 'F'",
+        "add_const_sum":
+            "SELECT CAST(sum(l_partkey + 1000) AS BIGINT) AS sum_plus_const, "
+            "count(*) AS n_rows FROM lineitem",
+        "delta_cumsum":
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) OVER ("
+            "  ORDER BY l_orderkey, l_linenumber "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty "
+            "FROM lineitem",
+        "minmax_stats":
+            "SELECT CAST(min(l_suppkey) AS BIGINT) AS min_suppkey, "
+            "CAST(max(l_suppkey) AS BIGINT) AS max_suppkey FROM lineitem",
+        "codec_histogram":
+            # re-derive the AutoEncoder decision (reference
+            # src/section.rs:821-846) per 256-row block in pure SQL,
+            # including the zero-padding of the final partial block
+            "WITH ordered AS ("
+            "  SELECT l_partkey AS v, "
+            "         row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn"
+            "  FROM lineitem), "
+            "blocks AS ("
+            "  SELECT rn // 256 AS blk, "
+            "         CASE WHEN count(*) < 256 THEN least(min(v), 0) ELSE min(v) END AS mn, "
+            "         CASE WHEN count(*) < 256 THEN greatest(max(v), 0) ELSE max(v) END AS mx "
+            "  FROM ordered GROUP BY rn // 256), "
+            "coded AS ("
+            "  SELECT CASE WHEN mn = mx AND mn = 0 THEN 'Null' "
+            "              WHEN mn = mx THEN 'Constant' "
+            f"             WHEN {_nibbles('(mx - mn)')} < {_nibbles('mx')} THEN 'DeltaNPMedium' "
+            "              ELSE 'NibblePackedMedium' END AS codec "
+            "  FROM blocks) "
+            "SELECT codec, count(*) AS sections FROM coded GROUP BY codec",
+        "dict_filter_count":
+            "SELECT count(*) AS hits FROM documents WHERE lang = 'en'",
+        "rle_run_count":
+            "SELECT CAST(1 + coalesce(sum(CASE WHEN chg THEN 1 ELSE 0 END), 0) AS BIGINT)"
+            " AS n_runs FROM ("
+            "  SELECT o_custkey <> lag(o_custkey) OVER (ORDER BY o_orderkey) AS chg"
+            "  FROM orders) t",
+        "fsst_text_roundtrip":
+            "SELECT CAST(sum(length(text)) AS BIGINT) AS total_chars, "
+            "count(*) AS n_docs FROM documents",
+        "exact_dedup":
+            "SELECT count(*) AS n_unique, CAST(sum(c - 1) AS BIGINT) AS n_dups FROM ("
+            "  SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY md5(text)) t",
+        "token_count_per_doc":
+            "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END"
+            " AS BIGINT) AS n_tokens FROM documents",
+        "quality_score":
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(floor((length(text) - length(replace(text, ' ', ''))) * 1000000.0 "
+            "/ greatest(length(text), 1)) AS BIGINT) AS space_ratio_ppm FROM documents",
+    }

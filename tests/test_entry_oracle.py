@@ -1,0 +1,76 @@
+"""Mimics the driver's correctness gate: run every __spark_entry__
+query on Spark and its oracle SQL on DuckDB over the same sf0.01
+parquet, compare row counts and order-insensitive values."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as entrymod
+from compressed_vec_spark.spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("cvx-oracle-tests", cores=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    out = df.copy()
+    for c in out.columns:
+        if out[c].dtype.kind == "f":
+            out[c] = out[c].round(6)
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    qfn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    assert sql is not None, f"{name} has no oracle"
+    got = normalize(qfn(spark, SF_DIR).toPandas())
+    exp = normalize(duck.execute(sql).df())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if g.dtype.kind == "f" or e.dtype.kind == "f":
+            assert all(math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+                       for a, b in zip(g, e)), f"{name}.{c}"
+        else:
+            assert g.astype("int64" if e.dtype.kind in "iu" else object).tolist() == \
+                e.tolist(), f"{name}.{c} mismatch"
+
+
+def test_entry_flagship(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["bit_identical"] for r in rows), rows
+    by_col = {r["column"]: r for r in rows}
+    assert by_col["lang"]["codec"] == "dict"
+    assert by_col["text"]["codec"] == "fsst"
+    # text must actually compress
+    assert by_col["text"]["ratio"] > 1.2
