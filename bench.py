@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Headline benchmark: encode throughput + compression ratio + query
+latency at $SPARK_GRAFT_SF_DIR, plus the two-parallelism scaling run the
+north rule requires (local[8] vs local[32] on the same deterministic
+input standing in for N vs 4N executors).
+
+Prints ONE JSON line:
+  {"metric": "encode_throughput_mb_s", "value": ..., "unit": "sec",
+   "queries": {...}, "sf": ..., "encode": {...}, "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING_ROWS = int(os.environ.get("CVX_BENCH_ROWS", "200000"))
+
+
+def run_encode_bench(cores: int, rows: int) -> dict:
+    """Encode the deterministic synthetic web table end-to-end (salted
+    repartition -> sortWithinPartitions -> mapInPandas encode) at a given
+    parallelism; returns wall time + throughput + compression."""
+    from compressed_vec_spark.spark.session import get_spark
+    from compressed_vec_spark.spark import encode_job, webtable
+    from pyspark.sql import functions as F
+
+    spark = get_spark(f"cvx-bench-{cores}", cores=cores)
+    try:
+        web = webtable.webpages(spark, rows, partitions=cores * 2)
+        web = web.persist()
+        n = web.count()  # materialize generation outside the timed window
+        raw_bytes = web.select(
+            (F.sum(F.length(F.col("url")) + F.length(F.col("text"))
+                   + F.length(F.col("html")) + F.length(F.col("lang")) + F.lit(8)))
+        ).collect()[0][0]
+
+        t0 = time.perf_counter()
+        chunks = encode_job.encode_table(spark, web, out_dir="", write=False,
+                                         num_partitions=cores * 2)
+        agg = chunks.agg(
+            F.sum("raw_bytes").alias("raw"),
+            F.sum("encoded_bytes").alias("enc"),
+            F.sum(F.when(F.col("column") == "url", F.col("num_elements"))
+                  .otherwise(F.lit(0))).alias("docs")).collect()[0]
+        wall = time.perf_counter() - t0
+        web.unpersist()
+        return {
+            "cores": cores, "rows": n, "wall_sec": round(wall, 3),
+            "raw_mb": round(raw_bytes / 1e6, 2),
+            "encoded_mb": round(agg["enc"] / 1e6, 2),
+            "compression_ratio": round(agg["raw"] / agg["enc"], 3),
+            "docs_per_sec": round(n / wall, 1),
+            "mb_per_sec": round(raw_bytes / 1e6 / wall, 2),
+        }
+    finally:
+        spark.stop()
+
+
+def run_queries(cores: int) -> dict:
+    import __spark_entry__ as entrymod
+    from compressed_vec_spark.spark.session import get_spark
+
+    spark = get_spark("cvx-bench-queries", cores=cores)
+    timings = {}
+    try:
+        for name, fn in entrymod.queries().items():
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+    finally:
+        spark.stop()
+    return timings
+
+
+def main() -> None:
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+
+    # two-parallelism scaling evidence (north rule: N -> 4N executors)
+    low = run_encode_bench(max(CPUS // 4, 1), SCALING_ROWS)
+    high = run_encode_bench(CPUS, SCALING_ROWS)
+    speedup = high["docs_per_sec"] / low["docs_per_sec"]
+    eff = speedup / (CPUS / max(CPUS // 4, 1))
+
+    queries = run_queries(CPUS)
+
+    out = {
+        "metric": "encode_throughput_mb_s",
+        "value": high["mb_per_sec"],
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": queries,
+        "encode": {"low": low, "high": high},
+        "scaling": {
+            "cores_low": low["cores"], "cores_high": high["cores"],
+            "speedup": round(speedup, 3),
+            "efficiency": round(eff, 3),
+        },
+        "compression_ratio": high["compression_ratio"],
+        "docs_per_sec": high["docs_per_sec"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

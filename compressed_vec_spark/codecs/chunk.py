@@ -83,15 +83,12 @@ def encode_column(series: pd.Series, codec: str | None = None) -> tuple[str, byt
     elif codec == "dict":
         payload = dictionary.encode(series.astype(object))
     elif codec in ("fsst", "binary_fsst"):
+        import pyarrow as pa
         if codec == "binary_fsst":
-            import pyarrow as pa
-            vals = series.fillna(b"").to_numpy(dtype=object)
-            as_str = pa.array([v.decode("latin-1") if isinstance(v, (bytes, bytearray)) else str(v)
-                               for v in vals], type=pa.large_utf8())
-            payload = fsst.encode(as_str)
+            arr = pa.array(series.where(series.notna(), b""), type=pa.large_binary())
         else:
-            import pyarrow as pa
-            payload = fsst.encode(pa.array(series.fillna("").astype(str), type=pa.large_utf8()))
+            arr = pa.array(series.fillna(""), type=pa.large_utf8())
+        payload = fsst.encode(arr)
     else:
         raise ValueError(f"unsupported codec {codec} for dtype {series.dtype}")
 
@@ -128,10 +125,9 @@ def decode_column(blob: bytes, target_dtype: str | None = None):
     elif codec == "dict":
         return dictionary.decode(payload)
     elif codec == "fsst":
-        return pd.Series(fsst.decode(payload).to_pandas())
+        return pd.Series(fsst.decode_strings(payload).to_pandas())
     elif codec == "binary_fsst":
-        strs = fsst.decode(payload).to_pylist()
-        return pd.Series([s.encode("latin-1") for s in strs], dtype=object)
+        return pd.Series(fsst.decode(payload).to_pandas())
     else:
         raise ValueError(codec)
 

@@ -37,9 +37,9 @@ MAX_SYMBOLS = 255
 
 
 def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Zero-copy concatenated utf8 bytes + value offsets of a pyarrow
-    string array (nulls treated as empty strings)."""
-    arr = arr.cast(pa.large_utf8())
+    """Zero-copy concatenated bytes + value offsets of a pyarrow
+    string/binary array (nulls treated as empty)."""
+    arr = arr.cast(pa.large_binary())
     buffers = arr.buffers()
     offsets = np.frombuffer(buffers[1], dtype=np.int64,
                             count=len(arr) + 1, offset=arr.offset * 8)
@@ -48,36 +48,63 @@ def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return np.ascontiguousarray(data[start:offsets[-1]]), (offsets - start).astype(np.int64)
 
 
-def _greedy_nonoverlap(cand_idx: np.ndarray, seg_of: np.ndarray) -> np.ndarray:
+def _greedy_nonoverlap(cand_idx: np.ndarray, seg_of: np.ndarray | None = None) -> np.ndarray:
     """Greedy left-to-right selection of non-overlapping width-2 matches.
 
-    cand_idx: sorted candidate positions; seg_of: segment id per
-    candidate (matches must not chain across segment boundaries).
-    Within each maximal run of consecutive positions in one segment,
-    greedy picks alternate positions starting with the first.
+    cand_idx: sorted candidate positions; seg_of (optional): segment id
+    per candidate — matches must not chain across segment boundaries
+    (encode can omit it: boundary-crossing pairs are never candidates,
+    so no run can span a boundary).  Within each maximal run of
+    consecutive positions, greedy picks alternate positions starting
+    with the first.
     """
     if len(cand_idx) == 0:
         return cand_idx
     new_run = np.ones(len(cand_idx), dtype=bool)
-    new_run[1:] = (np.diff(cand_idx) != 1) | (seg_of[1:] != seg_of[:-1])
-    run_starts = np.flatnonzero(new_run)
-    run_start_val = cand_idx[np.repeat(run_starts, np.diff(np.append(run_starts, len(cand_idx))))]
-    return cand_idx[((cand_idx - run_start_val) % 2) == 0]
+    new_run[1:] = np.diff(cand_idx) != 1
+    if seg_of is not None:
+        new_run[1:] |= seg_of[1:] != seg_of[:-1]
+    # distance to the run start via cumulative-max of start positions
+    start_val = np.maximum.accumulate(np.where(new_run, cand_idx, np.int64(-1)))
+    return cand_idx[((cand_idx - start_val) & 1) == 0]
 
 
-def build_table(data: np.ndarray, valid_pair: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Choose up to 255 symbols by exact frequency gain.
+SAMPLE_BYTES = 1 << 16  # like real FSST, build the table from a sample
+
+
+def _sample_indices(n: int) -> np.ndarray:
+    """Deterministic evenly-strided sample: 64-byte windows at ~1024
+    probe points (≤ SAMPLE_BYTES positions total), as index array."""
+    n_windows = max(SAMPLE_BYTES // 64, 1)
+    starts = np.linspace(0, max(n - 64, 0), n_windows).astype(np.int64)
+    idx = (starts[:, None] + np.arange(64)).ravel()
+    return np.unique(idx[idx < n])
+
+
+def build_table(data: np.ndarray, pair_ids: np.ndarray,
+                valid_pair: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Choose up to 255 symbols by sampled frequency gain.
 
     Returns (singles: uint8 array, pairs: (P,2) uint8 array).
     Gain: a single symbol saves 1 byte/occurrence vs escape; a pair
-    saves 3 bytes/occurrence vs two escapes.
+    saves 3 bytes/occurrence vs two escapes.  Deterministic: strided
+    sample + stable sort on (-gain, symbol id).
     """
     if len(data) == 0:
         return np.empty(0, np.uint8), np.empty((0, 2), np.uint8)
-    c1 = np.bincount(data, minlength=256).astype(np.int64)
-    if len(data) > 1:
-        pair_ids = data[:-1].astype(np.int64) * 256 + data[1:]
-        c2 = np.bincount(pair_ids[valid_pair], minlength=65536).astype(np.int64)
+    n = len(data)
+    if n > SAMPLE_BYTES:
+        stride = n // SAMPLE_BYTES + 1
+        c1 = np.bincount(data[::stride], minlength=256).astype(np.int64)
+    else:
+        c1 = np.bincount(data, minlength=256).astype(np.int64)
+    if len(pair_ids):
+        if len(pair_ids) > SAMPLE_BYTES:
+            idx = _sample_indices(len(pair_ids))
+            idx = idx[valid_pair[idx]]
+            c2 = np.bincount(pair_ids[idx], minlength=65536).astype(np.int64)
+        else:
+            c2 = np.bincount(pair_ids[valid_pair], minlength=65536).astype(np.int64)
     else:
         c2 = np.zeros(65536, dtype=np.int64)
     gain1 = c1  # (2 -> 1) per occurrence
@@ -96,6 +123,10 @@ def encode(strings: "pa.Array | list[str]") -> bytes:
     if not isinstance(strings, pa.Array):
         strings = pa.array(strings, type=pa.large_utf8())
     data, offsets = _string_buffers(strings)
+    return _encode_raw(data, offsets)
+
+
+def _encode_raw(data: np.ndarray, offsets: np.ndarray) -> bytes:
     n_strings = len(offsets) - 1
     N = len(data)
 
@@ -104,7 +135,9 @@ def encode(strings: "pa.Array | list[str]") -> bytes:
     inner_bounds = offsets[1:-1]
     valid_pair[inner_bounds[(inner_bounds > 0) & (inner_bounds < N)] - 1] = False
 
-    singles, pairs = build_table(data, valid_pair)
+    pair_ids = (data[:-1].astype(np.uint32) << np.uint32(8)) | data[1:] if N > 1 \
+        else np.empty(0, np.uint32)
+    singles, pairs = build_table(data, pair_ids, valid_pair)
     n_single = len(singles)
     n_symbols = n_single + len(pairs)
 
@@ -115,11 +148,10 @@ def encode(strings: "pa.Array | list[str]") -> bytes:
     lut2[pair_keys] = np.arange(n_single, n_symbols, dtype=np.uint8)
 
     if N > 1:
-        pair_ids = data[:-1].astype(np.int64) * 256 + data[1:]
         cand = (lut2[pair_ids] != ESCAPE) & valid_pair
-        cand_idx = np.flatnonzero(cand)
-        seg_of = np.searchsorted(offsets, cand_idx, side="right")
-        taken = _greedy_nonoverlap(cand_idx, seg_of)
+        # boundary-crossing pairs are excluded above, so runs cannot
+        # span strings — no segment ids needed here
+        taken = _greedy_nonoverlap(np.flatnonzero(cand))
     else:
         taken = np.empty(0, dtype=np.int64)
 
@@ -193,12 +225,18 @@ def decode(blob: bytes) -> pa.Array:
     out[pos[:-1][lit]] = codes[lit]
 
     str_offsets = pos[code_bounds]
-    return pa.LargeStringArray.from_buffers(
-        n_strings,
-        pa.py_buffer(str_offsets.astype(np.int64).tobytes()),
-        pa.py_buffer(out.tobytes()),
+    binary = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n_strings,
+        [None,
+         pa.py_buffer(str_offsets.astype(np.int64).tobytes()),
+         pa.py_buffer(out.tobytes())],
     )
+    return binary
+
+
+def decode_strings(blob: bytes) -> pa.Array:
+    return decode(blob).cast(pa.large_utf8())
 
 
 def decoded_strings(blob: bytes) -> list[str]:
-    return decode(blob).to_pylist()
+    return decode_strings(blob).to_pylist()

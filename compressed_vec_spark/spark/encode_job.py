@@ -31,6 +31,7 @@ import os
 import time
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -49,12 +50,19 @@ MANIFEST_COLS = ["part_id", "chunk_seq", "chunk_id", "column", "codec",
 def _raw_size(series: pd.Series) -> int:
     k = series.dtype.kind
     if k in "iufM":
-        return len(series) * series.dtype.itemsize if k != "M" else len(series) * 8
+        return len(series) * (8 if k == "M" else series.dtype.itemsize)
     if len(series) == 0:
         return 0
-    return int(series.dropna().map(
-        lambda v: len(v) if isinstance(v, (bytes, bytearray)) else len(str(v).encode())
-    ).sum())
+    import pyarrow as pa
+    nonnull = series.dropna()
+    typ = (pa.large_binary()
+           if isinstance(nonnull.iloc[0] if len(nonnull) else "", (bytes, bytearray))
+           else pa.large_utf8())
+    arr = pa.array(series.where(series.notna(), b"" if typ == pa.large_binary() else ""),
+                   type=typ).cast(pa.large_binary())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1,
+                         offset=arr.offset * 8)
+    return int(offs[-1] - offs[0])
 
 
 def with_salted_partitioning(df: DataFrame, url_col: str = "url",
