@@ -45,6 +45,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q.exact_dedup,
         "token_count_per_doc": q.token_count_per_doc,
         "quality_score": q.quality_score,
+        "minhash_near_dup": q.minhash_near_dup,
+        "simhash_signatures": q.simhash_signatures_query,
+        "ann_cosine_topk": q.ann_cosine_topk,
+        "lang_id_stopword": q.lang_id_stopword,
+        "doc_fingerprint": q.doc_fingerprint,
     }
 
 
@@ -122,4 +127,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
             "CAST(floor((length(text) - length(replace(text, ' ', ''))) * 1000000.0 "
             "/ greatest(length(text), 1)) AS BIGINT) AS space_ratio_ppm FROM documents",
+        "minhash_near_dup":
+            # exact all-pairs 5-shingle Jaccard in SQL; the engine's
+            # MinHash-LSH (128 hashes, 64 bands x 2 rows) has recall
+            # ~1-1e-19 at the 0.7 threshold, so verified candidates ==
+            # the exact answer
+            "WITH pos AS ("
+            "  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i"
+            "  FROM documents WHERE length(text) >= 5), "
+            "sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS s FROM pos), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS ("
+            "  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c"
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"
+            "  GROUP BY 1, 2) "
+            "SELECT d1, d2 FROM inter "
+            "JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id "
+            "WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.7",
+        "ann_cosine_topk":
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id FROM embeddings, q WHERE vec_id <> 0 "
+            "ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id LIMIT 10",
+        "lang_id_stopword":
+            "SELECT doc_id, CAST(floor(len(list_filter(string_split(trim(text), ' '), "
+            "x -> x IN ('the','of','and','to','in','a','is','that','for','it','with',"
+            "'as','on','be','at','by','this','from'))) * 1000000.0 "
+            "/ greatest(len(string_split(trim(text), ' ')), 1)) AS BIGINT) "
+            "AS stopword_ppm FROM documents",
+        "doc_fingerprint":
+            "WITH pos AS (SELECT doc_id, text, "
+            "unnest(range(1, length(text) + 1)) AS i FROM documents) "
+            "SELECT doc_id, CAST(sum(ascii(substr(text, i, 1)) * "
+            "(CASE (i - 1) % 8 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 "
+            "WHEN 3 THEN 29791 WHEN 4 THEN 923521 WHEN 5 THEN 28629151 "
+            "WHEN 6 THEN 887503681 ELSE 27512614111 END)) "
+            f"% {1 << 31} AS BIGINT) AS fingerprint "
+            "FROM pos GROUP BY doc_id",
+        # simhash_signatures: intentionally no oracle (bitwise signature
+        # construction is not SQL-expressible) -> rows-only check
     }

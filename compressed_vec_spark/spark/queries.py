@@ -269,6 +269,60 @@ def flagship_encode_summary(spark, sf_dir) -> DataFrame:
 
 # --- training-data pipeline operators ----------------------------------------
 
+def minhash_near_dup(spark, sf_dir) -> DataFrame:
+    """MinHash+LSH candidate generation, exact-Jaccard verified pairs
+    (k=5 shingles, threshold 0.7).  Bands chosen so recall at the
+    threshold is ~1-1e-19; the oracle computes exact all-pairs Jaccard
+    in SQL."""
+    from ..operators import dedup
+    df = _read(spark, sf_dir, "documents")
+    return dedup.minhash_near_dups(df, "doc_id", "text", threshold=0.7,
+                                   n_hashes=128, rows_per_band=2, k=5)
+
+
+def simhash_signatures_query(spark, sf_dir) -> DataFrame:
+    """64-bit SimHash per document (rows-only check: the signature
+    algorithm is not SQL-expressible)."""
+    import pyarrow as pa
+    from ..operators import dedup
+    df = _read(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def fn(batches):
+        for pdf in batches:
+            sig = dedup.simhash64(pa.array(pdf["text"].fillna(""), type=pa.large_utf8()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "simhash": (sig >> np.uint64(1)).astype(np.int64)})
+
+    return df.mapInPandas(fn, "doc_id long, simhash long")
+
+
+def ann_cosine_topk(spark, sf_dir) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0 (exact baseline
+    of the similarity-search family)."""
+    from ..operators import similarity
+    df = _read(spark, sf_dir, "embeddings")
+    qvec = np.array(df.where(F.col("vec_id") == 0)
+                    .select("embedding").first()[0], dtype=np.float64)
+    top = similarity.cosine_topk(df, "vec_id", "embedding", qvec, k=10,
+                                 exclude_ids=(0,))
+    return top.select("vec_id")
+
+
+def lang_id_stopword(spark, sf_dir) -> DataFrame:
+    """Language-ID heuristic: English stopword ppm per document."""
+    from ..operators import text_analysis as ta
+    df = _read(spark, sf_dir, "documents")
+    return df.select("doc_id",
+                     ta.stopword_ratio_ppm(F.col("text")).alias("stopword_ppm"))
+
+
+def doc_fingerprint(spark, sf_dir) -> DataFrame:
+    """Rolling-hash document fingerprint (integer-exact, oracle-checked)."""
+    from ..operators import text_analysis as ta
+    df = _read(spark, sf_dir, "documents")
+    return df.select("doc_id", ta.rolling_fingerprint("text").alias("fingerprint"))
+
+
 def exact_dedup(spark, sf_dir) -> DataFrame:
     """Exact dedup via hash-groupBy (map-side partial agg, one shuffle
     of (hash, count) pairs only)."""
