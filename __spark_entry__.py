@@ -37,6 +37,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_stats": q.minmax_stats,
         # stats-driven codec selection (reference src/section.rs AutoEncoder)
         "codec_histogram": q.codec_histogram,
+        # f64 XOR stream + 2D-delta histograms (reference nibblepacking/histogram)
+        "xor_f64_sum": q.xor_f64_sum,
+        "histogram_2d_delta": q.histogram_2d_delta,
         # north-rule codecs
         "dict_filter_count": q.dict_filter_count,
         "rle_run_count": q.rle_run_count,
@@ -106,6 +109,12 @@ def oracle_sql() -> dict[str, str]:
             "              ELSE 'NibblePackedMedium' END AS codec "
             "  FROM blocks) "
             "SELECT codec, count(*) AS sections FROM coded GROUP BY codec",
+        "xor_f64_sum":
+            "SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS total_price_cents, count(*) AS n_rows, true AS bit_exact FROM lineitem",
+        "histogram_2d_delta":
+            "SELECT CAST(least(l_linenumber, 8) AS INT) AS bucket, "
+            "count(*) AS total FROM lineitem GROUP BY 1",
         "dict_filter_count":
             "SELECT count(*) AS hits FROM documents WHERE lang = 'en'",
         "rle_run_count":

@@ -228,6 +228,63 @@ def fsst_text_roundtrip(spark, sf_dir) -> DataFrame:
                    F.sum("docs").cast("long").alias("n_docs")))
 
 
+def xor_f64_sum(spark, sf_dir) -> DataFrame:
+    """f64 XOR-chain codec (reference pack_f64_xor,
+    src/nibblepacking.rs:29-45): encode, decode, aggregate — the decode
+    is bit-exact so the double sum matches the oracle exactly."""
+    from .. import nibblepack as npk
+    df = _read(spark, sf_dir, "lineitem").select("l_extendedprice")
+
+    def fn(batches):
+        for pdf in batches:
+            arr = pdf["l_extendedprice"].to_numpy(np.float64)
+            if not len(arr):
+                continue
+            blob = npk.pack_f64_xor(arr)
+            out = npk.unpack_f64_xor(blob, len(arr))
+            # XOR decode is bit-exact; integer cents make the
+            # aggregation float-order-independent for the oracle
+            cents = np.rint(out * 100).astype(np.int64)
+            yield pd.DataFrame({"s": [int(cents.sum())], "n": [len(out)],
+                                "exact": [bool((out == arr).all())]})
+
+    return (df.mapInPandas(fn, "s long, n long, exact boolean")
+              .agg(F.sum("s").cast("long").alias("total_price_cents"),
+                   F.sum("n").cast("long").alias("n_rows"),
+                   F.min("exact").alias("bit_exact")))
+
+
+def histogram_2d_delta(spark, sf_dir) -> DataFrame:
+    """2D-delta histogram pipeline (reference src/histogram.rs
+    DeltaDiffPackSink): per-order cumulative l_linenumber histograms ->
+    2D-delta encode -> decode -> per-bucket totals."""
+    from ..codecs import histogram2d as h2d
+    df = (_read(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_linenumber")
+          .repartition(1).sortWithinPartitions("l_orderkey"))
+
+    def fn(batches):
+        pdfs = [p for p in batches]
+        pdf = pd.concat(pdfs) if pdfs else pd.DataFrame({"l_orderkey": [], "l_linenumber": []})
+        orders, inv = np.unique(pdf["l_orderkey"].to_numpy(), return_inverse=True)
+        lns = pdf["l_linenumber"].to_numpy(np.int64)
+        B = 8
+        hists = np.zeros((len(orders), B), dtype=np.uint64)
+        np.add.at(hists, (inv, np.minimum(lns - 1, B - 1)), 1)
+        # cumulative counters across orders (increasing counters feed
+        # the 2D-delta path like Prometheus-style histograms)
+        cum = np.cumsum(hists, axis=0, dtype=np.uint64)
+        blob = h2d.encode(cum)
+        dec = h2d.decode(blob)
+        assert (dec == cum).all()
+        per_bucket = dec[-1] if len(dec) else np.zeros(B, np.uint64)
+        yield pd.DataFrame({"bucket": np.arange(1, B + 1),
+                            "total": per_bucket.astype(np.int64)})
+
+    return (df.mapInPandas(fn, "bucket int, total long")
+              .where(F.col("total") > 0))
+
+
 def flagship_encode_summary(spark, sf_dir) -> DataFrame:
     """Flagship: encode the documents table with auto-selected codecs
     (dict for lang/source, FSST for text, sectioned vectors for ints),
