@@ -1,0 +1,63 @@
+"""Structured Streaming encode: continuously compress arriving pages.
+
+The reference has no streaming (SURVEY.md §2.6) — its appender is an
+incremental single-thread builder (reference src/vector.rs:298-307).
+The Spark-native generalization: a readStream source feeds micro-batches
+through the SAME batch encode pipeline via foreachBatch, appending
+encoded chunks + manifest rows per micro-batch.  Checkpointing gives
+exactly-once chunk output (chunk ids carry the batch id), which is the
+streaming form of the north rule's idempotent-resume requirement.
+
+Late data: the encode is order-insensitive across chunks (each chunk is
+self-contained), so watermarking is only needed for the optional
+warc_ts-windowed stats aggregation, demonstrated in `windowed_stats`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..spark import encode_job
+
+
+def start_encode_stream(spark: SparkSession, source: DataFrame, out_dir: str,
+                        trigger_seconds: int = 5,
+                        columns: list[str] | None = None):
+    """source: a streaming DataFrame with web-table schema.  Returns the
+    StreamingQuery; encoded chunks land under {out_dir}/chunks."""
+    chunks_path = os.path.join(out_dir, "chunks")
+    manifest_path = os.path.join(out_dir, "manifest")
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        enc = encode_job.encode_table(
+            spark, batch_df, out_dir="", write=False, columns=columns,
+            num_partitions=max(spark.sparkContext.defaultParallelism, 2))
+        # prefix chunk ids with the micro-batch id => idempotent replay
+        enc = enc.withColumn(
+            "chunk_id", F.concat(F.lit(f"b{batch_id:08d}-"), F.col("chunk_id")))
+        enc.write.mode("append").parquet(chunks_path)
+        (enc.select(*encode_job.MANIFEST_COLS)
+            .write.mode("append").parquet(manifest_path))
+
+    return (source.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start())
+
+
+def windowed_stats(source: DataFrame, ts_col: str = "warc_ts",
+                   watermark: str = "10 minutes",
+                   window: str = "5 minutes") -> DataFrame:
+    """Watermarked tumbling-window page statistics (late data dropped
+    after the watermark) — the streaming analog of the per-chunk
+    manifest metrics."""
+    return (source
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window), F.col("lang"))
+            .agg(F.count("*").alias("pages"),
+                 F.sum(F.length("text")).alias("chars")))

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the encode/decode/verify pipeline.
+
+Cluster usage (the north-rule packaging):
+
+    python scripts/make_pyfiles.py                    # -> dist/cvx_spark.zip
+    spark-submit --py-files dist/cvx_spark.zip \\
+        scripts/spark_job.py encode \\
+        --input /data/webpages_parquet --output /data/encoded \\
+        --partitions 4096
+
+Local smoke:  python scripts/spark_job.py encode --synthetic 10000 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cvx-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode", help="encode a web-page table into compressed chunks")
+    enc.add_argument("--input", help="input parquet path (web-table schema)")
+    enc.add_argument("--synthetic", type=int, default=0,
+                     help="generate N deterministic synthetic pages instead of --input")
+    enc.add_argument("--output", required=True)
+    enc.add_argument("--partitions", type=int, default=None)
+    enc.add_argument("--no-resume", action="store_true")
+    enc.add_argument("--url-col", default="url")
+
+    dec = sub.add_parser("decode", help="decode chunks back to rows")
+    dec.add_argument("--input", required=True, help="encode output dir")
+    dec.add_argument("--output", required=True, help="decoded parquet path")
+    dec.add_argument("--schema", default=None,
+                     help="DDL schema of the decoded table (default: web table)")
+
+    ver = sub.add_parser("verify", help="verify decode is bit-identical to a source table")
+    ver.add_argument("--source", required=True)
+    ver.add_argument("--encoded", required=True)
+    ver.add_argument("--key", default="url")
+
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.builder.appName(f"cvx-{args.cmd}").getOrCreate()
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    from compressed_vec_spark.spark import decode_job, encode_job, webtable
+
+    if args.cmd == "encode":
+        if args.synthetic:
+            df = webtable.webpages(spark, args.synthetic)
+        else:
+            df = spark.read.parquet(args.input)
+        encode_job.encode_table(spark, df, args.output,
+                                url_col=args.url_col,
+                                num_partitions=args.partitions,
+                                resume=not args.no_resume)
+        print(json.dumps(encode_job.manifest_summary(spark, args.output)))
+    elif args.cmd == "decode":
+        chunks = spark.read.parquet(f"{args.input}/chunks")
+        schema = args.schema or webtable.SCHEMA
+        dtypes = {"warc_ts": "timestamp"} if "warc_ts" in schema else {}
+        decode_job.decode_chunks(chunks, schema, dtypes) \
+            .write.mode("overwrite").parquet(args.output)
+    elif args.cmd == "verify":
+        source = spark.read.parquet(args.source)
+        chunks = spark.read.parquet(f"{args.encoded}/chunks")
+        decoded = decode_job.decode_chunks(chunks, webtable.SCHEMA,
+                                           {"warc_ts": "timestamp"})
+        res = decode_job.verify_bit_identical(source, decoded, key=args.key)
+        print(json.dumps(res))
+        if any(v != 0 for v in res["mismatches"].values()):
+            return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
