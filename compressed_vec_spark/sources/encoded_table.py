@@ -1,0 +1,77 @@
+"""Reader for encoded-chunk tables with manifest-stats chunk pruning.
+
+The scale analog of the reference's section-skip short-circuits
+(reference src/filter.rs:218-224 null-section skip, README.md:79-81):
+per-chunk min/max recorded at encode time let a predicate skip whole
+chunks before any blob is fetched or decoded — the same idea as Parquet
+row-group stats, applied to our compressed vectors.  Catalyst pushes the
+stats filter into the parquet scan of the manifest (PushedFilters), so a
+selective predicate touches only the matching chunks' blobs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..codecs import chunk as chunk_codec
+from ..operators import filters
+
+
+def chunk_stats_for(series: pd.Series) -> tuple[int | None, int | None]:
+    """Integer min/max for numeric/timestamp chunks (None otherwise)."""
+    if series.dtype.kind == "M":
+        v = series.astype("datetime64[us]").to_numpy().view(np.int64)
+    elif series.dtype.kind in "iu":
+        v = series.to_numpy()
+    else:
+        return None, None
+    if not len(v):
+        return None, None
+    return int(v.min()), int(v.max())
+
+
+def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
+                        value: int) -> tuple[int, dict]:
+    """count(column == value) over an encoded table, decoding ONLY the
+    chunks whose [min,max] admits the value.  Returns (count, stats on
+    chunks pruned vs scanned)."""
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    total_chunks = manifest.where(F.col("column") == column).count()
+    candidates = manifest.where(
+        (F.col("column") == column)
+        & (F.col("min_val") <= value) & (F.col("max_val") >= value))
+    cand_keys = [r["chunk_id"] for r in candidates.select("chunk_id").collect()]
+
+    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
+              .where((F.col("column") == column)
+                     & F.col("chunk_id").isin(cand_keys)))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = 0
+            for blob in pdf["blob"]:
+                vals = np.asarray(chunk_codec.decode_column(bytes(blob)))
+                n += int((vals.astype(np.int64) == value).sum())
+            yield pd.DataFrame({"hits": [n]})
+
+    agg = chunks.select("blob").mapInPandas(fn, "hits long") \
+        .agg(F.sum("hits")).collect()[0][0]
+    return int(agg or 0), {
+        "total_chunks": total_chunks,
+        "scanned_chunks": len(cand_keys),
+        "pruned_chunks": total_chunks - len(cand_keys),
+    }
+
+
+def read_decoded(spark: SparkSession, out_dir: str, schema: str,
+                 dtypes: dict[str, str] | None = None) -> DataFrame:
+    """Full decoded view of an encoded table (see decode_job for the
+    chunk-zip mechanics)."""
+    from ..spark import decode_job
+    chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    return decode_job.decode_chunks(chunks, schema, dtypes)

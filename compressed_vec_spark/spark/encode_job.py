@@ -36,15 +36,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..codecs import chunk as chunk_codec
+from ..sources.encoded_table import chunk_stats_for
 
 CHUNK_SCHEMA = (
     "part_id int, chunk_seq int, chunk_id string, column string, codec string, "
     "num_elements long, raw_bytes long, encoded_bytes long, sha256 string, "
-    "encode_sec double, blob binary"
+    "min_val long, max_val long, encode_sec double, blob binary"
 )
 
 MANIFEST_COLS = ["part_id", "chunk_seq", "chunk_id", "column", "codec",
-                 "num_elements", "raw_bytes", "encoded_bytes", "sha256", "encode_sec"]
+                 "num_elements", "raw_bytes", "encoded_bytes", "sha256",
+                 "min_val", "max_val", "encode_sec"]
 
 
 def _raw_size(series: pd.Series) -> int:
@@ -114,6 +116,7 @@ def _encode_iter(columns: list[str], codec_overrides: dict[str, str],
                 codec, blob, _meta = chunk_codec.encode_column(
                     pdf[col], codec_overrides.get(col))
                 dt = time.perf_counter() - t0
+                mn, mx = chunk_stats_for(pdf[col])
                 rows.append({
                     "part_id": part_id, "chunk_seq": seq, "chunk_id": chunk_id,
                     "column": col, "codec": codec,
@@ -121,6 +124,7 @@ def _encode_iter(columns: list[str], codec_overrides: dict[str, str],
                     "raw_bytes": _raw_size(pdf[col]),
                     "encoded_bytes": len(blob),
                     "sha256": hashlib.sha256(blob).hexdigest(),
+                    "min_val": mn, "max_val": mx,
                     "encode_sec": dt, "blob": blob,
                 })
             seq += 1

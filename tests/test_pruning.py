@@ -1,0 +1,49 @@
+"""Chunk-stats pruning tests: manifest min/max must skip chunks before
+any decode happens."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from compressed_vec_spark.spark import encode_job
+from compressed_vec_spark.spark.session import get_spark
+from compressed_vec_spark.sources import encoded_table
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("cvx-prune-tests", cores=4, chunk_rows=1024)
+    yield s
+    s.stop()
+
+
+def test_pruned_equals_count(spark, tmp_path):
+    out = str(tmp_path / "enc")
+    # a sorted id column => tight per-chunk [min,max] windows
+    df = spark.range(0, 20000, 1, 8).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("v"))
+    encode_job.encode_table(spark, df, out, url_col=None, num_partitions=8)
+
+    count, stats = encoded_table.pruned_equals_count(spark, out, "k", 12345)
+    assert count == 1
+    assert stats["pruned_chunks"] > 0
+    assert stats["scanned_chunks"] < stats["total_chunks"]
+
+    # value outside every chunk range: zero chunks touched
+    count, stats = encoded_table.pruned_equals_count(spark, out, "k", 10**12)
+    assert count == 0
+    assert stats["scanned_chunks"] == 0
+
+
+def test_manifest_filter_is_pushed_down(spark, tmp_path):
+    out = str(tmp_path / "enc2")
+    df = spark.range(0, 5000, 1, 4).select(F.col("id").alias("k"))
+    encode_job.encode_table(spark, df, out, url_col=None, num_partitions=4)
+    m = spark.read.parquet(os.path.join(out, "manifest"))
+    plan = m.where((F.col("column") == "k") & (F.col("min_val") <= 10)
+                   & (F.col("max_val") >= 10)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "min_val" in plan.split("PushedFilters")[1][:300]

@@ -24,10 +24,17 @@ def test_stream_encode_file_source(spark, tmp_path):
     out_dir = str(tmp_path / "stream_out")
     os.makedirs(src_dir)
 
-    # drop two parquet files of deterministic pages into the source dir
+    # drop parquet part-files of deterministic pages into the watched dir
+    # (the file stream source lists top-level files only)
+    import glob
+    import shutil
     web = webtable.webpages(spark, 1200, partitions=2)
-    web.where(F.col("url") < "https://site-2").write.parquet(src_dir + "/a.parquet")
-    web.where(F.col("url") >= "https://site-2").write.parquet(src_dir + "/b.parquet")
+    for i, pred in enumerate([F.col("url") < "https://site-2",
+                              F.col("url") >= "https://site-2"]):
+        staging = str(tmp_path / f"stage{i}")
+        web.where(pred).coalesce(1).write.parquet(staging)
+        for j, f in enumerate(glob.glob(staging + "/part-*.parquet")):
+            shutil.move(f, os.path.join(src_dir, f"in{i}_{j}.parquet"))
 
     stream = (spark.readStream.schema(webtable.SCHEMA)
               .option("maxFilesPerTrigger", 1).parquet(src_dir))
