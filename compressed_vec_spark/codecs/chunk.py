@@ -25,7 +25,7 @@ _TAGS = {
     "vec_u64": b"VU64", "vec_u32": b"VU32", "vec_f32": b"VF32",
     "zz_u64": b"ZZ64", "rle": b"RLE0", "zz_rle": b"ZZRL",
     "dict": b"DICT", "fsst": b"FSST", "binary_fsst": b"BFST",
-    "xor_f64": b"XF64",
+    "xor_f64": b"XF64", "deflate": b"DFLT",
 }
 _BY_TAG = {v: k for k, v in _TAGS.items()}
 
@@ -89,6 +89,18 @@ def encode_column(series: pd.Series, codec: str | None = None) -> tuple[str, byt
         else:
             arr = pa.array(series.fillna(""), type=pa.large_utf8())
         payload = fsst.encode(arr)
+    elif codec == "deflate":
+        # entropy coding for opaque binary payloads (html blobs) where
+        # bigram symbol tables underperform; lengths still ride a
+        # BinaryVector so per-row access stays cheap
+        import zlib
+        import pyarrow as pa
+        arr = pa.array(series.where(series.notna(), b""), type=pa.large_binary())
+        data, offsets = fsst._string_buffers(arr)
+        lens_vec = vec.encode_vector(np.diff(offsets).astype(np.uint64), "u64")
+        comp = zlib.compress(data.tobytes(), 1)  # speed-biased level
+        payload = (len(arr).to_bytes(4, "little") + len(lens_vec).to_bytes(4, "little")
+                   + lens_vec + comp)
     else:
         raise ValueError(f"unsupported codec {codec} for dtype {series.dtype}")
 
@@ -128,6 +140,18 @@ def decode_column(blob: bytes, target_dtype: str | None = None):
         return pd.Series(fsst.decode_strings(payload).to_pandas())
     elif codec == "binary_fsst":
         return pd.Series(fsst.decode(payload).to_pandas())
+    elif codec == "deflate":
+        import zlib
+        import pyarrow as pa
+        n = int.from_bytes(payload[:4], "little")
+        lv_len = int.from_bytes(payload[4:8], "little")
+        lens = vec.decode_vector(payload[8:8 + lv_len], "u64").astype(np.int64)[:n]
+        data = zlib.decompress(payload[8 + lv_len:])
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(offs.astype(np.int64).tobytes()), pa.py_buffer(data)])
+        return pd.Series(arr.to_pandas())
     else:
         raise ValueError(codec)
 

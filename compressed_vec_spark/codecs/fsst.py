@@ -158,18 +158,20 @@ def _encode_raw(data: np.ndarray, offsets: np.ndarray) -> bytes:
     kind = np.zeros(N, dtype=np.uint8)  # 0=single/escape path, 1=pair start, 2=covered
     kind[taken] = 1
     kind[taken + 1] = 2
-    is_single = (kind == 0) & (lut1[data] != ESCAPE)
-    is_escape = (kind == 0) & ~is_single
-
-    sizes = np.zeros(N, dtype=np.int64)
-    sizes[kind == 1] = 1
-    sizes[is_single] = 1
-    sizes[is_escape] = 2
-    pos = np.concatenate(([0], np.cumsum(sizes)))
+    single_code = lut1[data]
+    # per-position output size in ONE arithmetic pass:
+    #   pair start 1, covered 0, single 1, escape 2
+    free = kind == 0
+    is_single = free & (single_code != ESCAPE)
+    is_escape = free & (single_code == ESCAPE)
+    sizes = (kind == 1).astype(np.int32) + is_single + 2 * is_escape.astype(np.int32)
+    pos = np.empty(N + 1, dtype=np.int64)
+    pos[0] = 0
+    np.cumsum(sizes, out=pos[1:])
     total = int(pos[-1])
     out = np.empty(total, dtype=np.uint8)
     out[pos[:-1][kind == 1]] = lut2[pair_ids[taken]] if len(taken) else np.empty(0, np.uint8)
-    out[pos[:-1][is_single]] = lut1[data[is_single]]
+    out[pos[:-1][is_single]] = single_code[is_single]
     esc_pos = pos[:-1][is_escape]
     out[esc_pos] = ESCAPE
     out[esc_pos + 1] = data[is_escape]

@@ -66,7 +66,9 @@ def choose_codec(series: pd.Series, spark_type: str | None = None) -> tuple[str,
     if kind == "O" or spark_type == "binary":
         nonnull = series.dropna()
         if len(nonnull) and isinstance(nonnull.iloc[0], (bytes, bytearray)):
-            return "binary_fsst", st
+            # opaque binary payloads: entropy coding wins over bigram
+            # symbol tables on both ratio and CPU
+            return "deflate", st
     if kind in "OU" or spark_type == "string":
         frac = st["cardinality"] / max(st["sample_n"], 1)
         if st["cardinality"] <= DICT_MAX_CARD_ABS and frac <= DICT_MAX_CARD_FRAC:
