@@ -84,12 +84,13 @@ def with_salted_partitioning(df: DataFrame, url_col: str = "url",
     spark = df.sparkSession
     host = F.expr(f"parse_url({url_col}, 'HOST')")
     df = df.withColumn("__host", host)
+    # ONE sampling job: top host counts; the total is derived driver-side
     sampled = (df.sample(fraction=sample_fraction, seed=42)
-                 .groupBy("__host").count())
-    total = sampled.agg(F.sum("count")).collect()[0][0] or 1
-    hot = [r["__host"] for r in
-           sampled.filter(F.col("count") > hot_threshold * total)
-                  .orderBy(F.desc("count")).limit(max_hot_hosts).collect()]
+                 .groupBy("__host").count()
+                 .orderBy(F.desc("count")).limit(max_hot_hosts * 4).collect())
+    total = sum(r["count"] for r in sampled) or 1
+    hot = [r["__host"] for r in sampled
+           if r["count"] > hot_threshold * total][:max_hot_hosts]
     salt = F.when(F.col("__host").isin(hot),
                   F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
                   ).otherwise(F.lit(0))
