@@ -35,7 +35,11 @@ def read_schema_columns(df: DataFrame) -> list[str]:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    return physical_plan(df).count("WholeStageCodegen")
+    """Number of distinct whole-stage-codegen subtrees (`*(n)` markers)."""
+    import re
+    plan = physical_plan(df)
+    ids = set(re.findall(r"\*\((\d+)\)", plan))
+    return len(ids) or plan.count("WholeStageCodegen")
 
 
 def uses_broadcast_join(df: DataFrame) -> bool:
