@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_per_doc": q.token_count_per_doc,
         "quality_score": q.quality_score,
         "minhash_near_dup": q.minhash_near_dup,
+        "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
+        "embedding_near_dup": q.embedding_near_dup,
         "simhash_signatures": q.simhash_signatures_query,
         "ann_cosine_topk": q.ann_cosine_topk,
         "lang_id_stopword": q.lang_id_stopword,
@@ -153,6 +155,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d1, d2 FROM inter "
             "JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id "
             "WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.7",
+        "ngram_jaccard_pairs":
+            "WITH pos AS ("
+            "  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i"
+            "  FROM documents WHERE length(text) >= 5), "
+            "sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS s FROM pos), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS ("
+            "  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c"
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"
+            "  GROUP BY 1, 2) "
+            "SELECT d1, d2 FROM inter "
+            "JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id "
+            "WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5",
+        "embedding_near_dup":
+            "SELECT a.vec_id AS v1, b.vec_id AS v2 FROM embeddings a, embeddings b "
+            "WHERE a.vec_id < b.vec_id AND floor(list_cosine_similarity("
+            "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000.0)"
+            " >= 950000",
         "ann_cosine_topk":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
             "SELECT vec_id FROM embeddings, q WHERE vec_id <> 0 "

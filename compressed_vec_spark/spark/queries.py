@@ -380,6 +380,45 @@ def doc_fingerprint(spark, sf_dir) -> DataFrame:
     return df.select("doc_id", ta.rolling_fingerprint("text").alias("fingerprint"))
 
 
+def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
+    """Exact n-gram (5-char shingle) Jaccard dedup, all in JVM-side
+    DataFrame ops: explode distinct shingles -> self-join on shingle ->
+    intersection counts -> Jaccard >= 0.5.  One shuffle on the shingle
+    key; shingle keys are near-uniform so no skew handling needed."""
+    from .. import functions as cvf
+    df = _read(spark, sf_dir, "documents").where(F.length("text") >= 5)
+    sh = (df.select(F.col("doc_id"),
+                    F.explode(F.array_distinct(
+                        cvf.char_shingles(F.col("text"), 5))).alias("s")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+             .agg(F.count("*").alias("c")))
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (inter.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
+            .where(F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c")) >= 0.5)
+            .select("d1", "d2"))
+
+
+def embedding_near_dup(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine >= 0.95, JVM-side
+    zip_with/aggregate cosine over a broadcast self-join (exact; the
+    LSH-bucketed variant in operators.similarity is the scale path)."""
+    from .. import functions as cvf
+    df = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = df.select(F.col("vec_id").alias("v1"),
+                  F.col("embedding").cast("array<double>").alias("e1"))
+    b = df.select(F.col("vec_id").alias("v2"),
+                  F.col("embedding").cast("array<double>").alias("e2"))
+    pairs = a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
+    sim = cvf.cosine_similarity(F.col("e1"), F.col("e2"))
+    return (pairs.where(F.floor(sim * 1000000.0) >= 950000)
+            .select("v1", "v2"))
+
+
 def exact_dedup(spark, sf_dir) -> DataFrame:
     """Exact dedup via hash-groupBy (map-side partial agg, one shuffle
     of (hash, count) pairs only)."""
