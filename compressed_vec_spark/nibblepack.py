@@ -79,36 +79,54 @@ def pack_groups(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
     # nibble counts per (group, lane)
     cnt = np.where(nz, num_nib[:, None], 0).astype(np.int64)
-    flat_cnt = cnt.ravel()
     gn = cnt.sum(axis=1)                            # nibbles per group
     pnb = (gn + 1) // 2                             # payload bytes per group
-    padded_len = pnb * 2
 
-    total_nibs = int(gn.sum())
-    # source value index + nibble ordinal for every output nibble
-    src = np.repeat(np.arange(G * 8, dtype=np.int64), flat_cnt)
-    k = _within(flat_cnt, total_nibs)
-    nib = ((shifted.ravel()[src] >> (_U64(4) * k.astype(np.uint64))) & _U64(0xF)).astype(np.uint8)
-
-    # scatter nibbles into per-group byte-padded streams
-    pad_start = np.concatenate(([0], np.cumsum(padded_len)[:-1]))
-    pos_in_group = _within(gn, total_nibs)
-    dst = np.repeat(pad_start, gn) + pos_in_group
-    nibarr = np.zeros(int(padded_len.sum()), dtype=np.uint8)
-    nibarr[dst] = nib
-    payload = nibarr[0::2] | (nibarr[1::2] << 4)
-
-    # assemble [mask][nibword][payload...] per group
+    # output layout
     gsize = 1 + np.where(nzg, 1 + pnb, 0)
     out_off = np.concatenate(([0], np.cumsum(gsize)[:-1]))
     out = np.zeros(int(gsize.sum()), dtype=np.uint8)
     out[out_off] = mask
     nibword = (((num_nib - 1) << 4) | tz_nib).astype(np.uint8)
     out[out_off[nzg] + 1] = nibword[nzg]
-    total_payload = int(pnb.sum())
-    if total_payload:
-        pay_dst = np.repeat(out_off + 2, pnb) + _within(pnb, total_payload)
-        out[pay_dst] = payload
+
+    full = mask == 0xFF
+    # FAST PATH: all-8-nonzero groups, one fixed-shape pass per distinct
+    # width — no per-nibble index machinery (the dominant case on dense
+    # integer data)
+    for w in np.unique(num_nib[full]):
+        idx = np.nonzero(full & (num_nib == w))[0]
+        w = int(w)
+        sh = shifted[idx]                           # (Gw, 8)
+        ks = (_U64(4) * np.arange(w, dtype=np.uint64))
+        nibs = ((sh[:, :, None] >> ks) & _U64(0xF)).astype(np.uint8)
+        stream = nibs.reshape(len(idx), 8 * w)      # lane-major nibble order
+        block = stream[:, 0::2] | (stream[:, 1::2] << 4)   # (Gw, 4w)
+        dst = out_off[idx][:, None] + 2 + np.arange(4 * w)
+        out[dst] = block
+
+    # GENERIC PATH: partially-zero groups via repeat/cumsum scatter
+    part = nzg & ~full
+    if part.any():
+        p_idx = np.nonzero(part)[0]
+        p_cnt = cnt[p_idx].ravel()
+        p_gn = gn[p_idx]
+        p_pnb = pnb[p_idx]
+        total_nibs = int(p_gn.sum())
+        src = np.repeat(np.arange(len(p_idx) * 8, dtype=np.int64), p_cnt)
+        k = _within(p_cnt, total_nibs)
+        nib = ((shifted[p_idx].ravel()[src] >> (_U64(4) * k.astype(np.uint64)))
+               & _U64(0xF)).astype(np.uint8)
+        padded_len = p_pnb * 2
+        pad_start = np.concatenate(([0], np.cumsum(padded_len)[:-1]))
+        dst = np.repeat(pad_start, p_gn) + _within(p_gn, total_nibs)
+        nibarr = np.zeros(int(padded_len.sum()), dtype=np.uint8)
+        nibarr[dst] = nib
+        payload = nibarr[0::2] | (nibarr[1::2] << 4)
+        total_payload = int(p_pnb.sum())
+        if total_payload:
+            pay_dst = np.repeat(out_off[p_idx] + 2, p_pnb) + _within(p_pnb, total_payload)
+            out[pay_dst] = payload
     return out, gsize
 
 
@@ -152,30 +170,49 @@ def unpack_groups(data: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.nd
     if total_pb == 0:
         return out, sizes
 
-    # gather payload bytes of all groups
-    src_byte = np.repeat(offs + 2, pb) + _within(pb, total_pb)
-    pay = data[src_byte]
-    nibs = np.empty(2 * total_pb, dtype=np.uint8)
-    nibs[0::2] = pay & 0xF
-    nibs[1::2] = pay >> 4
-    pad_start = np.concatenate(([0], np.cumsum(2 * pb)[:-1]))
+    full = mask == 0xFF
+    # FAST PATH: all-8-nonzero groups per distinct width, fixed-shape
+    for w in np.unique(num_nib[full]):
+        idx = np.nonzero(full & (num_nib == w))[0]
+        w = int(w)
+        src = offs[idx][:, None] + 2 + np.arange(4 * w)
+        block = data[src]                            # (Gw, 4w)
+        nibs = np.empty((len(idx), 8 * w), dtype=np.uint8)
+        nibs[:, 0::2] = block & 0xF
+        nibs[:, 1::2] = block >> 4
+        ks = (_U64(4) * np.arange(w, dtype=np.uint64))
+        vals = (nibs.reshape(len(idx), 8, w).astype(np.uint64) << ks).sum(
+            axis=2, dtype=np.uint64)
+        out[idx] = vals << (_U64(4) * tz_nib[idx].astype(np.uint64))[:, None]
 
-    # per nonzero value: group index, ordinal within group
-    nv = int(popc.sum())
-    gv = np.repeat(np.arange(G, dtype=np.int64), popc)
-    j = _within(popc, nv)
-    width = num_nib[gv]                             # nibbles per value
-    total_w = int(width.sum())
-    vstart = np.concatenate(([0], np.cumsum(width)[:-1]))
-    srcnib = np.repeat(pad_start[gv] + j * width, width) + _within(width, total_w)
-    k = _within(width, total_w)
-    shift = (4 * (k + np.repeat(tz_nib[gv], width))).astype(np.uint64)
-    contrib = nibs[srcnib].astype(np.uint64) << shift
-    vals_flat = np.add.reduceat(contrib, vstart) if nv else np.empty(0, dtype=np.uint64)
+    part = nzg & ~full
+    if part.any():
+        p = np.nonzero(part)[0]
+        p_pb = pb[p]
+        total_ppb = int(p_pb.sum())
+        src_byte = np.repeat(offs[p] + 2, p_pb) + _within(p_pb, total_ppb)
+        pay = data[src_byte]
+        nibs = np.empty(2 * total_ppb, dtype=np.uint8)
+        nibs[0::2] = pay & 0xF
+        nibs[1::2] = pay >> 4
+        pad_start = np.concatenate(([0], np.cumsum(2 * p_pb)[:-1]))
 
-    # scatter into lanes: np.nonzero walks row-major == value emit order
-    lanes = np.unpackbits(mask[:, None], axis=1, bitorder="little").astype(bool)
-    out[np.nonzero(lanes)] = vals_flat
+        nv = int(popc[p].sum())
+        gv = np.repeat(np.arange(len(p), dtype=np.int64), popc[p])
+        j = _within(popc[p], nv)
+        width = num_nib[p][gv]                       # nibbles per value
+        total_w = int(width.sum())
+        vstart = np.concatenate(([0], np.cumsum(width)[:-1]))
+        srcnib = np.repeat(pad_start[gv] + j * width, width) + _within(width, total_w)
+        k = _within(width, total_w)
+        shift = (4 * (k + np.repeat(tz_nib[p][gv], width))).astype(np.uint64)
+        contrib = nibs[srcnib].astype(np.uint64) << shift
+        vals_flat = np.add.reduceat(contrib, vstart) if nv else np.empty(0, dtype=np.uint64)
+
+        lanes = np.unpackbits(mask[p][:, None], axis=1, bitorder="little").astype(bool)
+        sub = out[p]
+        sub[np.nonzero(lanes)] = vals_flat
+        out[p] = sub
     return out, sizes
 
 
