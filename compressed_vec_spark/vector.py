@@ -55,14 +55,20 @@ def _header(num_body_bytes: int, subtype: int, num_elements: int, num_null_secti
     )
 
 
-def encode_vector(values: np.ndarray, kind: str) -> bytes:
+def encode_vector(values: np.ndarray, kind: str,
+                  null_mask: np.ndarray | None = None) -> bytes:
     """Encode a numeric array into a finished BinaryVector.
 
     kind: 'u32' | 'u64' | 'f32'.  Matches the reference's
-    appender.encode_all(values) + finish(len(values)) byte-for-byte
-    (so num_null_sections is 0 — nulls arriving through the value
-    stream become AutoEncoder Null sections, which the bulk-null
-    counter never counted either, reference src/vector.rs:300-335).
+    appender.encode_all(values) + finish(len(values)) byte-for-byte.
+
+    null_mask marks elements appended through the bulk-null API
+    (reference append_nulls, src/vector.rs:311-335): masked elements
+    must already be zero in `values`, and any 256-aligned section fully
+    covered by the mask counts toward the header's num_null_sections —
+    exactly the sections the reference emits via its "write_buf empty
+    and >= 256 nulls left" path.  Without a mask the counter is 0, as
+    encode_all over a plain value stream never increments it.
     """
     if kind == "f32":
         body, offs = sect.encode_sections_f32(np.asarray(values, dtype=np.float32))
@@ -73,7 +79,14 @@ def encode_vector(values: np.ndarray, kind: str) -> bytes:
         if kind == "u32" and len(vals) and int(vals.max()) > 0xFFFFFFFF:
             raise ValueError("u32 vector with value > u32 max")
         body, offs = sect.encode_sections_int(vals, _WIDTH_BY_KIND[kind])
-    hdr = _header(len(body), _SUBTYPE_BY_KIND[kind], len(values), 0)
+
+    n_null_sections = 0
+    if null_mask is not None and len(null_mask):
+        m = np.asarray(null_mask, dtype=bool)
+        full = (len(m) // FIXED_LEN) * FIXED_LEN
+        if full:
+            n_null_sections = int(m[:full].reshape(-1, FIXED_LEN).all(axis=1).sum())
+    hdr = _header(len(body), _SUBTYPE_BY_KIND[kind], len(values), n_null_sections)
     return hdr + body.tobytes()
 
 

@@ -59,6 +59,24 @@ def test_u64_round_trip_two_sections():
     assert h["total_bytes"] == len(buf)
 
 
+def test_bulk_null_section_counter():
+    # reference src/vector.rs:600-634: 100 values, 462 bulk nulls, 50
+    # values -> 3 sections, header num_null_sections == 1 (only the
+    # fully-covered middle section counts)
+    data = np.concatenate([
+        np.arange(1, 101, dtype=np.uint64),
+        np.zeros(462, dtype=np.uint64),
+        np.arange(1, 51, dtype=np.uint64),
+    ])
+    mask = np.zeros(len(data), dtype=bool)
+    mask[100:562] = True
+    buf = vec.encode_vector(data, "u64", null_mask=mask)
+    h = vec.read_header(buf)
+    assert h["num_null_sections"] == 1
+    assert vec.num_sections(buf) == 3
+    assert (vec.decode_vector(buf, "u64") == data).all()
+
+
 def test_u64_mixed_null_runs():
     # reference src/vector.rs:600-634 data shape (values via the stream,
     # so the all-zero middle section becomes an AutoEncoder Null section)
