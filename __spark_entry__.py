@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_per_doc": q.token_count_per_doc,
         "quality_score": q.quality_score,
         "minhash_near_dup": q.minhash_near_dup,
+        "events_windowed_stats": q.events_windowed_stats,
+        "top_users_by_value": q.top_users_by_value,
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         "embedding_near_dup": q.embedding_near_dup,
         "simhash_signatures": q.simhash_signatures_query,
@@ -155,6 +157,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d1, d2 FROM inter "
             "JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id "
             "WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.7",
+        "events_windowed_stats":
+            "SELECT date_trunc('hour', ts) AS hr, event_type, "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+            "FROM events GROUP BY 1, 2",
+        "top_users_by_value":
+            "SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            " AS value_cents FROM events GROUP BY user_id "
+            "ORDER BY value_cents DESC, user_id LIMIT 20",
         "ngram_jaccard_pairs":
             "WITH pos AS ("
             "  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i"

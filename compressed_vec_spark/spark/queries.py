@@ -380,6 +380,28 @@ def doc_fingerprint(spark, sf_dir) -> DataFrame:
     return df.select("doc_id", ta.rolling_fingerprint("text").alias("fingerprint"))
 
 
+def events_windowed_stats(spark, sf_dir) -> DataFrame:
+    """Tumbling-window event stats (the batch twin of
+    streaming.windowed_stats): hourly counts + integer-cent value sums
+    per event type — pure built-ins, whole-stage codegen end to end."""
+    df = _read(spark, sf_dir, "events")
+    return (df.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"),
+                       F.col("event_type"))
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .cast("long").alias("value_cents")))
+
+
+def top_users_by_value(spark, sf_dir) -> DataFrame:
+    """Top-k aggregation (TakeOrderedAndProject — no global sort)."""
+    df = _read(spark, sf_dir, "events")
+    return (df.groupBy("user_id")
+            .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .cast("long").alias("value_cents"))
+            .orderBy(F.desc("value_cents"), F.asc("user_id"))
+            .limit(20))
+
+
 def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
     """Exact n-gram (5-char shingle) Jaccard dedup, all in JVM-side
     DataFrame ops: explode distinct shingles -> self-join on shingle ->
