@@ -1,0 +1,86 @@
+"""Distributed order-dependent scans: global row ordinals and running
+totals without a single-partition bottleneck.
+
+Pattern (the classic two-pass prefix sum, Spark-shaped):
+  1. pick explicit range boundaries for the order key (approxQuantile,
+     collected once as literals — deterministic across the two passes,
+     unlike repartitionByRange's per-job sampling),
+  2. pass 1: tiny per-bucket aggregate (count / sum) -> exclusive
+     prefix offsets on the driver (B rows),
+  3. pass 2: per-bucket applyInPandas adds the bucket offset to the
+     within-bucket rank / cumsum.
+
+Scales as one shuffle on the bucket key + a B-row collect; B ~ number
+of partitions, so a 1000-executor run uses B=4096 buckets and the
+driver never sees more than that.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _bucket_col(df: DataFrame, order_col: str, n_buckets: int):
+    bounds = df.approxQuantile(
+        order_col, [i / n_buckets for i in range(1, n_buckets)], 0.001)
+    bounds = sorted(set(bounds))
+    col = F.col(order_col)
+    bucket = reduce(lambda acc, ib: acc + (col > F.lit(ib[1])).cast("int"),
+                    enumerate(bounds), F.lit(0))
+    return bucket.alias("__bucket"), len(bounds) + 1
+
+
+def global_positions(df: DataFrame, order_cols: list[str],
+                     n_buckets: int = 64) -> DataFrame:
+    """Adds `pos`: the 0-based global ordinal of each row in
+    (order_cols) order.  order_cols[0] must be numeric (range-bucketed);
+    remaining columns break ties within a bucket."""
+    bucket, _ = _bucket_col(df, order_cols[0], n_buckets)
+    d = df.withColumn("__bucket", bucket)
+    counts = {r["__bucket"]: r["n"] for r in
+              d.groupBy("__bucket").agg(F.count("*").alias("n")).collect()}
+    offsets = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields) + ", pos long"
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").drop(columns="__bucket")
+        pdf["pos"] = np.arange(len(pdf), dtype=np.int64) + offsets[key[0]]
+        return pdf
+
+    return d.groupBy("__bucket").applyInPandas(fn, out_schema)
+
+
+def global_cumsum(df: DataFrame, order_cols: list[str], value_col: str,
+                  n_buckets: int = 64, out_col: str = "running_total") -> DataFrame:
+    """Adds `out_col`: running sum of value_col in (order_cols) order —
+    DeltaSink's cumulative restore (reference src/nibblepacking.rs:
+    239-279) as a distributed scan."""
+    bucket, _ = _bucket_col(df, order_cols[0], n_buckets)
+    d = df.withColumn("__bucket", bucket)
+    sums = {r["__bucket"]: r["s"] for r in
+            d.groupBy("__bucket").agg(F.sum(value_col).alias("s")).collect()}
+    offsets = {}
+    acc = 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b] or 0
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields) + f", {out_col} long"
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").drop(columns="__bucket")
+        pdf[out_col] = pdf[value_col].to_numpy(np.int64).cumsum() + offsets[key[0]]
+        return pdf
+
+    return d.groupBy("__bucket").applyInPandas(fn, out_schema)

@@ -75,22 +75,21 @@ def multi_vector_and_count(spark, sf_dir) -> DataFrame:
 def match_positions_query(spark, sf_dir) -> DataFrame:
     """match_positions: global row ordinals (ordered by o_orderkey) whose
     o_orderstatus dict-code equals 'F' — filtering runs on compressed
-    dictionary codes."""
-    df = (_read(spark, sf_dir, "orders")
-          .select("o_orderkey", "o_orderstatus")
-          .repartition(1).sortWithinPartitions("o_orderkey"))
+    dictionary codes; ordinals come from the distributed two-pass
+    prefix-sum scan (no single-partition bottleneck)."""
+    from ..operators.scan import global_positions
+    df = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    with_pos = global_positions(df, ["o_orderkey"])
 
     def fn(batches):
-        offset = 0
         for pdf in batches:
             blob = dictionary.encode(pdf["o_orderstatus"])
             code = dictionary.code_of(blob, "F")
             masks = filters.equals_mask(dictionary.codes_vector(blob), "u32", code)
-            pos = filters.match_positions(masks) + offset
-            offset += len(pdf)
-            yield pd.DataFrame({"pos": pos.astype(np.int64)})
+            hits = filters.match_positions(masks)
+            yield pd.DataFrame({"pos": pdf["pos"].to_numpy()[hits].astype(np.int64)})
 
-    return df.mapInPandas(fn, "pos long")
+    return with_pos.mapInPandas(fn, "pos long")
 
 
 # --- sink / transform family --------------------------------------------------
@@ -111,25 +110,34 @@ def add_const_sum(spark, sf_dir) -> DataFrame:
 
 
 def delta_cumsum_query(spark, sf_dir) -> DataFrame:
-    """DeltaSink: encode per-row deltas, decode through cumulative-sum
-    restore; returns the running total of quantities by line order."""
-    df = (_read(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_linenumber", F.col("l_quantity").cast("long").alias("q"))
-          .repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber"))
+    """DeltaSink: encode per-group values, decode through cumulative-sum
+    restore; global running totals via the distributed two-pass scan
+    (per-bucket sums -> prefix offsets -> in-bucket codec cumsum)."""
+    from functools import reduce
+    from ..operators.scan import _bucket_col
+    df = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("long").alias("q"))
+    bucket, _ = _bucket_col(df, "l_orderkey", 64)
+    d = df.withColumn("__bucket", bucket)
+    sums = {r["__bucket"]: r["s"] for r in
+            d.groupBy("__bucket").agg(F.sum("q").alias("s")).collect()}
+    offsets, acc = {}, 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b] or 0
 
-    def fn(batches):
-        acc = 0
-        for pdf in batches:
-            buf = vec.encode_vector(pdf["q"].to_numpy(np.uint64), "u64")
-            run = np.cumsum(vec.decode_vector(buf, "u64")) + np.uint64(acc)
-            acc = int(run[-1]) if len(run) else acc
-            yield pd.DataFrame({
-                "l_orderkey": pdf["l_orderkey"].to_numpy(),
-                "l_linenumber": pdf["l_linenumber"].to_numpy(),
-                "running_qty": run.astype(np.int64),
-            })
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["l_orderkey", "l_linenumber"], kind="mergesort")
+        buf = vec.encode_vector(pdf["q"].to_numpy(np.uint64), "u64")
+        run = np.cumsum(vec.decode_vector(buf, "u64")) + np.uint64(offsets[key[0]])
+        return pd.DataFrame({
+            "l_orderkey": pdf["l_orderkey"].to_numpy(),
+            "l_linenumber": pdf["l_linenumber"].to_numpy(),
+            "running_qty": run.astype(np.int64),
+        })
 
-    return df.mapInPandas(fn, "l_orderkey long, l_linenumber int, running_qty long")
+    return d.groupBy("__bucket").applyInPandas(
+        fn, "l_orderkey long, l_linenumber int, running_qty long")
 
 
 def minmax_stats(spark, sf_dir) -> DataFrame:
