@@ -21,13 +21,13 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_ROWS = int(os.environ.get("CVX_BENCH_ROWS", "400000"))
+SCALING_ROWS = int(os.environ.get("CVX_BENCH_ROWS", "800000"))
 
-# correctness-oriented heavy ops excluded from the timed headline set
-# (minhash LSH on the synthetic word-salad corpus has a high baseline
-# similarity, so candidate volume is quadratic at sf0.1 — the driver's
-# sf0.01 correctness gate still runs it)
-SKIP_TIMED = {"minhash_near_dup"}
+# correctness-oriented all-pairs ops excluded from the timed headline
+# set: on the synthetic word-salad corpus baseline similarity is high,
+# so candidate volume is quadratic at sf0.1 (the driver's sf0.01
+# correctness gate still runs them)
+SKIP_TIMED = {"minhash_near_dup", "ngram_jaccard_pairs", "embedding_near_dup"}
 
 
 def run_encode_bench(cores: int, rows: int) -> dict:
