@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_equals_count": q.count_hits_equals,
         "filter_in_count": q.count_hits_one_of,
         "multi_vector_and_count": q.multi_vector_and_count,
+        "range_filter_count": q.range_filter_count,
         "match_positions": q.match_positions_query,
         # sink/transform family (reference src/sink.rs, nibblepacking.rs)
         "add_const_sum": q.add_const_sum,
@@ -77,6 +78,10 @@ def oracle_sql() -> dict[str, str]:
         "multi_vector_and_count":
             "SELECT count(*) AS hits FROM lineitem "
             "WHERE CAST(l_quantity AS BIGINT) = 5 AND l_linenumber = 3",
+        "range_filter_count":
+            "SELECT count(*) AS hits FROM lineitem "
+            "WHERE l_partkey BETWEEN 100 AND 500 "
+            "AND l_returnflag BETWEEN 'A' AND 'N'",
         "match_positions":
             "SELECT pos FROM ("
             "  SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS pos, o_orderstatus"

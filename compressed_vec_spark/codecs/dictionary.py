@@ -92,6 +92,19 @@ def code_of(blob: bytes, value: str) -> int:
     return 0
 
 
+def code_range(blob: bytes, lo: str, hi: str) -> tuple[int, int]:
+    """Map a string range [lo, hi] to a code range — valid because the
+    dictionary is lexicographically sorted (order-preserving codes).
+    Returns an inclusive (lo_code, hi_code); empty if lo_code > hi_code."""
+    offsets, heap, _ = _parse(blob)
+    k = len(offsets) - 1
+    entries = [heap[offsets[i]:offsets[i + 1]] for i in range(k)]
+    import bisect
+    lo_code = bisect.bisect_left(entries, lo.encode("utf-8")) + 1
+    hi_code = bisect.bisect_right(entries, hi.encode("utf-8"))
+    return lo_code, hi_code
+
+
 def codes_vector(blob: bytes) -> bytes:
     """The embedded BinaryVector<u32> — feed to operators.filters to
     filter compressed."""

@@ -132,6 +132,72 @@ def one_of_mask(buf: bytes, kind: str, values) -> np.ndarray:
     return section_masks(buf, kind, list(values))
 
 
+def range_mask(buf: bytes, kind: str, lo: int, hi: int,
+               return_stats: bool = False):
+    """Per-section masks for `lo <= element <= hi` over a compressed
+    int vector (an extension beyond the reference, which has only
+    equality/IN — reference src/filter.rs:112-177; enabled by the wire
+    format's section headers).
+
+    Section skips without decode:
+      Null  -> answered from lo <= 0 <= hi,
+      Const -> one compare,
+      Delta -> the header's (base, delta_numbits) bound the section to
+               [base, base + 2^numbits - 1] (reference
+               src/section.rs:624-627 delta_range), so disjoint ranges
+               skip decode entirely.
+    """
+    assert kind in ("u32", "u64")
+    body, offs, n, width = _section_layout(buf, kind)
+    starts = offs[:-1]
+    types = body[starts]
+    S = len(starts)
+    masks = np.zeros((S, FIXED_LEN), dtype=bool)
+    lo_u, hi_u = np.uint64(max(lo, 0)), np.uint64(max(hi, 0))
+    skipped = 0
+
+    if lo <= 0 <= hi:
+        masks[types == sect.SECT_NULL] = True
+    skipped += int((types == sect.SECT_NULL).sum())
+
+    c_idx = np.nonzero(types == sect.SECT_CONST)[0]
+    if len(c_idx):
+        cv = _const_values(body, starts[c_idx], width)
+        hit = (cv >= lo_u) & (cv <= hi_u)
+        masks[c_idx[hit]] = True
+        skipped += len(c_idx)
+
+    is_np = types == sect.SECT_NP_MED
+    is_delta = types == sect.SECT_DELTA_NP_MED
+
+    # Delta header bound check: skip sections whose possible value range
+    # cannot intersect [lo, hi]
+    d_idx = np.nonzero(is_delta)[0]
+    decode_delta = np.zeros(S, dtype=bool)
+    if len(d_idx):
+        base = np.zeros(len(d_idx), dtype=np.uint64)
+        d_starts = starts[d_idx]
+        for b in range(width):
+            base |= body[d_starts + 4 + b].astype(np.uint64) << np.uint64(8 * b)
+        numbits = body[d_starts + 3].astype(np.uint64)
+        sect_max = base + (np.uint64(1) << numbits) - np.uint64(1)
+        overlap = (base <= hi_u) & (sect_max >= lo_u)
+        decode_delta[d_idx[overlap]] = True
+        skipped += int((~overlap).sum())
+
+    need = is_np | decode_delta
+    p_idx = np.nonzero(need)[0]
+    if len(p_idx):
+        vals = _decode_subset_int(body, starts[p_idx], types[p_idx], width)
+        masks[p_idx] = (vals >= lo_u) & (vals <= hi_u)
+
+    if S * FIXED_LEN > n:
+        masks.reshape(-1)[n:] = False
+    if return_stats:
+        return masks, {"sections": S, "skipped_without_decode": skipped}
+    return masks
+
+
 def multi_vector_and(bufs_kinds_preds: list[tuple[bytes, str, list]]) -> np.ndarray:
     """AND across same-table column vectors with section short-circuit:
     sections whose running mask is all-zero skip decode of later vectors

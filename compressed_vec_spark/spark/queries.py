@@ -72,6 +72,25 @@ def multi_vector_and_count(spark, sf_dir) -> DataFrame:
     return df.mapInPandas(fn, "hits long").agg(F.sum("hits").cast("long").alias("hits"))
 
 
+def range_filter_count(spark, sf_dir) -> DataFrame:
+    """Range predicate over compressed vectors with Delta-header
+    section skipping (operators.filters.range_mask) + a string range
+    pushed to order-preserving dictionary codes."""
+    df = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+
+    def fn(batches):
+        for pdf in batches:
+            buf = vec.encode_vector(pdf["l_partkey"].to_numpy(np.uint64), "u64")
+            m1 = filters.range_mask(buf, "u64", 100, 500)
+            blob = dictionary.encode(pdf["l_returnflag"])
+            lo_c, hi_c = dictionary.code_range(blob, "A", "N")
+            m2 = (filters.range_mask(dictionary.codes_vector(blob), "u32", lo_c, hi_c)
+                  if lo_c <= hi_c else np.zeros_like(m1))
+            yield pd.DataFrame({"hits": [filters.count_hits(m1 & m2)]})
+
+    return df.mapInPandas(fn, "hits long").agg(F.sum("hits").cast("long").alias("hits"))
+
+
 def match_positions_query(spark, sf_dir) -> DataFrame:
     """match_positions: global row ordinals (ordered by o_orderkey) whose
     o_orderstatus dict-code equals 'F' — filtering runs on compressed

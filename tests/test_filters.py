@@ -78,3 +78,40 @@ def test_add_const_and_delta_cumsum():
     deltas = np.full(300, 2, dtype=np.uint64)
     bufd = vec.encode_vector(deltas, "u64")
     assert (sinks.delta_cumsum(bufd, "u64") == np.cumsum(deltas)).all()
+
+
+def test_range_mask_with_delta_skip():
+    # elevated narrow-range data -> Delta sections; disjoint range skips
+    data = np.arange(1024, dtype=np.uint64) + 1_000_000
+    buf = vec.encode_vector(data, "u64")
+    masks, stats = filters.range_mask(buf, "u64", 1_000_100, 1_000_199,
+                                      return_stats=True)
+    assert filters.count_hits(masks) == 100
+    # a range below every section: all Delta sections skip without decode
+    masks, stats = filters.range_mask(buf, "u64", 0, 10, return_stats=True)
+    assert filters.count_hits(masks) == 0
+    assert stats["skipped_without_decode"] == stats["sections"]
+
+
+def test_range_mask_null_const():
+    data = np.concatenate([np.zeros(256, dtype=np.uint64),
+                           np.full(256, 50, dtype=np.uint64),
+                           np.arange(256, dtype=np.uint64)])
+    buf = vec.encode_vector(data, "u64")
+    masks = filters.range_mask(buf, "u64", 0, 10)
+    assert filters.count_hits(masks) == 256 + 0 + 11
+    masks = filters.range_mask(buf, "u64", 40, 60)
+    assert filters.count_hits(masks) == 256 + 21
+
+
+def test_dict_code_range():
+    from compressed_vec_spark.codecs import dictionary
+    import pandas as pd
+    s = pd.Series(["apple", "banana", "cherry", "date", "fig"] * 10)
+    blob = dictionary.encode(s)
+    lo, hi = dictionary.code_range(blob, "b", "d")
+    codes = dictionary.codes(blob)
+    import numpy as np2
+    sel = (codes >= lo) & (codes <= hi)
+    got = sorted(set(np2.array(s)[sel]))
+    assert got == ["banana", "cherry"]
