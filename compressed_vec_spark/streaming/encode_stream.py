@@ -50,6 +50,44 @@ def start_encode_stream(spark: SparkSession, source: DataFrame, out_dir: str,
             .start())
 
 
+def streaming_dedup(source: DataFrame, hash_col: str = "text",
+                    shards: int = 64) -> DataFrame:
+    """Custom stateful streaming operator: global exact-content dedup
+    across micro-batches via applyInPandasWithState.
+
+    The content hash is computed in the PLAN (JVM sha2 — no Python in
+    the hash path); rows shard by hash prefix so state distributes over
+    `shards` keys, each holding the set of seen digests.  At scale the
+    state store is the bound: one 64-char digest per distinct content
+    per shard, RocksDB-backed on a real cluster."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import functions as F
+
+    keyed = (source
+             .withColumn("__h", F.sha2(F.col(hash_col).cast("binary"), 256))
+             .withColumn("__shard",
+                         F.pmod(F.xxhash64(F.col("__h")), F.lit(shards)).cast("int")))
+
+    out_schema = keyed.drop("__shard").schema
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        seen = set(state.get[0].split(",")) if state.exists and state.get[0] else set()
+        for pdf in pdfs:
+            fresh = ~pdf["__h"].isin(seen)
+            seen.update(pdf["__h"][fresh])
+            kept = pdf[fresh.to_numpy()].drop(columns=["__shard"])
+            if len(kept):
+                yield kept
+        state.update((",".join(sorted(seen)),))
+
+    return keyed.groupBy("__shard").applyInPandasWithState(
+        dedup_fn, outputStructType=out_schema,
+        stateStructType="seen string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout).drop("__h")
+
+
 def windowed_stats(source: DataFrame, ts_col: str = "warc_ts",
                    watermark: str = "10 minutes",
                    window: str = "5 minutes") -> DataFrame:

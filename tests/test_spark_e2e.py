@@ -75,6 +75,42 @@ def test_resume_skips_completed_partitions(spark, tmp_path):
     assert n1 == n2
 
 
+def test_resume_completes_after_partial_failure(spark, tmp_path):
+    """Simulated mid-job failure: one partition's chunks + manifest rows
+    vanish; the resumed run re-encodes ONLY that partition and the final
+    table is complete and bit-identical."""
+    out = str(tmp_path / "enc4")
+    web = webtable.webpages(spark, 2000, partitions=2)
+    encode_job.encode_table(spark, web, out, num_partitions=4)
+    chunks_path = os.path.join(out, "chunks")
+    manifest_path = os.path.join(out, "manifest")
+    full = spark.read.parquet(chunks_path).count()
+
+    # kill partition 0's output and its manifest rows
+    victim = [d for d in os.listdir(chunks_path) if d == "part_id=0"]
+    assert victim, os.listdir(chunks_path)
+    shutil.rmtree(os.path.join(chunks_path, victim[0]))
+    m = spark.read.parquet(manifest_path).where(F.col("part_id") != 0).toPandas()
+    shutil.rmtree(manifest_path)
+    spark.createDataFrame(m).write.parquet(manifest_path)
+
+    survivors = spark.read.parquet(chunks_path) \
+        .select("chunk_id", "column", "sha256").toPandas()
+
+    encode_job.encode_table(spark, web, out, num_partitions=4)
+    after = spark.read.parquet(chunks_path)
+    assert after.count() == full
+    # untouched partitions kept their exact blobs (sha unchanged)
+    again = after.select("chunk_id", "column", "sha256").toPandas()
+    merged = survivors.merge(again, on=["chunk_id", "column"], how="left")
+    assert (merged["sha256_x"] == merged["sha256_y"]).all()
+    # and the whole table still decodes bit-identical
+    decoded = decode_job.decode_chunks(after, schema=webtable.SCHEMA,
+                                       dtypes={"warc_ts": "timestamp"})
+    res = decode_job.verify_bit_identical(web, decoded, key="url")
+    assert all(v == 0 for v in res["mismatches"].values()), res
+
+
 def test_salted_partitioning_spreads_hot_host(spark):
     # one host dominating the table must not land on a single partition
     web = webtable.webpages(spark, 4000, partitions=4)

@@ -76,3 +76,41 @@ def test_windowed_stats_plan(spark):
     assert agg.isStreaming
     plan = agg._jdf.queryExecution().analyzed().toString()
     assert "watermark" in plan.lower()
+
+
+def test_streaming_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState exact dedup across micro-batches: the
+    second file repeats the first file's pages; only fresh rows pass."""
+    import glob
+    import shutil
+    src_dir = str(tmp_path / "dd_in")
+    os.makedirs(src_dir)
+    web = webtable.webpages(spark, 400, partitions=1)
+
+    staging = str(tmp_path / "dd_stage")
+    web.coalesce(1).write.parquet(staging)
+    part = glob.glob(staging + "/part-*.parquet")[0]
+    shutil.copy(part, os.path.join(src_dir, "f1.parquet"))
+
+    stream = (spark.readStream.schema(webtable.SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    deduped = encode_stream.streaming_dedup(stream, hash_col="text")
+    q = (deduped.writeStream.format("memory").queryName("dd_out")
+         .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+         .outputMode("append").trigger(processingTime="1 seconds").start())
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM dd_out").first()["c"]
+            if n >= web.select("text").distinct().count():
+                break
+            time.sleep(2)
+        first_count = spark.sql("SELECT count(*) c FROM dd_out").first()["c"]
+        # drop the SAME file again -> everything is a duplicate
+        shutil.copy(part, os.path.join(src_dir, "f2.parquet"))
+        time.sleep(12)
+        second_count = spark.sql("SELECT count(*) c FROM dd_out").first()["c"]
+    finally:
+        q.stop()
+    assert first_count == web.select("text").distinct().count()
+    assert second_count == first_count  # duplicates suppressed by state
