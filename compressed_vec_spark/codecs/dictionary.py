@@ -29,13 +29,13 @@ MAGIC = b"D\x01"
 
 
 def encode(series: pd.Series) -> bytes:
-    values = series.to_numpy(dtype=object)
-    isnull = pd.isna(values)
-    filled = np.where(isnull, "", values)
-    uniques, inverse = np.unique(filled.astype("U"), return_inverse=True)
-    codes = (inverse + 1).astype(np.uint64)
+    isnull = series.isna().to_numpy()
+    filled = series.fillna("")
+    # hash-based factorize (C-speed) + a sort of the small dictionary
+    raw_codes, uniques = pd.factorize(filled, sort=True)
+    codes = (raw_codes + 1).astype(np.uint64)
     codes[isnull] = 0
-    enc = [s.encode("utf-8") for s in uniques]
+    enc = [str(s).encode("utf-8") for s in uniques]
     offsets = np.zeros(len(enc) + 1, dtype=np.uint32)
     np.cumsum([len(b) for b in enc], out=offsets[1:])
     heap = b"".join(enc)
