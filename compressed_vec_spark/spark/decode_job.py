@@ -1,6 +1,12 @@
 """Decode pipeline: encoded chunk blobs -> original rows, plus the
 bit-identity verifier the north rule requires (byte-identical text per
-url vs the source table)."""
+url vs the source table).
+
+Decode mirrors the reference's reader path (reference
+src/vector.rs:404-464 VectorReader try_new/iterate/decode_to_sink)
+generalized across codec families; zipping the per-column chunks of one
+chunk_id back into rows is the positional multi-vector alignment the
+reference gets from same-length sections (vector_format.md:93-97)."""
 
 from __future__ import annotations
 

@@ -1,7 +1,10 @@
 """Distributed encode pipeline: DataFrame -> encoded column chunks + manifest.
 
-Spark-first design (the reference is a single-threaded library; its
-caller loop becomes Spark's executor grid):
+Spark-first design: the reference's whole query/encode lifecycle is a
+single-threaded appender loop (reference src/vector.rs:238-246
+encode_all; no thread/process/node boundary exists anywhere in the
+crate) — its caller loop becomes Spark's executor grid, and one chunk
+here plays the role of one finished BinaryVector there:
 
   read parquet/Iceberg
     -> derive url host, detect heavy-hitter hosts on a sample
