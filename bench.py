@@ -30,6 +30,20 @@ SCALING_ROWS = int(os.environ.get("CVX_BENCH_ROWS", "800000"))
 SKIP_TIMED = {"minhash_near_dup", "ngram_jaccard_pairs", "embedding_near_dup"}
 
 
+def run_encode_bench_subprocess(cores: int, rows: int) -> dict:
+    """Run one encode measurement in a FRESH python process (PySpark
+    keeps one JVM per process across sessions — heap/GC state would
+    otherwise accumulate between runs and skew later measurements)."""
+    import subprocess
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--encode-run",
+         str(cores), str(rows)],
+        capture_output=True, text=True, timeout=900)
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
 def run_encode_bench(cores: int, rows: int) -> dict:
     """Encode the deterministic synthetic web table end-to-end (salted
     repartition -> sortWithinPartitions -> mapInPandas encode) at a given
@@ -114,11 +128,12 @@ def main() -> None:
     # shares a host) hits both levels equally; take each level's best
     low_runs, high_runs = [], []
     for _ in range(repeats):
-        low_runs.append(run_encode_bench(n_low, SCALING_ROWS))
-        high_runs.append(run_encode_bench(n_high, SCALING_ROWS))
+        low_runs.append(run_encode_bench_subprocess(n_low, SCALING_ROWS))
+        high_runs.append(run_encode_bench_subprocess(n_high, SCALING_ROWS))
     low = max(low_runs, key=lambda r: r["docs_per_sec"])
     high = max(high_runs, key=lambda r: r["docs_per_sec"])
-    saturated = run_encode_bench(CPUS, SCALING_ROWS) if CPUS > n_high else high
+    saturated = (run_encode_bench_subprocess(CPUS, SCALING_ROWS)
+                 if CPUS > n_high else high)
     speedup = high["docs_per_sec"] / low["docs_per_sec"]
     eff = speedup / (n_high / n_low)
 
@@ -147,4 +162,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 4 and sys.argv[1] == "--encode-run":
+        print(json.dumps(run_encode_bench(int(sys.argv[2]), int(sys.argv[3]))))
+    else:
+        main()

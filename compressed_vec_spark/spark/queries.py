@@ -178,7 +178,10 @@ def codec_histogram(spark, sf_dir) -> DataFrame:
     """AutoEncoder section-type histogram of l_partkey in
     (l_orderkey, l_linenumber) order — the oracle SQL re-derives the
     same decision from per-256-block min/max, so this checks the codec
-    chooser end to end."""
+    chooser end to end.  Intentionally single-partition: the oracle
+    numbers 256-blocks over the GLOBAL row order, which only exists in
+    one task (production encoding is per-chunk and has no such global
+    alignment requirement)."""
     df = (_read(spark, sf_dir, "lineitem")
           .select("l_partkey", "l_orderkey", "l_linenumber")
           .repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber"))
@@ -215,25 +218,38 @@ def dict_filter_count(spark, sf_dir) -> DataFrame:
 
 
 def rle_run_count(spark, sf_dir) -> DataFrame:
-    """RLE codec: number of runs in o_custkey ordered by o_orderkey."""
-    df = (_read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-          .repartition(1).sortWithinPartitions("o_orderkey"))
+    """RLE codec: number of runs in o_custkey ordered by o_orderkey,
+    computed distributed: per range-bucket RLE + a driver-side merge of
+    bucket-boundary runs (first/last value per bucket — B rows)."""
+    from ..operators.scan import _bucket_col
+    df = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bucket, _ = _bucket_col(df, "o_orderkey", 32)
+    d = df.withColumn("__bucket", bucket)
 
-    def fn(batches):
-        runs = 0
-        prev_last = None
-        for pdf in batches:
-            arr = pdf["o_custkey"].to_numpy(np.uint64)
-            blob = rle.encode(arr)
-            r = rle.num_runs(blob)
-            if prev_last is not None and len(arr) and arr[0] == prev_last:
-                r -= 1  # run continues across batch boundary
-            runs += r
-            if len(arr):
-                prev_last = arr[-1]
-        yield pd.DataFrame({"n_runs": [runs]})
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o_orderkey", kind="mergesort")
+        arr = pdf["o_custkey"].to_numpy(np.uint64)
+        blob = rle.encode(arr)
+        return pd.DataFrame({
+            "bucket": [key[0]], "runs": [rle.num_runs(blob)],
+            "first_val": [int(arr[0]) if len(arr) else -1],
+            "last_val": [int(arr[-1]) if len(arr) else -1],
+        })
 
-    return df.mapInPandas(fn, "n_runs long")
+    parts = d.groupBy("__bucket").applyInPandas(
+        fn, "bucket int, runs long, first_val long, last_val long").collect()
+    parts.sort(key=lambda r: r["bucket"])
+    runs = 0
+    prev_last = None
+    for r in parts:
+        adj = r["runs"]
+        if prev_last is not None and r["first_val"] == prev_last and r["runs"] > 0:
+            adj -= 1  # run continues across the bucket boundary
+        runs += adj
+        if r["runs"] > 0:
+            prev_last = r["last_val"]
+    return spark.createDataFrame(pd.DataFrame({"n_runs": [runs]})) \
+        .select(F.col("n_runs").cast("long"))
 
 
 def fsst_text_roundtrip(spark, sf_dir) -> DataFrame:
