@@ -21,7 +21,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_ROWS = int(os.environ.get("CVX_BENCH_ROWS", "800000"))
+SCALING_ROWS = int(os.environ.get("CVX_BENCH_ROWS", "400000"))
 
 # correctness-oriented all-pairs ops excluded from the timed headline
 # set: on the synthetic word-salad corpus baseline similarity is high,
@@ -122,7 +122,7 @@ def main() -> None:
     # $SPARK_GRAFT_CPUS is reported too, to show the saturation point.
     n_low = int(os.environ.get("CVX_SCALE_LOW", "2"))
     n_high = int(os.environ.get("CVX_SCALE_HIGH", str(n_low * 4)))
-    repeats = int(os.environ.get("CVX_BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("CVX_BENCH_REPEATS", "4"))
 
     # interleave low/high runs so drifting external load (the sandbox
     # shares a host) hits both levels equally; take each level's best
@@ -151,9 +151,13 @@ def main() -> None:
             "cores_low": low["cores"], "cores_high": high["cores"],
             "speedup": round(speedup, 3),
             "efficiency": round(eff, 3),
+            "samples_low_docs_per_sec": [r["docs_per_sec"] for r in low_runs],
+            "samples_high_docs_per_sec": [r["docs_per_sec"] for r in high_runs],
             "note": "host has ~8 effective cores behind 32 SMT threads; "
                     "N->4N measured on real cores (2->8), full-width run "
-                    "included as 'saturated'",
+                    "included as 'saturated'; best-of-N interleaved "
+                    "subprocess runs (the sandbox shares a noisy host — "
+                    "all samples reported)",
         },
         "compression_ratio": best["compression_ratio"],
         "docs_per_sec": best["docs_per_sec"],
