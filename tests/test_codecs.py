@@ -132,3 +132,25 @@ def test_chunk_compression_ratio_on_skewed_ints():
     s = pd.Series(np.arange(100_000, dtype=np.int64) + 1_600_000_000_000)
     codec, blob, _ = chunk.encode_column(s, codec="vec_u64")
     assert len(blob) < 100_000 * 8 / 2
+
+
+def test_fsst_deterministic_across_processes():
+    """Resume idempotency requires byte-identical re-encoding in fresh
+    worker processes (no dict-order / hash-seed dependence)."""
+    import subprocess
+    import sys
+    prog = (
+        "import hashlib, pyarrow as pa;"
+        "from compressed_vec_spark.codecs import fsst, dictionary, chunk;"
+        "import pandas as pd, numpy as np;"
+        "texts=[f'doc {i} the quick brown fox {i*31:x}' for i in range(500)];"
+        "b1=fsst.encode(pa.array(texts, type=pa.large_utf8()));"
+        "b2=dictionary.encode(pd.Series(['en','de','fr']*100));"
+        "_,b3,_=chunk.encode_column(pd.Series(np.arange(1000)+10**12));"
+        "print(hashlib.sha256(b1).hexdigest(), hashlib.sha256(b2).hexdigest(),"
+        "hashlib.sha256(b3).hexdigest())"
+    )
+    outs = {subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                           text=True, cwd="/root/repo", timeout=120).stdout
+            for _ in range(2)}
+    assert len(outs) == 1 and "" not in outs
