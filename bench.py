@@ -21,7 +21,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_ROWS = int(os.environ.get("CVX_BENCH_ROWS", "400000"))
+SCALING_ROWS = int(os.environ.get("CVX_BENCH_ROWS", "600000"))
 
 # correctness-oriented all-pairs ops excluded from the timed headline
 # set: on the synthetic word-salad corpus baseline similarity is high,
@@ -59,6 +59,14 @@ def run_encode_bench(cores: int, rows: int) -> dict:
     parts = int(os.environ.get("CVX_BENCH_PARTITIONS", "64"))
     spark = get_spark(f"cvx-bench-{cores}", cores=cores)
     try:
+        # warm-up: run the whole encode path on a small table so JIT /
+        # whole-stage-codegen / Arrow classes compile OUTSIDE the timed
+        # window (each measurement runs in a fresh JVM)
+        warm = webtable.webpages(spark, 20000, partitions=max(cores, 2))
+        encode_job.encode_table(spark, warm, out_dir="", write=False,
+                                num_partitions=max(cores, 2)) \
+            .agg(F.count("*")).collect()
+
         web = webtable.webpages(spark, rows, partitions=parts)
         web = web.persist()
         n = web.count()  # materialize generation outside the timed window
