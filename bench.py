@@ -30,21 +30,38 @@ SCALING_ROWS = int(os.environ.get("CVX_BENCH_ROWS", "600000"))
 SKIP_TIMED = {"minhash_near_dup", "ngram_jaccard_pairs", "embedding_near_dup"}
 
 
-def run_encode_bench_subprocess(cores: int, rows: int) -> dict:
+def run_encode_bench_subprocess(cores: int, rows: int,
+                                input_path: str | None = None) -> dict:
     """Run one encode measurement in a FRESH python process (PySpark
     keeps one JVM per process across sessions — heap/GC state would
     otherwise accumulate between runs and skew later measurements)."""
     import subprocess
-    r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--encode-run",
-         str(cores), str(rows)],
-        capture_output=True, text=True, timeout=900)
+    args = [sys.executable, os.path.abspath(__file__), "--encode-run",
+            str(cores), str(rows)]
+    if input_path:
+        args.append(input_path)
+    r = subprocess.run(args, capture_output=True, text=True, timeout=900)
     if r.returncode != 0:
         raise RuntimeError(r.stderr[-2000:])
     return json.loads(r.stdout.strip().splitlines()[-1])
 
 
-def run_encode_bench(cores: int, rows: int) -> dict:
+def materialize_input(rows: int) -> str:
+    """Pre-generate the deterministic web table once; every measurement
+    subprocess reads the same parquet (cuts per-run setup ~4x)."""
+    import tempfile
+    from compressed_vec_spark.spark.session import get_spark
+    from compressed_vec_spark.spark import webtable
+    path = os.path.join(tempfile.mkdtemp(prefix="cvx_bench_"), "web")
+    spark = get_spark("cvx-bench-gen", cores=CPUS)
+    try:
+        webtable.webpages(spark, rows, partitions=64).write.parquet(path)
+    finally:
+        spark.stop()
+    return path
+
+
+def run_encode_bench(cores: int, rows: int, input_path: str | None = None) -> dict:
     """Encode the deterministic synthetic web table end-to-end (salted
     repartition -> sortWithinPartitions -> mapInPandas encode) at a given
     parallelism; returns wall time + throughput + compression."""
@@ -67,7 +84,10 @@ def run_encode_bench(cores: int, rows: int) -> dict:
                                 num_partitions=max(cores, 2)) \
             .agg(F.count("*")).collect()
 
-        web = webtable.webpages(spark, rows, partitions=parts)
+        if input_path:
+            web = spark.read.parquet(input_path)
+        else:
+            web = webtable.webpages(spark, rows, partitions=parts)
         web = web.persist()
         n = web.count()  # materialize generation outside the timed window
         raw_bytes = web.select(
@@ -134,13 +154,14 @@ def main() -> None:
 
     # interleave low/high runs so drifting external load (the sandbox
     # shares a host) hits both levels equally; take each level's best
+    input_path = materialize_input(SCALING_ROWS)
     low_runs, high_runs = [], []
     for _ in range(repeats):
-        low_runs.append(run_encode_bench_subprocess(n_low, SCALING_ROWS))
-        high_runs.append(run_encode_bench_subprocess(n_high, SCALING_ROWS))
+        low_runs.append(run_encode_bench_subprocess(n_low, SCALING_ROWS, input_path))
+        high_runs.append(run_encode_bench_subprocess(n_high, SCALING_ROWS, input_path))
     low = max(low_runs, key=lambda r: r["docs_per_sec"])
     high = max(high_runs, key=lambda r: r["docs_per_sec"])
-    saturated = (run_encode_bench_subprocess(CPUS, SCALING_ROWS)
+    saturated = (run_encode_bench_subprocess(CPUS, SCALING_ROWS, input_path)
                  if CPUS > n_high else high)
     speedup = high["docs_per_sec"] / low["docs_per_sec"]
     eff = speedup / (n_high / n_low)
@@ -170,11 +191,15 @@ def main() -> None:
         "compression_ratio": best["compression_ratio"],
         "docs_per_sec": best["docs_per_sec"],
     }
+    import shutil
+    shutil.rmtree(os.path.dirname(input_path), ignore_errors=True)
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    if len(sys.argv) == 4 and sys.argv[1] == "--encode-run":
-        print(json.dumps(run_encode_bench(int(sys.argv[2]), int(sys.argv[3]))))
+    if len(sys.argv) >= 4 and sys.argv[1] == "--encode-run":
+        print(json.dumps(run_encode_bench(
+            int(sys.argv[2]), int(sys.argv[3]),
+            sys.argv[4] if len(sys.argv) > 4 else None)))
     else:
         main()
