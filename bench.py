@@ -79,7 +79,7 @@ def run_encode_bench(cores: int, rows: int, input_path: str | None = None) -> di
         # warm-up: run the whole encode path on a small table so JIT /
         # whole-stage-codegen / Arrow classes compile OUTSIDE the timed
         # window (each measurement runs in a fresh JVM)
-        warm = webtable.webpages(spark, 20000, partitions=max(cores, 2))
+        warm = webtable.webpages(spark, 10000, partitions=max(cores, 2))
         encode_job.encode_table(spark, warm, out_dir="", write=False,
                                 num_partitions=max(cores, 2)) \
             .agg(F.count("*")).collect()
@@ -150,7 +150,7 @@ def main() -> None:
     # $SPARK_GRAFT_CPUS is reported too, to show the saturation point.
     n_low = int(os.environ.get("CVX_SCALE_LOW", "2"))
     n_high = int(os.environ.get("CVX_SCALE_HIGH", str(n_low * 4)))
-    repeats = int(os.environ.get("CVX_BENCH_REPEATS", "4"))
+    repeats = int(os.environ.get("CVX_BENCH_REPEATS", "2"))
 
     # interleave low/high runs so drifting external load (the sandbox
     # shares a host) hits both levels equally; take each level's best
