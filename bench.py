@@ -85,7 +85,10 @@ def run_encode_bench(cores: int, rows: int, input_path: str | None = None) -> di
             .agg(F.count("*")).collect()
 
         if input_path:
-            web = spark.read.parquet(input_path)
+            # restore the data-defined partitioning: the parquet read
+            # coalesces to ~128MB splits, which would cap the timed
+            # shuffle's map-side parallelism
+            web = spark.read.parquet(input_path).repartition(parts)
         else:
             web = webtable.webpages(spark, rows, partitions=parts)
         web = web.persist()
