@@ -153,7 +153,7 @@ def main() -> None:
     # $SPARK_GRAFT_CPUS is reported too, to show the saturation point.
     n_low = int(os.environ.get("CVX_SCALE_LOW", "2"))
     n_high = int(os.environ.get("CVX_SCALE_HIGH", str(n_low * 4)))
-    repeats = int(os.environ.get("CVX_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("CVX_BENCH_REPEATS", "3"))
 
     # interleave low/high runs so drifting external load (the sandbox
     # shares a host) hits both levels equally; take each level's best
