@@ -31,6 +31,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_in_count": q.count_hits_one_of,
         "multi_vector_and_count": q.multi_vector_and_count,
         "range_filter_count": q.range_filter_count,
+        "prefix_filter_count": q.prefix_filter_count,
+        "encoded_table_pruned_count": q.encoded_table_pruned_count,
         "match_positions": q.match_positions_query,
         # sink/transform family (reference src/sink.rs, nibblepacking.rs)
         "add_const_sum": q.add_const_sum,
@@ -82,6 +84,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS hits FROM lineitem "
             "WHERE l_partkey BETWEEN 100 AND 500 "
             "AND l_returnflag BETWEEN 'A' AND 'N'",
+        "prefix_filter_count":
+            "SELECT count(*) AS hits FROM documents WHERE source LIKE 'src1%'",
+        "encoded_table_pruned_count":
+            "SELECT count(*) AS hits FROM orders WHERE o_orderkey = 1",
         "match_positions":
             "SELECT pos FROM ("
             "  SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS pos, o_orderstatus"

@@ -105,6 +105,20 @@ def code_range(blob: bytes, lo: str, hi: str) -> tuple[int, int]:
     return lo_code, hi_code
 
 
+def prefix_range(blob: bytes, prefix: str) -> tuple[int, int]:
+    """Map `value LIKE 'prefix%'` to an inclusive code range — the
+    sorted dictionary makes prefix predicates pure code-range scans on
+    the compressed vector."""
+    offsets, heap, _ = _parse(blob)
+    k = len(offsets) - 1
+    entries = [heap[offsets[i]:offsets[i + 1]] for i in range(k)]
+    import bisect
+    p = prefix.encode("utf-8")
+    lo_code = bisect.bisect_left(entries, p) + 1
+    hi_code = bisect.bisect_left(entries, p + b"\xff\xff\xff\xff")
+    return lo_code, hi_code
+
+
 def codes_vector(blob: bytes) -> bytes:
     """The embedded BinaryVector<u32> — feed to operators.filters to
     filter compressed."""

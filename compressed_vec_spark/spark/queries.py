@@ -91,6 +91,48 @@ def range_filter_count(spark, sf_dir) -> DataFrame:
     return df.mapInPandas(fn, "hits long").agg(F.sum("hits").cast("long").alias("hits"))
 
 
+def prefix_filter_count(spark, sf_dir) -> DataFrame:
+    """LIKE 'prefix%' pushed to the order-preserving dictionary: the
+    predicate becomes a code-range scan on the compressed u32 codes."""
+    df = _read(spark, sf_dir, "documents").select("source")
+
+    def fn(batches):
+        for pdf in batches:
+            blob = dictionary.encode(pdf["source"])
+            lo, hi = dictionary.prefix_range(blob, "src1")
+            n = (filters.count_hits(filters.range_mask(
+                dictionary.codes_vector(blob), "u32", lo, hi))
+                if lo <= hi else 0)
+            yield pd.DataFrame({"hits": [n]})
+
+    return df.mapInPandas(fn, "hits long").agg(F.sum("hits").cast("long").alias("hits"))
+
+
+def encoded_table_pruned_count(spark, sf_dir) -> DataFrame:
+    """Full storage cycle inside one query: encode the orders table to
+    an encoded-chunk store (salting off, sorted keys), then answer an
+    equality count through manifest min/max chunk pruning — only the
+    chunks whose [min,max] admits the value are decoded."""
+    import tempfile
+    import shutil as sh
+    from ..spark import encode_job
+    from ..sources import encoded_table
+    out = tempfile.mkdtemp(prefix="cvx_q_")
+    try:
+        df = (_read(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey")
+              .repartitionByRange(8, "o_orderkey")
+              .sortWithinPartitions("o_orderkey"))
+        encode_job.encode_table(spark, df, out, url_col=None, resume=False)
+        hits, stats = encoded_table.pruned_equals_count(
+            spark, out, "o_orderkey", 1)
+        assert stats["pruned_chunks"] >= 0
+        return spark.createDataFrame(
+            pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
+    finally:
+        sh.rmtree(out, ignore_errors=True)
+
+
 def match_positions_query(spark, sf_dir) -> DataFrame:
     """match_positions: global row ordinals (ordered by o_orderkey) whose
     o_orderstatus dict-code equals 'F' — filtering runs on compressed
