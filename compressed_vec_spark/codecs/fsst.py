@@ -82,10 +82,11 @@ def _sample_indices(n: int) -> np.ndarray:
 
 
 def build_table(data: np.ndarray, pair_ids: np.ndarray,
-                valid_pair: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                bound_pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Choose up to 255 symbols by sampled frequency gain.
 
-    Returns (singles: uint8 array, pairs: (P,2) uint8 array).
+    bound_pos: pair positions that cross string boundaries (excluded
+    from counting).  Returns (singles uint8, pairs (P,2) uint8).
     Gain: a single symbol saves 1 byte/occurrence vs escape; a pair
     saves 3 bytes/occurrence vs two escapes.  Deterministic: strided
     sample + stable sort on (-gain, symbol id).
@@ -101,10 +102,13 @@ def build_table(data: np.ndarray, pair_ids: np.ndarray,
     if len(pair_ids):
         if len(pair_ids) > SAMPLE_BYTES:
             idx = _sample_indices(len(pair_ids))
-            idx = idx[valid_pair[idx]]
+            if len(bound_pos):
+                idx = idx[~np.isin(idx, bound_pos)]
             c2 = np.bincount(pair_ids[idx], minlength=65536).astype(np.int64)
         else:
-            c2 = np.bincount(pair_ids[valid_pair], minlength=65536).astype(np.int64)
+            sel = np.ones(len(pair_ids), dtype=bool)
+            sel[bound_pos] = False
+            c2 = np.bincount(pair_ids[sel], minlength=65536).astype(np.int64)
     else:
         c2 = np.zeros(65536, dtype=np.int64)
     gain1 = c1  # (2 -> 1) per occurrence
@@ -145,14 +149,14 @@ def _encode_raw(data: np.ndarray, offsets: np.ndarray) -> bytes:
     n_strings = len(offsets) - 1
     N = len(data)
 
-    # pairs must not span string boundaries
-    valid_pair = np.ones(max(N - 1, 0), dtype=bool)
+    # pairs must not span string boundaries (cleared point-wise — the
+    # boundary set is tiny vs N)
     inner_bounds = offsets[1:-1]
-    valid_pair[inner_bounds[(inner_bounds > 0) & (inner_bounds < N)] - 1] = False
+    bound_pos = inner_bounds[(inner_bounds > 0) & (inner_bounds < N)] - 1
 
     pair_ids = (data[:-1].astype(np.uint32) << np.uint32(8)) | data[1:] if N > 1 \
         else np.empty(0, np.uint32)
-    singles, pairs = build_table(data, pair_ids, valid_pair)
+    singles, pairs = build_table(data, pair_ids, bound_pos)
     n_single = len(singles)
     n_symbols = n_single + len(pairs)
 
@@ -163,7 +167,8 @@ def _encode_raw(data: np.ndarray, offsets: np.ndarray) -> bytes:
     lut2[pair_keys] = np.arange(n_single, n_symbols, dtype=np.uint8)
 
     if N > 1:
-        cand = (lut2[pair_ids] != ESCAPE) & valid_pair
+        cand = lut2[pair_ids] != ESCAPE
+        cand[bound_pos] = False
         # boundary-crossing pairs are excluded above, so runs cannot
         # span strings — no segment ids needed here
         taken = _greedy_nonoverlap(np.flatnonzero(cand))
@@ -180,7 +185,7 @@ def _encode_raw(data: np.ndarray, offsets: np.ndarray) -> bytes:
     is_single = free & (single_code != ESCAPE)
     is_escape = free & (single_code == ESCAPE)
     sizes = (kind == 1).astype(np.int32) + is_single + 2 * is_escape.astype(np.int32)
-    pos = np.empty(N + 1, dtype=np.int64)
+    pos = np.empty(N + 1, dtype=np.int32)  # output <= 2N < 2^31 per chunk
     pos[0] = 0
     np.cumsum(sizes, out=pos[1:])
     total = int(pos[-1])
