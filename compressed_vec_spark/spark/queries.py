@@ -133,6 +133,33 @@ def encoded_table_pruned_count(spark, sf_dir) -> DataFrame:
         sh.rmtree(out, ignore_errors=True)
 
 
+def analytics_over_encoded(spark, sf_dir) -> DataFrame:
+    """TPC-H-Q1-style aggregation running on the DECODED view of an
+    encoded store: encode -> decode_chunks -> groupBy/agg — the proof
+    that standard DataFrame analytics work over the engine's format
+    (decoded view is a normal DataFrame; Catalyst owns the agg plan)."""
+    import tempfile
+    import shutil as sh
+    from ..spark import decode_job, encode_job
+    out = tempfile.mkdtemp(prefix="cvx_q1_")
+    try:
+        df = _read(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus",
+            F.col("l_quantity").cast("long").alias("qty"))
+        encode_job.encode_table(spark, df, out, url_col=None,
+                                num_partitions=8, resume=False)
+        chunks = spark.read.parquet(f"{out}/chunks")
+        decoded = decode_job.decode_chunks(
+            chunks, "l_returnflag string, l_linestatus string, qty long")
+        agg = (decoded.groupBy("l_returnflag", "l_linestatus")
+               .agg(F.sum("qty").cast("long").alias("sum_qty"),
+                    F.count("*").alias("count_order")))
+        # materialize before the temp store is deleted (lineage cut)
+        return agg.localCheckpoint(eager=True)
+    finally:
+        sh.rmtree(out, ignore_errors=True)
+
+
 def match_positions_query(spark, sf_dir) -> DataFrame:
     """match_positions: global row ordinals (ordered by o_orderkey) whose
     o_orderstatus dict-code equals 'F' — filtering runs on compressed
