@@ -21,7 +21,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_ROWS = int(os.environ.get("CVX_BENCH_ROWS", "600000"))
+SCALING_ROWS = int(os.environ.get("CVX_BENCH_ROWS", "800000"))
 
 # correctness-oriented all-pairs ops excluded from the timed headline
 # set: on the synthetic word-salad corpus baseline similarity is high,
