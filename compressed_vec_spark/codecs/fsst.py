@@ -175,26 +175,43 @@ def _encode_raw(data: np.ndarray, offsets: np.ndarray) -> bytes:
     else:
         taken = np.empty(0, dtype=np.int64)
 
-    kind = np.zeros(N, dtype=np.uint8)  # 0=single/escape path, 1=pair start, 2=covered
-    kind[taken] = 1
-    kind[taken + 1] = 2
     single_code = lut1[data]
-    # per-position output size in ONE arithmetic pass:
-    #   pair start 1, covered 0, single 1, escape 2
-    free = kind == 0
-    is_single = free & (single_code != ESCAPE)
-    is_escape = free & (single_code == ESCAPE)
-    sizes = (kind == 1).astype(np.int32) + is_single + 2 * is_escape.astype(np.int32)
+    covered = taken + 1
+
+    # escapes = not-in-table positions that are neither pair starts nor
+    # covered (tiny for text — handled with sorted-membership tests
+    # instead of full-size boolean arrays)
+    esc_all = np.flatnonzero(single_code == ESCAPE)
+
+    def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+        if not len(sorted_arr) or not len(values):
+            return np.zeros(len(values), dtype=bool)
+        idx = np.searchsorted(sorted_arr, values)
+        idx_c = np.minimum(idx, len(sorted_arr) - 1)
+        return sorted_arr[idx_c] == values
+
+    esc = esc_all[~(_in_sorted(esc_all, taken) | _in_sorted(esc_all, covered))]
+
+    sizes = np.ones(N, dtype=np.int32)   # default: one output byte
+    sizes[covered] = 0
+    sizes[esc] = 2
     pos = np.empty(N + 1, dtype=np.int32)  # output <= 2N < 2^31 per chunk
     pos[0] = 0
     np.cumsum(sizes, out=pos[1:])
     total = int(pos[-1])
-    out = np.empty(total, dtype=np.uint8)
-    out[pos[:-1][kind == 1]] = lut2[pair_ids[taken]] if len(taken) else np.empty(0, np.uint8)
-    out[pos[:-1][is_single]] = single_code[is_single]
-    esc_pos = pos[:-1][is_escape]
-    out[esc_pos] = ESCAPE
-    out[esc_pos + 1] = data[is_escape]
+    # +1 guard byte: a zero-size (covered) position at the very end maps
+    # to slot `total`; its harmless write lands in the guard
+    out = np.empty(total + 1, dtype=np.uint8)
+    # duplicate-index semantics: for each output slot the LAST writer in
+    # pos[:-1] is the actual emitter (zero-size positions precede it),
+    # so one scatter fills every slot with its emitter's single code
+    out[pos[:-1]] = single_code
+    if len(taken):
+        out[pos[taken]] = lut2[pair_ids[taken]]
+    if len(esc):
+        out[pos[esc]] = ESCAPE
+        out[pos[esc] + 1] = data[esc]
+    out = out[:total]
 
     code_lens = np.diff(pos[offsets]).astype(np.uint64)
     lens_vec = vec.encode_vector(code_lens, "u64")
