@@ -247,27 +247,34 @@ def decode(blob: bytes) -> pa.Array:
     seg_of = np.searchsorted(code_bounds, esc_idx, side="right")
     esc = _greedy_nonoverlap(esc_idx, seg_of)
 
-    kind = np.zeros(len(codes), dtype=np.uint8)  # 0=symbol, 1=escape, 2=literal
-    kind[esc] = 1
-    kind[esc + 1] = 2
+    lit = esc + 1  # literal bytes following taken escape markers
+    lit = lit[lit < len(codes)]  # defensive: malformed trailing escape
 
-    sym_len = np.concatenate([np.ones(n_single, np.int64),
-                              np.full(n_pairs, 2, np.int64),
-                              np.zeros(256 - n_symbols, np.int64)])
+    sym_len = np.concatenate([np.ones(n_single, np.int32),
+                              np.full(n_pairs, 2, np.int32),
+                              np.zeros(256 - n_symbols, np.int32)])
     sym_first = np.concatenate([singles, pairs[:, 0],
                                 np.zeros(256 - n_symbols, np.uint8)])
     sym_second = np.concatenate([np.zeros(n_single, np.uint8), pairs[:, 1],
                                  np.zeros(256 - n_symbols, np.uint8)])
 
-    sizes = np.where(kind == 0, sym_len[codes], np.where(kind == 2, 1, 0))
-    pos = np.concatenate(([0], np.cumsum(sizes)))
-    out = np.empty(int(pos[-1]), dtype=np.uint8)
-    sym_mask = kind == 0
-    out[pos[:-1][sym_mask]] = sym_first[codes[sym_mask]]
-    two = sym_mask & (sym_len[codes] == 2)
-    out[pos[:-1][two] + 1] = sym_second[codes[two]]
-    lit = kind == 2
-    out[pos[:-1][lit]] = codes[lit]
+    # escape markers (code 255) get size 0 for free: sym_len[255] == 0;
+    # only the literals after them need the sparse size-1 fix-up
+    sizes = sym_len[codes]
+    if len(lit):
+        sizes[lit] = 1
+    pos = np.empty(len(codes) + 1, dtype=np.int32)
+    pos[0] = 0
+    np.cumsum(sizes, out=pos[1:])
+    total = int(pos[-1])
+    out = np.empty(total + 1, dtype=np.uint8)  # +1 guard (see encode)
+    out[pos[:-1]] = sym_first[codes]           # last-writer-wins fill
+    if len(lit):
+        out[pos[lit]] = codes[lit]
+    two = np.flatnonzero(sizes == 2)
+    if len(two):
+        out[pos[two] + 1] = sym_second[codes[two]]
+    out = out[:total]
 
     str_offsets = pos[code_bounds]
     binary = pa.LargeBinaryArray.from_buffers(
