@@ -10,6 +10,13 @@ north-rule codecs.
 Blob = 4-byte codec tag + codec payload.  Int64 columns with negatives
 are zigzag-mapped to u64 first (tag records it); timestamps are
 epoch-microsecond u64.
+
+Nulls: `dict` stores them natively (code 0); every other codec encodes
+fill values for the null slots and the blob is wrapped as
+  b'NULM' + u32 n + packbits(null_mask) + inner blob
+so decode restores NA exactly (mirrors the reference's bulk-null
+append_nulls API, reference src/vector.rs:264-280, one indicator per
+chunk instead of per-section).
 """
 
 from __future__ import annotations
@@ -43,6 +50,13 @@ def _unzigzag(vals: np.ndarray) -> np.ndarray:
 def _int_values(series: pd.Series) -> tuple[np.ndarray, bool]:
     if series.dtype.kind == "M":
         vals = series.astype("datetime64[us]").to_numpy().view(np.int64)
+        if series.isna().any():
+            # NaT's i64-min sentinel would wreck FoR deltas; the null
+            # mask wrapper restores NaT on decode, so store 0
+            vals = np.where(series.isna().to_numpy(), np.int64(0), vals)
+    elif pd.api.types.is_extension_array_dtype(series.dtype):
+        # nullable Int64/Int32: null slots ride the NULM mask wrapper
+        vals = series.to_numpy(dtype=np.int64, na_value=0)
     else:
         vals = series.fillna(0).to_numpy()
     neg = bool(len(vals)) and bool(vals.min() < 0)
@@ -104,18 +118,50 @@ def encode_column(series: pd.Series, codec: str | None = None) -> tuple[str, byt
     else:
         raise ValueError(f"unsupported codec {codec} for dtype {series.dtype}")
 
+    blob = _TAGS[codec] + payload
+    if codec != "dict" and len(series) and series.isna().any():
+        mask = series.isna().to_numpy(dtype=bool)
+        blob = (b"NULM" + len(series).to_bytes(4, "little")
+                + np.packbits(mask).tobytes() + blob)
     meta = {
         "codec": codec,
         "num_elements": len(series),
-        "encoded_bytes": 4 + len(payload),
+        "encoded_bytes": len(blob),
         "stats": st,
     }
-    return codec, _TAGS[codec] + payload, meta
+    return codec, blob, meta
+
+
+def _restore_nulls(out, mask: np.ndarray, target_dtype: str | None):
+    """Re-apply the NULM null mask to a decoded column."""
+    if isinstance(out, pd.Series):  # strings / binary
+        out = out.copy()
+        out[mask] = None
+        return out
+    if target_dtype == "timestamp" or (target_dtype or "").startswith("datetime"):
+        s = pd.Series(out.astype(np.int64).view("datetime64[us]"))
+        s[mask] = pd.NaT
+        return s
+    if out.dtype.kind == "f":
+        dt = "Float32" if out.dtype == np.float32 else "Float64"
+        return pd.Series(pd.array(out, dtype=dt)).mask(mask, pd.NA)
+    return pd.Series(pd.arrays.IntegerArray(out.astype(np.int64),
+                                            mask=mask.copy()))
 
 
 def decode_column(blob: bytes, target_dtype: str | None = None):
     """Decode a chunk blob. Returns a numpy array / pandas Series whose
-    values are bit-identical to what was encoded."""
+    values are bit-identical to what was encoded (NA restored from the
+    NULM wrapper for nullable chunks)."""
+    blob = bytes(blob)
+    null_mask = None
+    if blob[:4] == b"NULM":
+        n = int.from_bytes(blob[4:8], "little")
+        nbytes = (n + 7) // 8
+        null_mask = np.unpackbits(
+            np.frombuffer(blob, dtype=np.uint8, count=nbytes, offset=8)
+        )[:n].astype(bool)
+        blob = blob[8 + nbytes:]
     codec = _BY_TAG[bytes(blob[:4])]
     payload = blob[4:]
     if codec == "vec_u64":
@@ -135,11 +181,11 @@ def decode_column(blob: bytes, target_dtype: str | None = None):
         out = npk.unpack_f64_xor(np.frombuffer(payload, dtype=np.uint8, offset=4), n) \
             if n else np.empty(0, dtype=np.float64)
     elif codec == "dict":
-        return dictionary.decode(payload)
+        out = dictionary.decode(payload)
     elif codec == "fsst":
-        return pd.Series(fsst.decode_strings(payload).to_pandas())
+        out = pd.Series(fsst.decode_strings(payload).to_pandas())
     elif codec == "binary_fsst":
-        return pd.Series(fsst.decode(payload).to_pandas())
+        out = pd.Series(fsst.decode(payload).to_pandas())
     elif codec == "deflate":
         import zlib
         import pyarrow as pa
@@ -151,10 +197,14 @@ def decode_column(blob: bytes, target_dtype: str | None = None):
         arr = pa.LargeBinaryArray.from_buffers(
             pa.large_binary(), n,
             [None, pa.py_buffer(offs.astype(np.int64).tobytes()), pa.py_buffer(data)])
-        return pd.Series(arr.to_pandas())
+        out = pd.Series(arr.to_pandas())
     else:
         raise ValueError(codec)
 
+    if null_mask is not None and null_mask.any():
+        return _restore_nulls(out, null_mask, target_dtype)
+    if isinstance(out, pd.Series):
+        return out
     if target_dtype == "timestamp":
         return out.astype(np.int64).view("datetime64[us]")
     if target_dtype and target_dtype.startswith("int"):

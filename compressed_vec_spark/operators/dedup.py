@@ -27,17 +27,18 @@ def _shingle_hashes(texts: pa.Array, k: int = 5) -> tuple[np.ndarray, np.ndarray
     """k-byte shingle hashes for every doc, vectorized over the whole
     batch.  Returns (hashes int64 flat, doc boundaries int64)."""
     data, offsets = _string_buffers(texts)
-    n_sh = np.maximum(np.diff(offsets) - (k - 1), 1)
+    # docs shorter than k contribute NO shingles (an empty set — never a
+    # fabricated hash over bytes of a neighboring doc); mirrors the SQL
+    # oracle's length >= k filter
+    n_sh = np.maximum(np.diff(offsets) - (k - 1), 0)
     # polynomial rolling hash over k bytes at every position
     h = np.zeros(max(len(data) - (k - 1), 0), dtype=np.uint64)
     for j in range(k):
         h = h * np.uint64(1099511628211) + data[j:len(data) - (k - 1) + j]
-    # positions crossing doc boundaries are clipped per-doc below
     starts = offsets[:-1]
     idx = np.repeat(starts, n_sh) + _within_counts(n_sh)
-    idx = np.minimum(idx, max(len(h) - 1, 0))
-    return h[idx] if len(h) else np.zeros(int(n_sh.sum()), np.uint64), \
-        np.concatenate(([0], np.cumsum(n_sh)))
+    return (h[idx] if len(h) else np.zeros(int(n_sh.sum()), np.uint64),
+            np.concatenate(([0], np.cumsum(n_sh))))
 
 
 def _within_counts(counts: np.ndarray) -> np.ndarray:
@@ -57,12 +58,17 @@ def minhash_signatures(texts: pa.Array, n_hashes: int = 128, k: int = 5,
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.uint64)
     b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.uint64)
-    out = np.empty((n_docs, n_hashes), dtype=np.uint64)
-    starts = bounds[:-1]
-    hv = hashes % np.uint64(_MERSENNE)
-    for i in range(n_hashes):
-        perm = (a[i] * hv + b[i]) % np.uint64(_MERSENNE)
-        out[:, i] = np.minimum.reduceat(perm, starts) if len(perm) else 0
+    # shingle-less docs get an all-max sentinel signature (callers must
+    # exclude them from banding — an empty set is near-dup to nothing)
+    out = np.full((n_docs, n_hashes), np.uint64(0xFFFFFFFFFFFFFFFF),
+                  dtype=np.uint64)
+    nonempty = np.diff(bounds) > 0
+    starts_ne = bounds[:-1][nonempty]
+    if len(starts_ne):
+        hv = hashes % np.uint64(_MERSENNE)
+        for i in range(n_hashes):
+            perm = (a[i] * hv + b[i]) % np.uint64(_MERSENNE)
+            out[nonempty, i] = np.minimum.reduceat(perm, starts_ne)
     return out
 
 
@@ -96,8 +102,46 @@ def exact_jaccard_pairs(texts_by_id: dict[int, str], pairs: list[tuple[int, int]
         s1, s2 = shingles(d1), shingles(d2)
         inter = len(np.intersect1d(s1, s2, assume_unique=True))
         union = len(s1) + len(s2) - inter
-        out.append((d1, d2, inter / union if union else 1.0))
+        # empty shingle sets (sub-k docs) are near-dup to NOTHING —
+        # matches the SQL oracle's length >= k filter
+        out.append((d1, d2, inter / union if union else 0.0))
     return out
+
+
+def batch_jaccard(t1: pa.Array, t2: pa.Array, k: int = 5) -> np.ndarray:
+    """Exact k-shingle Jaccard for N aligned text pairs, fully
+    vectorized across the batch (no per-pair Python): one lexsort-dedup
+    per side + one merged duplicate count for intersections."""
+    n = len(t1)
+    h1, b1 = _shingle_hashes(t1, k)
+    h2, b2 = _shingle_hashes(t2, k)
+    p1 = np.repeat(np.arange(n, dtype=np.int64), np.diff(b1))
+    p2 = np.repeat(np.arange(n, dtype=np.int64), np.diff(b2))
+
+    def uniq(p, h):
+        if not len(p):
+            return p, h
+        order = np.lexsort((h, p))
+        p, h = p[order], h[order]
+        keep = np.ones(len(p), dtype=bool)
+        keep[1:] = (p[1:] != p[:-1]) | (h[1:] != h[:-1])
+        return p[keep], h[keep]
+
+    p1, h1 = uniq(p1, h1)
+    p2, h2 = uniq(p2, h2)
+    s1 = np.bincount(p1, minlength=n)
+    s2 = np.bincount(p2, minlength=n)
+    pc = np.concatenate([p1, p2])
+    hc = np.concatenate([h1, h2])
+    inter = np.zeros(n, dtype=np.int64)
+    if len(pc):
+        order = np.lexsort((hc, pc))
+        pc, hc = pc[order], hc[order]
+        dup = (pc[1:] == pc[:-1]) & (hc[1:] == hc[:-1])
+        inter = np.bincount(pc[1:][dup], minlength=n)
+    union = s1 + s2 - inter
+    # empty shingle sets are near-dup to nothing (oracle length filter)
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
 
 
 def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
@@ -105,7 +149,13 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       rows_per_band: int = 2, k: int = 5) -> DataFrame:
     """Full near-dup pipeline: signatures -> band explode -> bucket join
     -> exact-Jaccard verify.  Returns (d1, d2) pairs with exact Jaccard
-    >= threshold (d1 < d2)."""
+    >= threshold (d1 < d2).
+
+    Scale shape: the band self-join is the only big shuffle and its keys
+    are uniform minhash buckets; the verify stage streams the corpus
+    TWICE with the (small) candidate-pair side broadcast — the full text
+    column is never shuffled — and scores each Arrow batch with one
+    vectorized numpy Jaccard kernel."""
     n_bands = n_hashes // rows_per_band
 
     def sig_fn(batches):
@@ -113,10 +163,15 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
             texts = pa.array(pdf[text_col].fillna(""), type=pa.large_utf8())
             sigs = minhash_signatures(texts, n_hashes, k)
             bh = band_hashes(sigs, rows_per_band)
+            # shingle-less docs (len < k) have sentinel signatures; keep
+            # them out of the banding so they can never pair up
+            lens = np.diff(_string_buffers(texts)[1])
+            keep = lens >= k
+            ids = pdf[id_col].to_numpy()[keep]
             yield pd.DataFrame({
-                id_col: np.repeat(pdf[id_col].to_numpy(), n_bands),
-                "band": np.tile(np.arange(n_bands), len(pdf)),
-                "bucket": bh.ravel(),
+                id_col: np.repeat(ids, n_bands),
+                "band": np.tile(np.arange(n_bands), len(ids)),
+                "bucket": bh[keep].ravel(),
             })
 
     banded = df.select(id_col, text_col).mapInPandas(
@@ -131,41 +186,43 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                     F.col(f"b.{id_col}").alias("d2"))
             .distinct())
 
-    # verify candidates with exact Jaccard, distributed: attach both
-    # texts via two broadcast-able joins (candidates are rare vs the
-    # corpus), then per-pair numpy shingle-set intersection
+    # attach texts by broadcasting the (small, id-only) candidate list
+    # into two corpus scans — the corpus text column is never shuffled;
+    # the final join unites two candidate-sized sides only
     t1 = df.select(F.col(id_col).alias("d1"), F.col(text_col).alias("t1"))
     t2 = df.select(F.col(id_col).alias("d2"), F.col(text_col).alias("t2"))
-    withtext = cand.join(t1, "d1").join(t2, "d2")
+    s1 = t1.join(F.broadcast(cand), "d1")            # (d1, d2, t1)
+    s2 = t2.join(F.broadcast(cand), "d2")            # (d2, d1, t2)
+    withtext = s1.join(s2, ["d1", "d2"])
 
     def verify_fn(batches):
         for pdf in batches:
-            keep1, keep2 = [], []
-            for d1, d2, a_txt, b_txt in zip(pdf["d1"], pdf["d2"], pdf["t1"], pdf["t2"]):
-                texts = {0: a_txt or "", 1: b_txt or ""}
-                (_, _, j), = exact_jaccard_pairs(texts, [(0, 1)], k)
-                if j >= threshold:
-                    keep1.append(int(d1))
-                    keep2.append(int(d2))
-            yield pd.DataFrame({"d1": pd.Series(keep1, dtype="int64"),
-                                "d2": pd.Series(keep2, dtype="int64")})
+            a1 = pa.array(pdf["t1"].fillna(""), type=pa.large_utf8())
+            a2 = pa.array(pdf["t2"].fillna(""), type=pa.large_utf8())
+            j = batch_jaccard(a1, a2, k)
+            keep = j >= threshold
+            yield pd.DataFrame({
+                "d1": pdf["d1"].to_numpy()[keep].astype(np.int64),
+                "d2": pdf["d2"].to_numpy()[keep].astype(np.int64)})
 
     return withtext.mapInPandas(verify_fn, "d1 long, d2 long")
 
 
-def simhash64(texts: pa.Array, seed: int = 42) -> np.ndarray:
-    """64-bit SimHash over whitespace tokens, vectorized."""
-    data, offsets = _string_buffers(texts)
-    # token splitting on spaces, vectorized: hash words via cumulative
-    # per-doc segmentation.  Simpler: 4-byte shingles stand in as the
-    # token features (robust, language-free).
-    h, bounds = _shingle_hashes(texts, k=4)
+def simhash64(texts: pa.Array, k: int = 4) -> np.ndarray:
+    """64-bit SimHash, vectorized: the features are the same k-byte
+    rolling shingle hashes used by doc_fingerprint / MinHash (robust,
+    language-free); each feature votes ±1 per bit, the sign of the vote
+    sum sets the signature bit.  Shingle-less docs (len < k) get
+    signature 0."""
+    h, bounds = _shingle_hashes(texts, k=k)
     n_docs = len(bounds) - 1
     sig = np.zeros((n_docs, 64), dtype=np.int64)
-    starts = bounds[:-1]
-    for bit in range(64):
-        bits = ((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
-        sig[:, bit] = np.add.reduceat(bits, starts) if len(bits) else 0
+    nonempty = np.diff(bounds) > 0
+    starts_ne = bounds[:-1][nonempty]
+    if len(h) and len(starts_ne):
+        for bit in range(64):
+            bits = ((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
+            sig[nonempty, bit] = np.add.reduceat(bits, starts_ne)
     out = np.zeros(n_docs, dtype=np.uint64)
     for bit in range(64):
         out |= (sig[:, bit] > 0).astype(np.uint64) << np.uint64(bit)

@@ -153,7 +153,9 @@ def range_mask(buf: bytes, kind: str, lo: int, hi: int,
     types = body[starts]
     S = len(starts)
     masks = np.zeros((S, FIXED_LEN), dtype=bool)
-    lo_u, hi_u = np.uint64(max(lo, 0)), np.uint64(max(hi, 0))
+    _U64MAX = (1 << 64) - 1
+    lo_u = np.uint64(min(max(lo, 0), _U64MAX))
+    hi_u = np.uint64(min(max(hi, 0), _U64MAX))
     skipped = 0
 
     if lo <= 0 <= hi:
@@ -180,8 +182,16 @@ def range_mask(buf: bytes, kind: str, lo: int, hi: int,
         for b in range(width):
             base |= body[d_starts + 4 + b].astype(np.uint64) << np.uint64(8 * b)
         numbits = body[d_starts + 3].astype(np.uint64)
-        sect_max = base + (np.uint64(1) << numbits) - np.uint64(1)
-        overlap = (base <= hi_u) & (sect_max >= lo_u)
+        # wrap-safe bound check: base can sit near 2^64 (u64 hashes) and
+        # numbits can be 64, so never materialize base + 2^numbits - 1
+        # in uint64.  span = 2^numbits - 1; section range = [base,
+        # base + span] intersects [lo, hi] iff base <= hi and
+        # (lo <= base or lo - base <= span).
+        span = np.full(len(numbits), np.uint64(0xFFFFFFFFFFFFFFFF),
+                       dtype=np.uint64)
+        small = numbits < np.uint64(64)
+        span[small] = (np.uint64(1) << numbits[small]) - np.uint64(1)
+        overlap = (base <= hi_u) & ((lo_u <= base) | (lo_u - base <= span))
         decode_delta[d_idx[overlap]] = True
         skipped += int((~overlap).sum())
 

@@ -37,7 +37,10 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str,
             ids = pdf[id_col].to_numpy()
             mask = ~np.isin(ids, exclude_ids)
             sims, ids = sims[mask], ids[mask]
-            top = np.argsort(-sims, kind="stable")[:k]
+            # tie-break by id INSIDE the partial cut too, so the
+            # partition-local top-k agrees with the global
+            # ORDER BY sim DESC, id when equal sims straddle the cut
+            top = np.lexsort((ids, -sims))[:k]
             yield pd.DataFrame({id_col: ids[top], "sim": sims[top]})
 
     partial = df.select(id_col, vec_col).mapInPandas(fn, f"{id_col} long, sim double")

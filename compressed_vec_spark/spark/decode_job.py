@@ -33,7 +33,10 @@ def decode_chunks(chunks: DataFrame, schema: str,
         cols = {}
         for _, row in pdf.iterrows():
             out = chunk_codec.decode_column(bytes(row["blob"]), dtypes.get(row["column"]))
-            cols[row["column"]] = np.asarray(out) if not isinstance(out, pd.Series) else out.to_numpy()
+            # keep pandas Series as-is (nullable chunks come back as
+            # masked extension arrays; .to_numpy() would objectify NA)
+            cols[row["column"]] = (out.reset_index(drop=True)
+                                   if isinstance(out, pd.Series) else np.asarray(out))
         return pd.DataFrame(cols)
 
     return chunks.groupBy("chunk_id").applyInPandas(rebuild, schema=schema)

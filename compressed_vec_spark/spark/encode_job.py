@@ -52,6 +52,15 @@ MANIFEST_COLS = ["part_id", "chunk_seq", "chunk_id", "column", "codec",
                  "min_val", "max_val", "encode_sec"]
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through Spark's Hadoop FileSystem API — works on
+    HDFS/S3A/GCS paths where a driver-local os.path.exists would not."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def _raw_size(series: pd.Series) -> int:
     k = series.dtype.kind
     if k in "iufM":
@@ -160,17 +169,30 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
     skip_parts: set[int] = set()
     chunks_path = os.path.join(out_dir, "chunks")
     manifest_path = os.path.join(out_dir, "manifest")
-    if resume and write and os.path.exists(manifest_path):
-        done = (spark.read.parquet(manifest_path)
-                .groupBy("part_id").count().collect())
-        skip_parts = {r["part_id"] for r in done}
+    if resume and write and _fs_exists(spark, chunks_path):
+        # resume state is derived from the CHUNKS directory (the data of
+        # record), not the manifest: a failure between the chunk write
+        # and the manifest write would otherwise leave committed chunks
+        # invisible to resume and re-append duplicates.  part_id is the
+        # partition column, so this reads only the directory listing.
+        try:
+            done = (spark.read.parquet(chunks_path)
+                    .select("part_id").distinct().collect())
+            skip_parts = {r["part_id"] for r in done}
+        except Exception:
+            skip_parts = set()  # empty/partial dir: re-encode everything
 
     enc = df.mapInPandas(_encode_iter(columns, codec_overrides, skip_parts),
                          schema=CHUNK_SCHEMA)
     if not write:
         return enc
 
-    (enc.write.mode("append").partitionBy("part_id").parquet(chunks_path))
+    # dynamic partition overwrite: a replayed partition REPLACES its
+    # directory instead of appending a duplicate — encode is
+    # deterministic, so replace is idempotent
+    (enc.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_id").parquet(chunks_path))
     # manifest derived from the written chunks (no double encode)
     written = spark.read.parquet(chunks_path)
     (written.select(*MANIFEST_COLS)

@@ -127,6 +127,51 @@ def test_chunk_roundtrip(series):
     assert meta["num_elements"] == len(series)
 
 
+def _with_nulls(series, every=7):
+    s = series.copy()
+    if s.dtype.kind in "iu":
+        s = s.astype("Int64")
+    s[::every] = None
+    return s
+
+
+@pytest.mark.parametrize("series,dtype", [
+    (_with_nulls(pd.Series(np.arange(1000, dtype=np.int64) + 10**12)), "int64"),
+    (_with_nulls(pd.Series(np.linspace(-5, 5, 600))), None),
+    (_with_nulls(pd.Series(pd.to_datetime(np.arange(600) * 10**9))), "timestamp"),
+    (_with_nulls(pd.Series([f"doc body {i} {i*31:x}" for i in range(500)])), None),
+    (_with_nulls(pd.Series([b"<html>" + bytes(str(i), "ascii") for i in range(300)])), None),
+    (_with_nulls(pd.Series(["en", "de", "fr", "es", "it"] * 100)), None),  # dict
+])
+def test_chunk_roundtrip_with_nulls(series, dtype):
+    """Nullable chunks decode back with NA restored, non-null values
+    bit-identical (the NULM wrapper / dict code-0 convention)."""
+    codec, blob, meta = chunk.encode_column(series)
+    out = chunk.decode_column(blob, dtype)
+    out = pd.Series(out).reset_index(drop=True)
+    want_na = series.isna().reset_index(drop=True)
+    assert out.isna().reset_index(drop=True).equals(want_na)
+    nn = ~want_na
+    got, want = out[nn], series.reset_index(drop=True)[nn]
+    if series.dtype.kind == "M":
+        assert (got.astype("datetime64[us]").to_numpy()
+                == want.astype("datetime64[us]").to_numpy()).all()
+    elif str(series.dtype) in ("Int64", "float64"):
+        assert (got.to_numpy(dtype=np.float64)
+                == want.to_numpy(dtype=np.float64)).all()
+    else:
+        assert got.tolist() == want.tolist()
+    assert meta["num_elements"] == len(series)
+
+
+def test_chunk_null_vs_empty_string_distinct():
+    s = pd.Series(["", None, "x", "", None] * 50)
+    codec, blob, _ = chunk.encode_column(s, codec="fsst")
+    out = chunk.decode_column(blob)
+    assert out.isna().tolist() == s.isna().tolist()
+    assert out[~s.isna()].tolist() == s[~s.isna()].tolist()
+
+
 def test_chunk_compression_ratio_on_skewed_ints():
     # FoR/NibblePack should beat raw 8-byte encoding by a wide margin
     s = pd.Series(np.arange(100_000, dtype=np.int64) + 1_600_000_000_000)

@@ -93,6 +93,20 @@ def test_range_mask_with_delta_skip():
     assert stats["skipped_without_decode"] == stats["sections"]
 
 
+def test_range_mask_u64_wrap_near_max():
+    # values near 2^64 (e.g. u64 hashes): the Delta-header bound check
+    # must not wrap base + 2^numbits - 1 in uint64 and silently skip
+    top = (1 << 64) - 1
+    data = np.arange(top - 199, top - 50, dtype=np.uint64)
+    data = np.resize(data, 256)
+    buf = vec.encode_vector(data, "u64")
+    masks = filters.range_mask(buf, "u64", top - 300, top)
+    assert filters.count_hits(masks) == 256
+    # disjoint low range still skips cleanly
+    masks, stats = filters.range_mask(buf, "u64", 0, 1000, return_stats=True)
+    assert filters.count_hits(masks) == 0
+
+
 def test_range_mask_null_const():
     data = np.concatenate([np.zeros(256, dtype=np.uint64),
                            np.full(256, 50, dtype=np.uint64),

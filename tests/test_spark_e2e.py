@@ -111,6 +111,28 @@ def test_resume_completes_after_partial_failure(spark, tmp_path):
     assert all(v == 0 for v in res["mismatches"].values()), res
 
 
+def test_resume_after_manifest_write_failure(spark, tmp_path):
+    """Failure BETWEEN the chunk write and the manifest write: chunks
+    are fully committed but no manifest exists.  The re-run must not
+    append duplicate chunks (resume state derives from the chunks dir,
+    and replays use dynamic partition overwrite)."""
+    out = str(tmp_path / "enc5")
+    web = webtable.webpages(spark, 1000, partitions=2)
+    encode_job.encode_table(spark, web, out, num_partitions=2)
+    chunks_path = os.path.join(out, "chunks")
+    manifest_path = os.path.join(out, "manifest")
+    n1 = spark.read.parquet(chunks_path).count()
+    shutil.rmtree(manifest_path)  # simulate dying before the manifest write
+
+    encode_job.encode_table(spark, web, out, num_partitions=2)
+    after = spark.read.parquet(chunks_path)
+    assert after.count() == n1  # no duplicate chunks
+    dup = (after.groupBy("chunk_id", "column").count()
+           .where(F.col("count") > 1).count())
+    assert dup == 0
+    assert os.path.exists(manifest_path)  # manifest restored
+
+
 def test_salted_partitioning_spreads_hot_host(spark):
     # one host dominating the table must not land on a single partition
     web = webtable.webpages(spark, 4000, partitions=4)
