@@ -211,6 +211,33 @@ def oracle_sql() -> dict[str, str]:
             "'as','on','be','at','by','this','from'))) * 1000000.0 "
             "/ greatest(len(string_split(trim(text), ' ')), 1)) AS BIGINT) "
             "AS stopword_ppm FROM documents",
+        "simhash_signatures":
+            # full SimHash re-derivation in SQL: same 4-byte windowed
+            # polynomial feature hash mod 2^31, +/-1 votes per bit over
+            # every window occurrence, sign of the vote sets the bit
+            "WITH pos AS ("
+            "  SELECT doc_id, text, "
+            "         unnest(range(1, greatest(length(text) - 3, 0) + 1)) AS i"
+            "  FROM documents WHERE length(text) >= 4), "
+            "feat AS ("
+            "  SELECT doc_id, "
+            "    (CAST(ascii(substr(text, i, 1)) AS BIGINT) * 2654435761 "
+            "     + CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) * 2246822519 "
+            "     + CAST(ascii(substr(text, i + 2, 1)) AS BIGINT) * 3266489917 "
+            "     + CAST(ascii(substr(text, i + 3, 1)) AS BIGINT) * 668265263) "
+            "    % 2147483648 AS h"
+            "  FROM pos), "
+            "votes AS ("
+            "  SELECT doc_id, bit, "
+            "         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v"
+            "  FROM feat CROSS JOIN (SELECT unnest(range(0, 31)) AS bit) b"
+            "  GROUP BY doc_id, bit), "
+            "sig AS ("
+            "  SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)"
+            "                          ELSE 0 END) AS simhash"
+            "  FROM votes GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash "
+            "FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id",
         "doc_fingerprint":
             "WITH pos AS (SELECT doc_id, text, "
             "unnest(range(1, length(text) + 1)) AS i FROM documents) "
@@ -220,6 +247,4 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 6 THEN 887503681 ELSE 27512614111 END)) "
             f"% {1 << 31} AS BIGINT) AS fingerprint "
             "FROM pos GROUP BY doc_id",
-        # simhash_signatures: intentionally no oracle (bitwise signature
-        # construction is not SQL-expressible) -> rows-only check
     }

@@ -80,3 +80,49 @@ def decode(blob: bytes) -> np.ndarray:
 def bucket_bounds(blob: bytes) -> np.ndarray:
     B, _R, init, mult = struct.unpack_from("<HIdd", blob, 2)
     return init * mult ** np.arange(B)
+
+
+# --- reference BinHistogramHeader wire format --------------------------------
+# (reference src/histogram.rs:18-76: repr(C, packed) header + geometric
+# bucket definition + pack_u64 values; byte-compatible port)
+
+FMT_EMPTY = 0x00
+FMT_GEOMETRIC_DELTA = 0x01
+FMT_GEOMETRIC1_DELTA = 0x02
+
+_GEOM_BUCKET_DEF_LEN = 16 + 2  # sizeof(PackedGeometricBuckets) + 2
+
+
+def compress_geom_nonincreasing(num_buckets: int, initial_bucket: float,
+                                multiplier: float, format_code: int,
+                                bucket_values: np.ndarray) -> bytes:
+    """Byte-identical port of the reference's compress_geom_nonincreasing
+    (reference src/histogram.rs:50-76): 5-byte packed BinHistogramHeader
+    {format_code u8, bucket_def_len u16 LE, num_buckets u16 LE}, then
+    PackedGeometricBuckets {initial_bucket f64 LE, multiplier f64 LE},
+    then pack_u64(bucket_values) starting at offset bucket_def_len + 3."""
+    header = struct.pack("<BHH", format_code, _GEOM_BUCKET_DEF_LEN, num_buckets)
+    geom = struct.pack("<dd", initial_bucket, multiplier)
+    vals = np.ascontiguousarray(bucket_values, dtype=np.uint64)
+    payload = npk.pack_u64(vals)
+    return header + geom + payload.tobytes()
+
+
+def parse_bin_histogram(buf: bytes) -> dict:
+    """Reader for the reference wire format: header fields, geometric
+    bucket bounds, and the unpacked bucket values."""
+    format_code, bucket_def_len, num_buckets = struct.unpack_from("<BHH", buf, 0)
+    out = {"format_code": format_code, "bucket_def_len": bucket_def_len,
+           "num_buckets": num_buckets}
+    if format_code == FMT_EMPTY:
+        out["values"] = np.zeros(0, dtype=np.uint64)
+        return out
+    initial_bucket, multiplier = struct.unpack_from("<dd", buf, 5)
+    values_off = 3 + bucket_def_len  # offset_of(num_buckets) + def_len
+    data = np.frombuffer(buf, dtype=np.uint8, offset=values_off)
+    out.update({
+        "initial_bucket": initial_bucket, "multiplier": multiplier,
+        "bucket_bounds": initial_bucket * multiplier ** np.arange(num_buckets),
+        "values": npk.unpack_u64(data, num_buckets),
+    })
+    return out

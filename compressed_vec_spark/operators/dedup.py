@@ -208,6 +208,44 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     return withtext.mapInPandas(verify_fn, "d1 long, d2 long")
 
 
+# weights chosen so b0*W0+..+b3*W3 stays < 2^63 (SQL BIGINT-safe) while
+# mod 2^31 mixes every byte into every output bit
+_SH32_W = (2654435761, 2246822519, 3266489917, 668265263)
+_SH32_MOD = 1 << 31
+
+
+def simhash32(texts: pa.Array) -> np.ndarray:
+    """31-bit SimHash whose feature hash is expressible in ANSI SQL
+    (DuckDB-oracle-checkable): for every 4-byte window at position i,
+    h = (b0*W0 + b1*W1 + b2*W2 + b3*W3) mod 2^31; every occurrence
+    votes +/-1 per bit; the sign of the vote sum sets the signature
+    bit.  Docs shorter than 4 bytes get signature 0.  Returns int64
+    (always >= 0)."""
+    data, offsets = _string_buffers(texts)
+    k = 4
+    n_sh = np.maximum(np.diff(offsets) - (k - 1), 0)
+    span = max(len(data) - (k - 1), 0)
+    h = np.zeros(span, dtype=np.uint64)
+    for j, w in enumerate(_SH32_W):
+        h += data[j:span + j].astype(np.uint64) * np.uint64(w)
+    h %= np.uint64(_SH32_MOD)
+    idx = np.repeat(offsets[:-1], n_sh) + _within_counts(n_sh)
+    h = h[idx] if span else np.zeros(int(n_sh.sum()), np.uint64)
+    bounds = np.concatenate(([0], np.cumsum(n_sh)))
+    n_docs = len(bounds) - 1
+    sig = np.zeros((n_docs, 31), dtype=np.int64)
+    nonempty = np.diff(bounds) > 0
+    starts_ne = bounds[:-1][nonempty]
+    if len(h) and len(starts_ne):
+        for bit in range(31):
+            bits = ((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
+            sig[nonempty, bit] = np.add.reduceat(bits, starts_ne)
+    out = np.zeros(n_docs, dtype=np.int64)
+    for bit in range(31):
+        out |= (sig[:, bit] > 0).astype(np.int64) << bit
+    return out
+
+
 def simhash64(texts: pa.Array, k: int = 4) -> np.ndarray:
     """64-bit SimHash, vectorized: the features are the same k-byte
     rolling shingle hashes used by doc_fingerprint / MinHash (robust,

@@ -94,6 +94,67 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
     return cosine_topk(candidates, id_col, vec_col, query_vec, k, exclude_ids)
 
 
+def cosine_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
+                        threshold_ppm: int = 950000, n_planes: int = 8,
+                        n_tables: int = 24, seed: int = 42) -> DataFrame:
+    """All-pairs cosine near-dup WITHOUT the all-pairs join: multi-table
+    random-hyperplane LSH generates candidates (docs sharing a (table,
+    bucket) key), then an exact JVM-side cosine verifies them.
+
+    Recall: a pair at cos=0.95 collides per table w.p. (1-acos(.95)/pi)^8
+    ~= 0.43, so 24 tables miss it w.p. 0.57^24 ~= 2e-6; precision is
+    exact (verify recomputes cosine).  Scale: the banded self-join is the
+    only large shuffle and its keys are uniform hyperplane buckets; at
+    larger corpora raise n_planes (~log2(N/64)) and n_tables together so
+    per-bucket occupancy and recall both hold.  The verify stage
+    broadcasts only the id-pair list; embeddings are never shuffled.
+
+    Returns (v1, v2) with floor(cos * 1e6) >= threshold_ppm, v1 < v2.
+    """
+    from ..functions import cosine_similarity
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    pows = (1 << np.arange(n_planes, dtype=np.uint64))
+
+    def band_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _mat(pdf[vec_col])
+            # (B, T, P) sign bits -> (B, T) bucket ids
+            bits = (np.einsum("bd,tpd->btp", m, planes) > 0).astype(np.uint64)
+            buckets = (bits @ pows).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            n, t = buckets.shape
+            yield pd.DataFrame({
+                id_col: np.repeat(ids, t),
+                "table": np.tile(np.arange(t, dtype=np.int32), n),
+                "bucket": buckets.ravel(),
+            })
+
+    banded = df.select(id_col, vec_col).mapInPandas(
+        band_fn, f"{id_col} long, table int, bucket long")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, on=["table", "bucket"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("v1"),
+                    F.col(f"b.{id_col}").alias("v2"))
+            .distinct())
+
+    e1 = df.select(F.col(id_col).alias("v1"),
+                   F.col(vec_col).cast("array<double>").alias("e1"))
+    e2 = df.select(F.col(id_col).alias("v2"),
+                   F.col(vec_col).cast("array<double>").alias("e2"))
+    s1 = e1.join(F.broadcast(cand), "v1")
+    s2 = e2.join(F.broadcast(cand), "v2")
+    pairs = s1.join(s2, ["v1", "v2"])
+    sim = cosine_similarity(F.col("e1"), F.col("e2"))
+    return (pairs.where(F.floor(sim * 1000000.0) >= threshold_ppm)
+            .select("v1", "v2"))
+
+
 def lsh_bucket_topk(df: DataFrame, id_col: str, vec_col: str,
                     query_vec: np.ndarray, k: int = 10, n_planes: int = 12,
                     seed: int = 42, exclude_ids: tuple = ()) -> DataFrame:

@@ -45,11 +45,15 @@ def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
     candidates = manifest.where(
         (F.col("column") == column)
         & (F.col("min_val") <= value) & (F.col("max_val") >= value))
-    cand_keys = [r["chunk_id"] for r in candidates.select("chunk_id").collect()]
+    # the candidate ids stay distributed: a broadcast join prunes the
+    # chunk scan instead of collecting ids into a driver-side isin()
+    # (which would put millions of literals in the plan at scale)
+    scanned_chunks = candidates.count()
+    cand_ids = candidates.select("chunk_id")
 
     chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
-              .where((F.col("column") == column)
-                     & F.col("chunk_id").isin(cand_keys)))
+              .where(F.col("column") == column)
+              .join(F.broadcast(cand_ids), "chunk_id"))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -63,8 +67,8 @@ def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
         .agg(F.sum("hits")).collect()[0][0]
     return int(agg or 0), {
         "total_chunks": total_chunks,
-        "scanned_chunks": len(cand_keys),
-        "pruned_chunks": total_chunks - len(cand_keys),
+        "scanned_chunks": scanned_chunks,
+        "pruned_chunks": total_chunks - scanned_chunks,
     }
 
 

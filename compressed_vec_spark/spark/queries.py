@@ -247,26 +247,30 @@ def codec_histogram(spark, sf_dir) -> DataFrame:
     """AutoEncoder section-type histogram of l_partkey in
     (l_orderkey, l_linenumber) order — the oracle SQL re-derives the
     same decision from per-256-block min/max, so this checks the codec
-    chooser end to end.  Intentionally single-partition: the oracle
-    numbers 256-blocks over the GLOBAL row order, which only exists in
-    one task (production encoding is per-chunk and has no such global
-    alignment requirement)."""
-    df = (_read(spark, sf_dir, "lineitem")
-          .select("l_partkey", "l_orderkey", "l_linenumber")
-          .repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber"))
+    chooser end to end.
 
-    def fn(batches):
-        # one vector over the whole (single-partition) column so 256-block
-        # boundaries match the oracle's row_number()-based blocks
-        parts = [pdf["l_partkey"].to_numpy(np.uint64) for pdf in batches]
-        arr = np.concatenate(parts) if parts else np.empty(0, np.uint64)
-        buf = vec.encode_vector(arr, "u64")
+    Distributed with GLOBALLY ALIGNED 256-blocks: the two-pass
+    prefix-sum scan assigns every row its global ordinal, rows group by
+    floor(pos / K) with K a multiple of 256, so every task's section
+    boundaries coincide with the oracle's row_number()-based blocks
+    (only the globally-last task can hold a partial, zero-padded block).
+    No single-partition stage anywhere."""
+    from ..operators.scan import global_positions
+    df = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber")
+    with_pos = global_positions(df, ["l_orderkey", "l_linenumber"])
+    K = 256 * 32  # rows per task: multiple of 256 => global alignment
+    d = with_pos.withColumn("__blk", F.floor(F.col("pos") / K).cast("int"))
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos", kind="mergesort")
+        buf = vec.encode_vector(pdf["l_partkey"].to_numpy(np.uint64), "u64")
         hist = vec.vector_stats(buf, "u64")["sect_types_histogram"]
-        yield pd.DataFrame({"codec": list(hist.keys()),
-                            "sections": list(hist.values())})
+        return pd.DataFrame({"codec": list(hist.keys()),
+                             "sections": list(hist.values())})
 
-    return (df.mapInPandas(fn, "codec string, sections long")
-              .groupBy("codec").agg(F.sum("sections").cast("long").alias("sections")))
+    return (d.groupBy("__blk").applyInPandas(fn, "codec string, sections long")
+             .groupBy("codec").agg(F.sum("sections").cast("long").alias("sections")))
 
 
 # --- north-rule codec family --------------------------------------------------
@@ -329,11 +333,12 @@ def fsst_text_roundtrip(spark, sf_dir) -> DataFrame:
     df = _read(spark, sf_dir, "documents").select("text")
 
     def fn(batches):
+        import pyarrow.compute as pc
         for pdf in batches:
             blob = fsst.encode(pa.array(pdf["text"].fillna(""), type=pa.large_utf8()))
             decoded = fsst.decode(blob)
-            lens = np.array([len(s) for s in decoded.to_pylist()], dtype=np.int64)
-            yield pd.DataFrame({"chars": [int(lens.sum())], "docs": [len(lens)]})
+            total = pc.sum(pc.binary_length(decoded)).as_py() or 0
+            yield pd.DataFrame({"chars": [int(total)], "docs": [len(decoded)]})
 
     return (df.mapInPandas(fn, "chars long, docs long")
               .agg(F.sum("chars").cast("long").alias("total_chars"),
@@ -371,18 +376,22 @@ def histogram_2d_delta(spark, sf_dir) -> DataFrame:
     DeltaDiffPackSink): per-order cumulative l_linenumber histograms ->
     2D-delta encode -> decode -> per-bucket totals."""
     from ..codecs import histogram2d as h2d
-    df = (_read(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_linenumber")
-          .repartition(1).sortWithinPartitions("l_orderkey"))
+    from ..operators.scan import _bucket_col
+    df = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    # range-bucket on the order key: every order's rows stay together,
+    # each bucket 2D-delta-encodes its own cumulative counter series in
+    # parallel (totals are additive across buckets) — no repartition(1)
+    bucket, _ = _bucket_col(df, "l_orderkey", 16)
+    d = df.withColumn("__rb", bucket)
 
-    def fn(batches):
-        pdfs = [p for p in batches]
-        pdf = pd.concat(pdfs) if pdfs else pd.DataFrame({"l_orderkey": [], "l_linenumber": []})
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("l_orderkey", kind="mergesort")
         orders, inv = np.unique(pdf["l_orderkey"].to_numpy(), return_inverse=True)
         lns = pdf["l_linenumber"].to_numpy(np.int64)
         B = 8
-        hists = np.zeros((len(orders), B), dtype=np.uint64)
-        np.add.at(hists, (inv, np.minimum(lns - 1, B - 1)), 1)
+        hists = np.zeros((max(len(orders), 1), B), dtype=np.uint64)
+        if len(pdf):
+            np.add.at(hists, (inv, np.minimum(lns - 1, B - 1)), 1)
         # cumulative counters across orders (increasing counters feed
         # the 2D-delta path like Prometheus-style histograms)
         cum = np.cumsum(hists, axis=0, dtype=np.uint64)
@@ -390,11 +399,12 @@ def histogram_2d_delta(spark, sf_dir) -> DataFrame:
         dec = h2d.decode(blob)
         assert (dec == cum).all()
         per_bucket = dec[-1] if len(dec) else np.zeros(B, np.uint64)
-        yield pd.DataFrame({"bucket": np.arange(1, B + 1),
-                            "total": per_bucket.astype(np.int64)})
+        return pd.DataFrame({"bucket": np.arange(1, B + 1),
+                             "total": per_bucket.astype(np.int64)})
 
-    return (df.mapInPandas(fn, "bucket int, total long")
-              .where(F.col("total") > 0))
+    return (d.groupBy("__rb").applyInPandas(fn, "bucket int, total long")
+             .groupBy("bucket").agg(F.sum("total").cast("long").alias("total"))
+             .where(F.col("total") > 0))
 
 
 def flagship_encode_summary(spark, sf_dir) -> DataFrame:
@@ -450,17 +460,19 @@ def minhash_near_dup(spark, sf_dir) -> DataFrame:
 
 
 def simhash_signatures_query(spark, sf_dir) -> DataFrame:
-    """64-bit SimHash per document (rows-only check: the signature
-    algorithm is not SQL-expressible)."""
+    """31-bit SimHash per document (dedup.simhash32) — the feature hash
+    is a 4-byte windowed polynomial mod 2^31 chosen to be ANSI-SQL
+    expressible, so the DuckDB oracle re-derives the full signature
+    (votes per bit over every window occurrence)."""
     import pyarrow as pa
     from ..operators import dedup
     df = _read(spark, sf_dir, "documents").select("doc_id", "text")
 
     def fn(batches):
         for pdf in batches:
-            sig = dedup.simhash64(pa.array(pdf["text"].fillna(""), type=pa.large_utf8()))
+            sig = dedup.simhash32(pa.array(pdf["text"].fillna(""), type=pa.large_utf8()))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
-                                "simhash": (sig >> np.uint64(1)).astype(np.int64)})
+                                "simhash": sig})
 
     return df.mapInPandas(fn, "doc_id long, simhash long")
 
@@ -514,43 +526,74 @@ def top_users_by_value(spark, sf_dir) -> DataFrame:
             .limit(20))
 
 
+NGRAM_DF_CAP = 64  # shingles in more docs than this generate no candidates
+
+
 def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
-    """Exact n-gram (5-char shingle) Jaccard dedup, all in JVM-side
-    DataFrame ops: explode distinct shingles -> self-join on shingle ->
-    intersection counts -> Jaccard >= 0.5.  One shuffle on the shingle
-    key; shingle keys are near-uniform so no skew handling needed."""
+    """Exact n-gram (5-char shingle) Jaccard dedup, skew-safe:
+
+      1. candidate generation self-joins ONLY shingles whose document
+         frequency <= NGRAM_DF_CAP — natural-text stop-shingles
+         ('the ', ' and') would otherwise be quadratic hot keys at
+         scale; a df-cap bounds every join group to cap*(cap-1)/2 pairs,
+      2. the exact Jaccard is then computed over the FULL shingle sets
+         of the candidate docs only (both sides restricted via broadcast
+         of the small candidate id lists), so the reported pairs are the
+         same exact >= 0.5 pairs as the all-pairs oracle — a true pair
+         is only missed if EVERY shared shingle is hotter than the cap,
+         which a >= 0.5-Jaccard pair of real documents never is.
+    """
     from .. import functions as cvf
     df = _read(spark, sf_dir, "documents").where(F.length("text") >= 5)
     sh = (df.select(F.col("doc_id"),
                     F.explode(F.array_distinct(
                         cvf.char_shingles(F.col("text"), 5))).alias("s")))
+
+    # 1. df-capped candidate generation (bounded join groups)
+    rare = (sh.groupBy("s").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= NGRAM_DF_CAP).select("s"))
+    sh_rare = sh.join(rare, "s")
+    ra, rb = sh_rare.alias("a"), sh_rare.alias("b")
+    cand = (ra.join(rb, "s")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"))
+            .distinct())
+
+    # 2. exact full-set Jaccard over candidate docs only
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-             .agg(F.count("*").alias("c")))
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    cd1 = cand.select(F.col("d1").alias("doc_id")).distinct()
+    cd2 = cand.select(F.col("d2").alias("doc_id")).distinct()
+    sh_a = sh.join(F.broadcast(cd1), "doc_id")
+    sh_b = sh.join(F.broadcast(cd2), "doc_id")
+    inter = (sh_a.alias("a").join(sh_b.alias("b"),
+                                  (F.col("a.s") == F.col("b.s"))
+                                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("d1"),
+                      F.col("b.doc_id").alias("d2"))
+             .agg(F.count("*").alias("c"))
+             .join(F.broadcast(cand), ["d1", "d2"]))
+    # sizes restricted to candidate docs before broadcasting (the full
+    # per-doc size table is corpus-sized at scale)
+    s1 = (sizes.join(F.broadcast(cd1), "doc_id")
+          .select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")))
+    s2 = (sizes.join(F.broadcast(cd2), "doc_id")
+          .select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")))
     return (inter.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
             .where(F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c")) >= 0.5)
             .select("d1", "d2"))
 
 
 def embedding_near_dup(spark, sf_dir) -> DataFrame:
-    """Embedding-cosine near-dup: pairs with cosine >= 0.95, JVM-side
-    zip_with/aggregate cosine over a broadcast self-join (exact; the
-    LSH-bucketed variant in operators.similarity is the scale path)."""
-    from .. import functions as cvf
+    """Embedding-cosine near-dup WITHOUT an all-pairs join: multi-table
+    hyperplane-LSH candidate generation + exact JVM cosine verify
+    (operators.similarity.cosine_near_dup_lsh).  No cross /
+    broadcast-nested-loop join appears in the plan; the only large
+    shuffle keys on uniform (table, bucket)."""
+    from ..operators import similarity
     df = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = df.select(F.col("vec_id").alias("v1"),
-                  F.col("embedding").cast("array<double>").alias("e1"))
-    b = df.select(F.col("vec_id").alias("v2"),
-                  F.col("embedding").cast("array<double>").alias("e2"))
-    pairs = a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
-    sim = cvf.cosine_similarity(F.col("e1"), F.col("e2"))
-    return (pairs.where(F.floor(sim * 1000000.0) >= 950000)
-            .select("v1", "v2"))
+    return similarity.cosine_near_dup_lsh(df, "vec_id", "embedding",
+                                          threshold_ppm=950000)
 
 
 def exact_dedup(spark, sf_dir) -> DataFrame:

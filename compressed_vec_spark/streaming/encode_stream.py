@@ -50,40 +50,43 @@ def start_encode_stream(spark: SparkSession, source: DataFrame, out_dir: str,
             .start())
 
 
-def streaming_dedup(source: DataFrame, hash_col: str = "text",
-                    shards: int = 64) -> DataFrame:
+def streaming_dedup(source: DataFrame, hash_col: str = "text") -> DataFrame:
     """Custom stateful streaming operator: global exact-content dedup
     across micro-batches via applyInPandasWithState.
 
     The content hash is computed in the PLAN (JVM sha2 — no Python in
-    the hash path); rows shard by hash prefix so state distributes over
-    `shards` keys, each holding the set of seen digests.  At scale the
-    state store is the bound: one 64-char digest per distinct content
-    per shard, RocksDB-backed on a real cluster."""
-    import pandas as pd
+    the hash path).  State is keyed PER DIGEST: each distinct content
+    hash owns one tiny boolean state row, so a micro-batch writes state
+    only for the digests it actually contains — O(new digests per
+    batch), never a rewrite of the full seen-set (the state store,
+    RocksDB-backed on a real cluster, is exactly one row per distinct
+    content ever seen, uniformly hash-distributed across executors)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import functions as F
 
-    keyed = (source
-             .withColumn("__h", F.sha2(F.col(hash_col).cast("binary"), 256))
-             .withColumn("__shard",
-                         F.pmod(F.xxhash64(F.col("__h")), F.lit(shards)).cast("int")))
-
-    out_schema = keyed.drop("__shard").schema
+    keyed = source.withColumn(
+        "__h", F.sha2(F.col(hash_col).cast("binary"), 256))
+    out_schema = keyed.schema
 
     def dedup_fn(key, pdfs, state: GroupState):
-        seen = set(state.get[0].split(",")) if state.exists and state.get[0] else set()
+        if state.exists:
+            # digest already emitted in a previous batch: drop everything
+            for _ in pdfs:
+                pass
+            return
+        emitted = False
         for pdf in pdfs:
-            fresh = ~pdf["__h"].isin(seen)
-            seen.update(pdf["__h"][fresh])
-            kept = pdf[fresh.to_numpy()].drop(columns=["__shard"])
-            if len(kept):
-                yield kept
-        state.update((",".join(sorted(seen)),))
+            if not emitted and len(pdf):
+                # first occurrence wins; later rows in the same batch
+                # (and group) are duplicates by construction
+                yield pdf.iloc[[0]]
+                emitted = True
+        if emitted:
+            state.update((True,))
 
-    return keyed.groupBy("__shard").applyInPandasWithState(
+    return keyed.groupBy("__h").applyInPandasWithState(
         dedup_fn, outputStructType=out_schema,
-        stateStructType="seen string",
+        stateStructType="seen boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout).drop("__h")
 

@@ -67,6 +67,23 @@ def test_query_matches_oracle(spark, duck, name):
                 e.tolist(), f"{name}.{c} mismatch"
 
 
+def test_ngram_candidate_join_groups_bounded(spark):
+    """The df-cap keeps every shingle join group <= NGRAM_DF_CAP: the
+    quadratic stop-shingle hot key cannot exist in the candidate join."""
+    from pyspark.sql import functions as F
+    from compressed_vec_spark import functions as cvf
+    from compressed_vec_spark.spark.queries import NGRAM_DF_CAP, _read
+    df = _read(spark, SF_DIR, "documents").where(F.length("text") >= 5)
+    sh = df.select("doc_id", F.explode(F.array_distinct(
+        cvf.char_shingles(F.col("text"), 5))).alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    # the corpus genuinely HAS hot shingles the cap must exclude
+    assert dfreq.agg(F.max("df")).first()[0] > NGRAM_DF_CAP
+    capped_max = (dfreq.where(F.col("df") <= NGRAM_DF_CAP)
+                  .agg(F.max("df")).first()[0])
+    assert capped_max <= NGRAM_DF_CAP
+
+
 def test_entry_flagship(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

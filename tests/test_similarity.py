@@ -76,6 +76,66 @@ def test_simhash_near_duplicates_close():
     assert ham(sigs[0], sigs[1]) < 16
 
 
+def test_simhash32_properties():
+    texts = ["the quick brown fox jumps over the lazy dog " * 5,
+             "the quick brown fox jumps over the lazy dogs " * 5,  # near-dup
+             "completely different content about spark and parquet " * 5,
+             "abc",  # < 4 bytes -> signature 0
+             ""]
+    sigs = dedup.simhash32(pa.array(texts, type=pa.large_utf8()))
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
+    assert sigs[3] == 0 and sigs[4] == 0
+    assert (sigs >= 0).all() and (sigs < (1 << 31)).all()
+
+
+def test_batch_jaccard_matches_pairwise():
+    docs = ["the quick brown fox", "the quick brown foxes",
+            "lorem ipsum dolor sit amet", "xy",  # sub-k -> empty set
+            "the quick brown fox"]
+    t1 = pa.array([docs[0], docs[2], docs[3], docs[0]], type=pa.large_utf8())
+    t2 = pa.array([docs[1], docs[2], docs[3], docs[4]], type=pa.large_utf8())
+    got = dedup.batch_jaccard(t1, t2, k=5)
+    for i in range(len(t1)):
+        (_, _, want), = dedup.exact_jaccard_pairs(
+            {0: t1[i].as_py(), 1: t2[i].as_py()}, [(0, 1)], k=5)
+        assert abs(got[i] - want) < 1e-12, (i, got[i], want)
+    assert got[2] == 0.0  # empty vs empty shingle sets: NOT a near-dup
+    assert got[1] == 1.0 and got[3] == 1.0
+
+
+def test_cosine_near_dup_lsh_finds_planted_pairs(spark):
+    # planted near-dup pairs + noise vectors; LSH candidates + exact
+    # verify must return exactly the >= threshold pairs, with no
+    # nested-loop/cartesian join anywhere in the plan
+    import pandas as pd
+    from compressed_vec_spark import plans
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # ids 100..104: tiny perturbations of ids 0..4 (cos > 0.99)
+    for i in range(5):
+        v = base[i] + 0.02 * rng.standard_normal(32)
+        rows.append((100 + i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = similarity.cosine_near_dup_lsh(df, "vec_id", "embedding",
+                                         threshold_ppm=950000)
+    plan = plans.physical_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = {(r["v1"], r["v2"]) for r in out.collect()}
+    # exact expectation by brute force
+    m = np.stack([np.array(v) for _, v in rows])
+    ids = np.array([i for i, _ in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    want = {(int(ids[i]), int(ids[j]))
+            for i in range(len(ids)) for j in range(len(ids))
+            if ids[i] < ids[j] and np.floor(sims[i, j] * 1e6) >= 950000}
+    assert got == want and len(want) >= 5
+
+
 def test_minhash_signature_jaccard_estimate():
     a = "web crawl data pipeline compression engine " * 10
     b = "web crawl data pipeline compression engine " * 9 + "totally new suffix here "

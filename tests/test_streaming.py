@@ -110,7 +110,19 @@ def test_streaming_dedup_stateful(spark, tmp_path):
         shutil.copy(part, os.path.join(src_dir, "f2.parquet"))
         time.sleep(12)
         second_count = spark.sql("SELECT count(*) c FROM dd_out").first()["c"]
+        progress = list(q.recentProgress)
     finally:
         q.stop()
-    assert first_count == web.select("text").distinct().count()
+    n_distinct = web.select("text").distinct().count()
+    assert first_count == n_distinct
     assert second_count == first_count  # duplicates suppressed by state
+
+    # state growth is O(new digests): total state rows == distinct
+    # contents, and the all-duplicate batch wrote ZERO state rows
+    stats = [(p["numInputRows"], p["stateOperators"][0]["numRowsUpdated"],
+              p["stateOperators"][0]["numRowsTotal"])
+             for p in progress if p.get("stateOperators")]
+    assert stats, "no state operator progress recorded"
+    assert max(t for _, _, t in stats) == n_distinct
+    dup_batches = [(i, u, t) for i, u, t in stats if i > 0 and u == 0]
+    assert dup_batches, f"replayed batch should update 0 state rows: {stats}"
