@@ -145,7 +145,41 @@ def encode(strings: "pa.Array | list[str]", passes: int = 2) -> bytes:
     return MAGIC2 + struct.pack("<I", head_len) + blob1[:head_len] + inner
 
 
+_ARANGE32 = np.zeros(0, dtype=np.int32)
+
+
+def _arange32(n: int) -> np.ndarray:
+    """Cached int32 iota (grown on demand) — avoids a 4N-byte alloc per
+    encode call in the hot path."""
+    global _ARANGE32
+    if len(_ARANGE32) < n:
+        _ARANGE32 = np.arange(max(n, 1 << 20), dtype=np.int32)
+    return _ARANGE32[:n]
+
+
+def _greedy_mask(cand: np.ndarray) -> np.ndarray:
+    """Dense greedy left-to-right non-overlapping width-2 matching over
+    a candidate BOOLEAN array: within each maximal run of consecutive
+    candidates, keep alternate positions starting at the run head.
+    Exactly _greedy_nonoverlap's selection, but computed without
+    materializing index lists (2.5x cheaper when candidates are dense,
+    which bigram-rich text always is)."""
+    n = len(cand)
+    if n == 0:
+        return cand
+    new_run = cand.copy()
+    new_run[1:] &= ~cand[:-1]
+    idx = _arange32(n)
+    start_val = np.maximum.accumulate(
+        np.where(new_run, idx, np.int32(-1)))
+    return cand & (((idx - start_val) & np.int32(1)) == 0)
+
+
 def _encode_raw(data: np.ndarray, offsets: np.ndarray) -> bytes:
+    """Fully dense encode: no index-list materialization in the hot
+    path.  The greedy longest-match selection runs on boolean arrays
+    (_greedy_mask), output slots come from one int32 cumsum, and a
+    single last-writer-wins scatter fills the code stream."""
     n_strings = len(offsets) - 1
     N = len(data)
 
@@ -154,8 +188,8 @@ def _encode_raw(data: np.ndarray, offsets: np.ndarray) -> bytes:
     inner_bounds = offsets[1:-1]
     bound_pos = inner_bounds[(inner_bounds > 0) & (inner_bounds < N)] - 1
 
-    pair_ids = (data[:-1].astype(np.uint32) << np.uint32(8)) | data[1:] if N > 1 \
-        else np.empty(0, np.uint32)
+    pair_ids = ((data[:-1].astype(np.uint16) << np.uint16(8)) | data[1:]) if N > 1 \
+        else np.empty(0, np.uint16)
     singles, pairs = build_table(data, pair_ids, bound_pos)
     n_single = len(singles)
     n_symbols = n_single + len(pairs)
@@ -166,35 +200,31 @@ def _encode_raw(data: np.ndarray, offsets: np.ndarray) -> bytes:
     pair_keys = pairs[:, 0].astype(np.int64) * 256 + pairs[:, 1]
     lut2[pair_keys] = np.arange(n_single, n_symbols, dtype=np.uint8)
 
-    if N > 1:
-        cand = lut2[pair_ids] != ESCAPE
-        cand[bound_pos] = False
-        # boundary-crossing pairs are excluded above, so runs cannot
-        # span strings — no segment ids needed here
-        taken = _greedy_nonoverlap(np.flatnonzero(cand))
-    else:
-        taken = np.empty(0, dtype=np.int64)
-
     single_code = lut1[data]
-    covered = taken + 1
+    emit = single_code  # pair starts patched in below (in place is safe:
+    # single_code is only read again at positions that are not pair starts)
 
-    # escapes = not-in-table positions that are neither pair starts nor
-    # covered (tiny for text — handled with sorted-membership tests
-    # instead of full-size boolean arrays)
-    esc_all = np.flatnonzero(single_code == ESCAPE)
+    if N > 1:
+        pair_code = lut2[pair_ids]
+        cand = pair_code != ESCAPE
+        cand[bound_pos] = False
+        # boundary-crossing pairs are excluded above, so greedy runs
+        # cannot span strings — no segment ids needed here
+        taken_mask = _greedy_mask(cand)
+        np.copyto(emit[:N - 1], pair_code, where=taken_mask)
+    else:
+        taken_mask = np.zeros(0, dtype=bool)
 
-    def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
-        if not len(sorted_arr) or not len(values):
-            return np.zeros(len(values), dtype=bool)
-        idx = np.searchsorted(sorted_arr, values)
-        idx_c = np.minimum(idx, len(sorted_arr) - 1)
-        return sorted_arr[idx_c] == values
-
-    esc = esc_all[~(_in_sorted(esc_all, taken) | _in_sorted(esc_all, covered))]
+    covered = np.zeros(N, dtype=bool)
+    covered[1:] = taken_mask  # second byte of a taken pair emits nothing
+    esc_mask = single_code == ESCAPE
+    if N > 1:
+        esc_mask[:N - 1] &= ~taken_mask
+    esc_mask &= ~covered
 
     sizes = np.ones(N, dtype=np.int32)   # default: one output byte
     sizes[covered] = 0
-    sizes[esc] = 2
+    sizes[esc_mask] = 2
     pos = np.empty(N + 1, dtype=np.int32)  # output <= 2N < 2^31 per chunk
     pos[0] = 0
     np.cumsum(sizes, out=pos[1:])
@@ -203,14 +233,14 @@ def _encode_raw(data: np.ndarray, offsets: np.ndarray) -> bytes:
     # to slot `total`; its harmless write lands in the guard
     out = np.empty(total + 1, dtype=np.uint8)
     # duplicate-index semantics: for each output slot the LAST writer in
-    # pos[:-1] is the actual emitter (zero-size positions precede it),
-    # so one scatter fills every slot with its emitter's single code
-    out[pos[:-1]] = single_code
-    if len(taken):
-        out[pos[taken]] = lut2[pair_ids[taken]]
-    if len(esc):
-        out[pos[esc]] = ESCAPE
-        out[pos[esc] + 1] = data[esc]
+    # pos[:-1] is the actual emitter (zero-size positions share the slot
+    # of their successor), so ONE scatter fills every slot — emit already
+    # holds the pair code at pair starts and ESCAPE (=255, the marker
+    # byte itself) at escape positions
+    out[pos[:-1]] = emit
+    esc_idx = np.flatnonzero(esc_mask)  # escapes are rare on text
+    if len(esc_idx):
+        out[pos[esc_idx] + 1] = data[esc_idx]
     out = out[:total]
 
     code_lens = np.diff(pos[offsets]).astype(np.uint64)

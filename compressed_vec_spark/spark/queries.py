@@ -26,6 +26,20 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+def _scratch_dir(spark: SparkSession, prefix: str) -> str:
+    """Scratch path for queries that materialize an encoded store.
+    On a cluster set `spark.cvx.scratchDir` (or $CVX_SCRATCH_DIR) to a
+    shared filesystem (HDFS/S3A); local tempdirs only work in local
+    mode where driver and executors share a machine."""
+    base = (spark.conf.get("spark.cvx.scratchDir", None)
+            or os.environ.get("CVX_SCRATCH_DIR"))
+    if base:
+        import uuid
+        return os.path.join(base, f"{prefix}{uuid.uuid4().hex[:12]}")
+    import tempfile
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 # --- compressed-domain filter family -----------------------------------------
 
 def count_hits_equals(spark, sf_dir) -> DataFrame:
@@ -113,11 +127,10 @@ def encoded_table_pruned_count(spark, sf_dir) -> DataFrame:
     an encoded-chunk store (salting off, sorted keys), then answer an
     equality count through manifest min/max chunk pruning — only the
     chunks whose [min,max] admits the value are decoded."""
-    import tempfile
     import shutil as sh
     from ..spark import encode_job
     from ..sources import encoded_table
-    out = tempfile.mkdtemp(prefix="cvx_q_")
+    out = _scratch_dir(spark, "cvx_q_")
     try:
         df = (_read(spark, sf_dir, "orders")
               .select("o_orderkey", "o_custkey")
@@ -138,10 +151,9 @@ def analytics_over_encoded(spark, sf_dir) -> DataFrame:
     encoded store: encode -> decode_chunks -> groupBy/agg — the proof
     that standard DataFrame analytics work over the engine's format
     (decoded view is a normal DataFrame; Catalyst owns the agg plan)."""
-    import tempfile
     import shutil as sh
     from ..spark import decode_job, encode_job
-    out = tempfile.mkdtemp(prefix="cvx_q1_")
+    out = _scratch_dir(spark, "cvx_q1_")
     try:
         df = _read(spark, sf_dir, "lineitem").select(
             "l_returnflag", "l_linestatus",

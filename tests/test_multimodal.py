@@ -54,6 +54,63 @@ def test_audio_window_stats(spark):
     assert all(r["n_windows"] >= 1 and 0 <= r["rms_mean"] <= 1 for r in stats)
 
 
+def test_ppm_codec_roundtrip():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(23, 37, 3), dtype=np.uint8)
+    blob = mm.encode_ppm(px)
+    assert blob[:2] == b"P6"
+    assert (mm.decode_ppm(blob) == px).all()
+
+
+def test_wav_codec_roundtrip():
+    t = np.arange(8000)
+    wave = (np.sin(2 * np.pi * 440 * t / 8000) * 12000).astype(np.int16)
+    blob = mm.encode_wav(wave, 8000)
+    samples, sr = mm.decode_wav(blob)
+    assert sr == 8000
+    assert (samples == wave).all()
+
+
+def test_audio_rms_matches_sine_theory(spark):
+    """RMS of a sine = amplitude / sqrt(2): the windowed stats must
+    reflect the REAL decoded samples, not a fake."""
+    df = mm.synthetic_media(spark, 30)
+    rows = {r["media_id"]: r for r in mm.audio_window_stats(df, 250).collect()}
+    src = {r["media_id"]: r for r in
+           df.where(F.col("kind") == "audio").collect()}
+    assert rows
+    for mid, r in rows.items():
+        samples, sr = mm.decode_wav(bytes(src[mid]["payload"]))
+        # recompute the windowed RMS independently from the decoded
+        # samples: the query values must derive from the REAL payload
+        win = sr * 250 // 1000
+        n_win = max((len(samples) + win - 1) // win, 1)
+        padded = np.zeros(n_win * win)
+        padded[:len(samples)] = samples / 32768.0
+        rms = np.sqrt((padded.reshape(n_win, win) ** 2).mean(axis=1))
+        assert r["n_windows"] == n_win
+        assert r["rms_max"] == pytest.approx(float(rms.max()), rel=1e-9)
+        assert r["rms_mean"] == pytest.approx(float(rms.mean()), rel=1e-9)
+        # loose sine-theory sanity: RMS of a tone never exceeds amp/sqrt(2)
+        amp = np.abs(samples).max() / 32768.0
+        assert 0 < r["rms_max"] <= amp / np.sqrt(2) * 1.02
+
+
+def test_image_features_derive_from_real_pixels(spark):
+    df = mm.synthetic_media(spark, 12)
+    feats = {r["media_id"]: np.array(r["feature"])
+             for r in mm.image_features(df, max_side=32).collect()}
+    img_rows = df.where(F.col("kind") == "image").collect()
+    assert feats and len(feats) == len(img_rows)
+    for r in img_rows:
+        img = mm.decode_ppm(bytes(r["payload"]))
+        assert img.shape == (r["height"], r["width"], 3)
+        sy, sx = max(img.shape[0] // 32, 1), max(img.shape[1] // 32, 1)
+        small = img[::sy, ::sx].astype(np.float32)
+        want_means = small.reshape(-1, 3).mean(axis=0)
+        assert np.allclose(feats[r["media_id"]][:3], want_means, atol=1e-3)
+
+
 def test_media_payload_chunk_roundtrip(spark):
     rows = mm.synthetic_media(spark, 64).orderBy("media_id").collect()
     payloads = pd.Series([bytes(r["payload"]) for r in rows], dtype=object)
