@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q.exact_dedup,
         "token_count_per_doc": q.token_count_per_doc,
         "quality_score": q.quality_score,
+        "corpus_clean_pipeline": q.corpus_clean_pipeline,
         "minhash_near_dup": q.minhash_near_dup,
         "events_windowed_stats": q.events_windowed_stats,
         "top_users_by_value": q.top_users_by_value,
@@ -157,6 +158,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
             "CAST(floor((length(text) - length(replace(text, ' ', ''))) * 1000000.0 "
             "/ greatest(length(text), 1)) AS BIGINT) AS space_ratio_ppm FROM documents",
+        "corpus_clean_pipeline":
+            "WITH scored AS ("
+            "  SELECT doc_id, lang, text, "
+            "    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "         ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END"
+            "         AS BIGINT) AS n_tokens, "
+            "    CAST(floor((length(text) - length(replace(text, ' ', ''))) * 1000000.0 "
+            "         / greatest(length(text), 1)) AS BIGINT) AS space_ppm"
+            "  FROM documents), "
+            "filtered AS ("
+            "  SELECT * FROM scored WHERE lang = 'en' AND n_tokens >= 40 "
+            "  AND space_ppm BETWEEN 150000 AND 200000) "
+            "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
+            "CAST(min(n_tokens) AS BIGINT) AS n_tokens "
+            "FROM filtered GROUP BY md5(text)",
         "minhash_near_dup":
             # exact all-pairs 5-shingle Jaccard in SQL; the engine's
             # MinHash-LSH (128 hashes, 64 bands x 2 rows) has recall

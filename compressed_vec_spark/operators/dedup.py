@@ -146,16 +146,23 @@ def batch_jaccard(t1: pa.Array, t2: pa.Array, k: int = 5) -> np.ndarray:
 
 def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.7, n_hashes: int = 128,
-                      rows_per_band: int = 2, k: int = 5) -> DataFrame:
+                      rows_per_band: int = 2, k: int = 5,
+                      bucket_cap: int = 1024) -> DataFrame:
     """Full near-dup pipeline: signatures -> band explode -> bucket join
     -> exact-Jaccard verify.  Returns (d1, d2) pairs with exact Jaccard
     >= threshold (d1 < d2).
 
     Scale shape: the band self-join is the only big shuffle and its keys
-    are uniform minhash buckets; the verify stage streams the corpus
-    TWICE with the (small) candidate-pair side broadcast — the full text
-    column is never shuffled — and scores each Arrow batch with one
-    vectorized numpy Jaccard kernel."""
+    are uniform minhash buckets; `bucket_cap` drops buckets holding more
+    docs than the cap from candidate generation (a bucket that large is
+    a near-universal band hash contributing almost only false
+    candidates; a true >= threshold pair collides in ~threshold^r of
+    the 64 bands, so it keeps other, smaller collisions) — this bounds
+    every join group to cap^2 pairs, the same guard as the ngram df-cap.
+    The verify stage streams the corpus TWICE with the (small)
+    candidate-pair side broadcast — the full text column is never
+    shuffled — and scores each Arrow batch with one vectorized numpy
+    Jaccard kernel."""
     n_bands = n_hashes // rows_per_band
 
     def sig_fn(batches):
@@ -176,6 +183,12 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
 
     banded = df.select(id_col, text_col).mapInPandas(
         sig_fn, f"{id_col} long, band int, bucket long")
+    if bucket_cap:
+        small = (banded.groupBy("band", "bucket")
+                 .agg(F.count("*").alias("sz"))
+                 .where(F.col("sz") <= bucket_cap)
+                 .select("band", "bucket"))
+        banded = banded.join(small, ["band", "bucket"])
 
     # candidate pairs: docs sharing any (band, bucket)
     a = banded.alias("a")

@@ -626,6 +626,33 @@ def token_count_per_doc(spark, sf_dir) -> DataFrame:
     return df.select("doc_id", cnt.cast("long").alias("n_tokens"))
 
 
+def corpus_clean_pipeline(spark, sf_dir) -> DataFrame:
+    """Composed training-data cleaning pipeline, all JVM built-ins
+    (whole-stage codegen end to end): language filter -> quality gates
+    (token count, space-ratio band) -> keep-first exact dedup
+    (min doc_id per content hash).  One groupBy shuffle on the content
+    hash with map-side partial agg; every other stage is a narrow scan.
+    The unit operators it composes (lang_id, quality_score,
+    token_count, exact_dedup) are each oracle-checked separately."""
+    df = _read(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1).cast("long")
+    length = F.length(F.col("text"))
+    spaces = length - F.length(F.regexp_replace(F.col("text"), " ", ""))
+    ppm = F.floor(spaces.cast("double") * 1000000.0
+                  / F.greatest(length, F.lit(1))).cast("long")
+    scored = df.select("doc_id", "lang", "text",
+                       n_tokens.alias("n_tokens"), ppm.alias("space_ppm"))
+    filtered = scored.where((F.col("lang") == "en")
+                            & (F.col("n_tokens") >= 40)
+                            & F.col("space_ppm").between(150000, 200000))
+    return (filtered.groupBy(F.md5(F.col("text")).alias("h"))
+            .agg(F.min("doc_id").cast("long").alias("doc_id"),
+                 F.min("n_tokens").cast("long").alias("n_tokens"))
+            .select("doc_id", "n_tokens"))
+
+
 def quality_score(spark, sf_dir) -> DataFrame:
     """Quality metrics: length / space ratio / uppercase-start share."""
     df = _read(spark, sf_dir, "documents")
