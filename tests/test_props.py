@@ -67,6 +67,36 @@ def test_prop_vector_roundtrip_f32(vals):
     assert (vec.decode_vector(buf, "f32") == arr).all()
 
 
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.floats(0.02, 0.99))
+def test_prop_greedy_mask_equals_index_greedy(seed, density):
+    """The dense boolean greedy (_greedy_mask) must pick exactly the
+    same positions as the index-based greedy at any candidate density."""
+    from compressed_vec_spark.codecs.fsst import _greedy_mask, _greedy_nonoverlap
+    rng = np.random.default_rng(seed)
+    cand = rng.random(rng.integers(0, 4000)) < density
+    want = np.zeros(len(cand), dtype=bool)
+    want[_greedy_nonoverlap(np.flatnonzero(cand))] = True
+    assert (_greedy_mask(cand) == want).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=300), min_size=1, max_size=40),
+       st.integers(0, 3))
+def test_prop_fsst_roundtrip_arbitrary_bytes(blobs, esc_mode):
+    """FSST round-trips ANY byte strings bit-identically — including
+    0xFF-heavy inputs where the escape marker byte itself dominates."""
+    import pyarrow as pa
+    from compressed_vec_spark.codecs import fsst
+    if esc_mode == 1:
+        blobs = [b"\xff" * (len(b) % 17) + b for b in blobs]
+    elif esc_mode == 2:
+        blobs = [bytes(x | 0x80 for x in b) for b in blobs]
+    arr = pa.array(blobs, type=pa.large_binary())
+    out = fsst.decode(fsst.encode(arr))
+    assert out.to_pylist() == blobs
+
+
 def test_regression_seeds():
     # reference proptest-regressions/nibblepacking.txt + nibblepack_simd.txt
     seeds = [

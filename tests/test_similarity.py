@@ -136,6 +136,20 @@ def test_cosine_near_dup_lsh_finds_planted_pairs(spark):
     assert got == want and len(want) >= 5
 
 
+def test_minhash_verify_plan_broadcasts_candidates(spark):
+    """The verify stage must attach texts via broadcast joins of the
+    candidate side — never a shuffle of the corpus text column — and
+    contain no per-pair Python loop (the Jaccard kernel is one
+    vectorized mapInPandas)."""
+    from compressed_vec_spark import plans
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup.minhash_near_dups(df, "doc_id", "text")
+    plan = plans.physical_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_minhash_signature_jaccard_estimate():
     a = "web crawl data pipeline compression engine " * 10
     b = "web crawl data pipeline compression engine " * 9 + "totally new suffix here "
