@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_filter_count": q.range_filter_count,
         "prefix_filter_count": q.prefix_filter_count,
         "encoded_table_pruned_count": q.encoded_table_pruned_count,
+        "encoded_table_range_count": q.encoded_table_range_count,
         "analytics_over_encoded": q.analytics_over_encoded,
         "match_positions": q.match_positions_query,
         # sink/transform family (reference src/sink.rs, nibblepacking.rs)
@@ -90,6 +91,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS hits FROM documents WHERE source LIKE 'src1%'",
         "encoded_table_pruned_count":
             "SELECT count(*) AS hits FROM orders WHERE o_orderkey = 1",
+        "encoded_table_range_count":
+            "SELECT count(*) AS hits FROM orders "
+            "WHERE o_orderkey BETWEEN 1000 AND 5000",
         "analytics_over_encoded":
             "SELECT l_returnflag, l_linestatus, "
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "

@@ -72,6 +72,60 @@ def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
     }
 
 
+def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
+                       lo: int, hi: int) -> tuple[int, dict]:
+    """count(lo <= column <= hi) over an encoded table with BOTH prune
+    levels the format provides: manifest [min,max] stats skip whole
+    chunks (broadcast-joined, like pruned_equals_count), and inside each
+    surviving chunk `filters.range_mask` skips Null/Const/Delta sections
+    straight from their headers — the filter runs on the compressed
+    bytes, the column is never materialized."""
+    from .. import vector as vec_mod
+
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    total_chunks = manifest.where(F.col("column") == column).count()
+    candidates = manifest.where(
+        (F.col("column") == column)
+        & (F.col("min_val") <= hi) & (F.col("max_val") >= lo))
+    scanned_chunks = candidates.count()
+    cand_ids = candidates.select("chunk_id")
+
+    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
+              .where((F.col("column") == column)
+                     & F.col("codec").isin(["vec_u64", "vec_u32"]))
+              .join(F.broadcast(cand_ids), "chunk_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hits = skipped = sections = 0
+        for pdf in batches:
+            for blob, codec in zip(pdf["blob"], pdf["codec"]):
+                kind = "u64" if codec == "vec_u64" else "u32"
+                b = bytes(blob)
+                if b[:4] == b"NULM":  # null-mask wrapper: nulls ride the
+                    n = int.from_bytes(b[4:8], "little")  # payload as 0s
+                    b = b[8 + (n + 7) // 8:]
+                payload = b[4:]  # strip the chunk codec tag
+                masks, st = filters.range_mask(payload, kind, lo, hi,
+                                               return_stats=True)
+                hits += filters.count_hits(masks)
+                skipped += st["skipped_without_decode"]
+                sections += st["sections"]
+        yield pd.DataFrame({"hits": [hits], "skipped": [skipped],
+                            "sections": [sections]})
+
+    agg = (chunks.select("blob", "codec").mapInPandas(
+        fn, "hits long, skipped long, sections long")
+        .agg(F.sum("hits").alias("h"), F.sum("skipped").alias("sk"),
+             F.sum("sections").alias("se")).collect()[0])
+    return int(agg["h"] or 0), {
+        "total_chunks": total_chunks,
+        "scanned_chunks": scanned_chunks,
+        "pruned_chunks": total_chunks - scanned_chunks,
+        "sections_skipped_without_decode": int(agg["sk"] or 0),
+        "sections_total": int(agg["se"] or 0),
+    }
+
+
 def read_decoded(spark: SparkSession, out_dir: str, schema: str,
                  dtypes: dict[str, str] | None = None) -> DataFrame:
     """Full decoded view of an encoded table (see decode_job for the

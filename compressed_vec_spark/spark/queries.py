@@ -146,6 +146,31 @@ def encoded_table_pruned_count(spark, sf_dir) -> DataFrame:
         sh.rmtree(out, ignore_errors=True)
 
 
+def encoded_table_range_count(spark, sf_dir) -> DataFrame:
+    """Range predicate over the PERSISTED encoded store with both prune
+    levels: manifest [min,max] chunk pruning (broadcast join), then
+    range_mask's header-only section skipping inside surviving chunks —
+    the compressed-domain range filter applied to the storage layer."""
+    import shutil as sh
+    from ..spark import encode_job
+    from ..sources import encoded_table
+    out = _scratch_dir(spark, "cvx_qr_")
+    try:
+        df = (_read(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey")
+              .repartitionByRange(8, "o_orderkey")
+              .sortWithinPartitions("o_orderkey"))
+        encode_job.encode_table(spark, df, out, url_col=None, resume=False)
+        hits, stats = encoded_table.pruned_range_count(
+            spark, out, "o_orderkey", 1000, 5000)
+        assert stats["pruned_chunks"] >= 0
+        assert stats["sections_skipped_without_decode"] >= 0
+        return spark.createDataFrame(
+            pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
+    finally:
+        sh.rmtree(out, ignore_errors=True)
+
+
 def analytics_over_encoded(spark, sf_dir) -> DataFrame:
     """TPC-H-Q1-style aggregation running on the DECODED view of an
     encoded store: encode -> decode_chunks -> groupBy/agg — the proof

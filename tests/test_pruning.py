@@ -37,6 +37,31 @@ def test_pruned_equals_count(spark, tmp_path):
     assert stats["scanned_chunks"] == 0
 
 
+def test_pruned_range_count_two_levels(spark, tmp_path):
+    """Range over the encoded store prunes at BOTH levels: whole chunks
+    via manifest [min,max] AND sections inside surviving chunks via the
+    Delta headers (no decode of disjoint sections)."""
+    out = str(tmp_path / "enc3")
+    # keep the range's naturally ordered partitions (no repartition):
+    # locally sorted chunks give tight section [base, base+2^bits) spans
+    df = spark.range(0, 40000, 1, 8).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    encode_job.encode_table(spark, df, out, url_col=None)
+
+    # range strictly inside one 1024-row chunk: manifest prunes all the
+    # other chunks, and inside the survivor only the one overlapping
+    # 256-section decodes — the rest skip on their Delta headers
+    count, stats = encoded_table.pruned_range_count(spark, out, "k",
+                                                    10400, 10499)
+    assert count == 100
+    assert stats["pruned_chunks"] > 0  # manifest-level skip
+    assert stats["sections_skipped_without_decode"] > 0
+
+    count, stats = encoded_table.pruned_range_count(spark, out, "k",
+                                                    10**12, 10**12 + 5)
+    assert count == 0 and stats["scanned_chunks"] == 0
+
+
 def test_manifest_filter_is_pushed_down(spark, tmp_path):
     out = str(tmp_path / "enc2")
     df = spark.range(0, 5000, 1, 4).select(F.col("id").alias("k"))
