@@ -126,10 +126,41 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
     }
 
 
-def read_decoded(spark: SparkSession, out_dir: str, schema: str,
+def stored_schema(spark: SparkSession, out_dir: str) -> tuple[str, dict]:
+    """(DDL string, decode dtypes) recovered from the store's own
+    table_schema parquet — an encoded table is self-describing."""
+    rows = (spark.read.parquet(os.path.join(out_dir, "table_schema"))
+            .orderBy("position").collect())
+    ddl = ", ".join(f"{r['name']} {r['dtype']}" for r in rows)
+
+    def decode_dtype(sql_type: str) -> str:
+        if sql_type.startswith("timestamp"):
+            return "timestamp"
+        if sql_type in ("bigint", "int", "smallint", "tinyint"):
+            return "int64"
+        return sql_type
+
+    return ddl, {r["name"]: decode_dtype(r["dtype"]) for r in rows}
+
+
+def read_decoded(spark: SparkSession, out_dir: str, schema: str | None = None,
                  dtypes: dict[str, str] | None = None) -> DataFrame:
     """Full decoded view of an encoded table (see decode_job for the
-    chunk-zip mechanics)."""
+    chunk-zip mechanics).  With schema=None the store describes itself
+    via its table_schema file."""
     from ..spark import decode_job
+    if schema is None:
+        schema, auto_dtypes = stored_schema(spark, out_dir)
+        dtypes = dtypes or auto_dtypes
     chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
     return decode_job.decode_chunks(chunks, schema, dtypes)
+
+
+def register_encoded_table(spark: SparkSession, out_dir: str,
+                           name: str) -> DataFrame:
+    """Expose an encoded store as a temp view so plain `spark.sql`
+    queries run over the decoded rows — the drop-in path for a user
+    switching an existing SQL workload onto this engine's storage."""
+    df = read_decoded(spark, out_dir)
+    df.createOrReplaceTempView(name)
+    return df

@@ -193,6 +193,15 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
     (enc.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("part_id").parquet(chunks_path))
+    # self-describing store: persist the source column types so readers
+    # can rebuild the decoded view without being handed a DDL string
+    # (written through Spark => works on any shared FS)
+    schema_rows = [(i, f.name, f.dataType.simpleString())
+                   for i, f in enumerate(df.schema.fields)
+                   if f.name in columns]
+    (spark.createDataFrame(schema_rows, "position int, name string, dtype string")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "table_schema")))
     # manifest derived from the written chunks (no double encode)
     written = spark.read.parquet(chunks_path)
     (written.select(*MANIFEST_COLS)

@@ -62,16 +62,16 @@ def main(argv: list[str] | None = None) -> int:
                                 resume=not args.no_resume)
         print(json.dumps(encode_job.manifest_summary(spark, args.output)))
     elif args.cmd == "decode":
-        chunks = spark.read.parquet(f"{args.input}/chunks")
-        schema = args.schema or webtable.SCHEMA
-        dtypes = {"warc_ts": "timestamp"} if "warc_ts" in schema else {}
-        decode_job.decode_chunks(chunks, schema, dtypes) \
-            .write.mode("overwrite").parquet(args.output)
+        from compressed_vec_spark.sources import encoded_table
+        # the store is self-describing (table_schema parquet); --schema
+        # only overrides it
+        decoded = encoded_table.read_decoded(spark, args.input,
+                                             schema=args.schema)
+        decoded.write.mode("overwrite").parquet(args.output)
     elif args.cmd == "verify":
+        from compressed_vec_spark.sources import encoded_table
         source = spark.read.parquet(args.source)
-        chunks = spark.read.parquet(f"{args.encoded}/chunks")
-        decoded = decode_job.decode_chunks(chunks, webtable.SCHEMA,
-                                           {"warc_ts": "timestamp"})
+        decoded = encoded_table.read_decoded(spark, args.encoded)
         res = decode_job.verify_bit_identical(source, decoded, key=args.key)
         print(json.dumps(res))
         if any(v != 0 for v in res["mismatches"].values()):

@@ -62,6 +62,25 @@ def test_pruned_range_count_two_levels(spark, tmp_path):
     assert count == 0 and stats["scanned_chunks"] == 0
 
 
+def test_register_encoded_table_sql(spark, tmp_path):
+    """An encoded store is self-describing: register it as a temp view
+    (no schema handed over) and run plain SQL over the decoded rows."""
+    from compressed_vec_spark.spark import webtable
+    out = str(tmp_path / "enc_sql")
+    web = webtable.webpages(spark, 800, partitions=2)
+    encode_job.encode_table(spark, web, out, num_partitions=2)
+
+    encoded_table.register_encoded_table(spark, out, "pages")
+    got = {r["lang"]: r["n"] for r in spark.sql(
+        "SELECT lang, count(*) AS n FROM pages GROUP BY lang").collect()}
+    want = {r["lang"]: r["n"] for r in
+            web.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == want
+    # timestamps come back typed (not epoch ints)
+    row = spark.sql("SELECT max(warc_ts) AS ts FROM pages").first()
+    assert row["ts"] == web.agg(F.max("warc_ts")).first()[0]
+
+
 def test_manifest_filter_is_pushed_down(spark, tmp_path):
     out = str(tmp_path / "enc2")
     df = spark.range(0, 5000, 1, 4).select(F.col("id").alias("k"))
