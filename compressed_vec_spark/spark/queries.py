@@ -127,23 +127,33 @@ def encoded_table_pruned_count(spark, sf_dir) -> DataFrame:
     an encoded-chunk store (salting off, sorted keys), then answer an
     equality count through manifest min/max chunk pruning — only the
     chunks whose [min,max] admits the value are decoded."""
-    import shutil as sh
-    from ..spark import encode_job
     from ..sources import encoded_table
-    out = _scratch_dir(spark, "cvx_q_")
-    try:
+    out = _orders_store(spark, sf_dir)
+    hits, stats = encoded_table.pruned_equals_count(
+        spark, out, "o_orderkey", 1)
+    assert stats["pruned_chunks"] >= 0
+    return spark.createDataFrame(
+        pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
+
+
+_STORE_CACHE: dict[tuple, str] = {}
+
+
+def _orders_store(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached encoded store of orders sorted by o_orderkey —
+    the two pruned-count queries share one build (temp dirs live until
+    process exit, like any Spark scratch)."""
+    key = (id(spark.sparkContext), sf_dir, "orders")
+    if key not in _STORE_CACHE:
+        from ..spark import encode_job
+        out = _scratch_dir(spark, "cvx_q_")
         df = (_read(spark, sf_dir, "orders")
               .select("o_orderkey", "o_custkey")
               .repartitionByRange(8, "o_orderkey")
               .sortWithinPartitions("o_orderkey"))
         encode_job.encode_table(spark, df, out, url_col=None, resume=False)
-        hits, stats = encoded_table.pruned_equals_count(
-            spark, out, "o_orderkey", 1)
-        assert stats["pruned_chunks"] >= 0
-        return spark.createDataFrame(
-            pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
-    finally:
-        sh.rmtree(out, ignore_errors=True)
+        _STORE_CACHE[key] = out
+    return _STORE_CACHE[key]
 
 
 def encoded_table_range_count(spark, sf_dir) -> DataFrame:
@@ -151,24 +161,14 @@ def encoded_table_range_count(spark, sf_dir) -> DataFrame:
     levels: manifest [min,max] chunk pruning (broadcast join), then
     range_mask's header-only section skipping inside surviving chunks —
     the compressed-domain range filter applied to the storage layer."""
-    import shutil as sh
-    from ..spark import encode_job
     from ..sources import encoded_table
-    out = _scratch_dir(spark, "cvx_qr_")
-    try:
-        df = (_read(spark, sf_dir, "orders")
-              .select("o_orderkey", "o_custkey")
-              .repartitionByRange(8, "o_orderkey")
-              .sortWithinPartitions("o_orderkey"))
-        encode_job.encode_table(spark, df, out, url_col=None, resume=False)
-        hits, stats = encoded_table.pruned_range_count(
-            spark, out, "o_orderkey", 1000, 5000)
-        assert stats["pruned_chunks"] >= 0
-        assert stats["sections_skipped_without_decode"] >= 0
-        return spark.createDataFrame(
-            pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
-    finally:
-        sh.rmtree(out, ignore_errors=True)
+    out = _orders_store(spark, sf_dir)
+    hits, stats = encoded_table.pruned_range_count(
+        spark, out, "o_orderkey", 1000, 5000)
+    assert stats["pruned_chunks"] >= 0
+    assert stats["sections_skipped_without_decode"] >= 0
+    return spark.createDataFrame(
+        pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
 
 
 def analytics_over_encoded(spark, sf_dir) -> DataFrame:
