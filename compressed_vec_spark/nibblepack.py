@@ -98,9 +98,11 @@ def pack_groups(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         idx = np.nonzero(full & (num_nib == w))[0]
         w = int(w)
         sh = shifted[idx]                           # (Gw, 8)
-        ks = (_U64(4) * np.arange(w, dtype=np.uint64))
-        nibs = ((sh[:, :, None] >> ks) & _U64(0xF)).astype(np.uint8)
-        stream = nibs.reshape(len(idx), 8 * w)      # lane-major nibble order
+        # one nibble column per step into the lane-major stream — avoids
+        # the (Gw, 8, w) uint64 broadcast temp
+        stream = np.empty((len(idx), 8 * w), dtype=np.uint8)
+        for j in range(w):
+            stream[:, j::w] = ((sh >> _U64(4 * j)) & _U64(0xF)).astype(np.uint8)
         block = stream[:, 0::2] | (stream[:, 1::2] << 4)   # (Gw, 4w)
         dst = out_off[idx][:, None] + 2 + np.arange(4 * w)
         out[dst] = block
@@ -180,9 +182,11 @@ def unpack_groups(data: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.nd
         nibs = np.empty((len(idx), 8 * w), dtype=np.uint8)
         nibs[:, 0::2] = block & 0xF
         nibs[:, 1::2] = block >> 4
-        ks = (_U64(4) * np.arange(w, dtype=np.uint64))
-        vals = (nibs.reshape(len(idx), 8, w).astype(np.uint64) << ks).sum(
-            axis=2, dtype=np.uint64)
+        # accumulate one nibble column at a time: no (G, 8, w) uint64
+        # temp, ~2x less memory traffic than a broadcast+sum reduction
+        vals = np.zeros((len(idx), 8), dtype=np.uint64)
+        for j in range(w):
+            vals |= nibs[:, j::w].astype(np.uint64) << _U64(4 * j)
         out[idx] = vals << (_U64(4) * tz_nib[idx].astype(np.uint64))[:, None]
 
     part = nzg & ~full
