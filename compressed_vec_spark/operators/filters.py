@@ -111,6 +111,10 @@ def section_masks(buf: bytes, kind: str, pred_values, skip_sections: np.ndarray 
             bits = np.bitwise_xor.accumulate(xored, axis=1)
             fvals = bits.reshape(len(p_idx), FIXED_LEN).astype(np.uint32).view(np.float32)
             masks[p_idx] = np.isin(fvals, pred).reshape(len(p_idx), FIXED_LEN)
+        elif len(pred) == 1:
+            # equality: direct compare beats isin's sort machinery
+            vals = _decode_subset_int(body, starts[p_idx], types[p_idx], width)
+            masks[p_idx] = vals == pred[0]
         else:
             vals = _decode_subset_int(body, starts[p_idx], types[p_idx], width)
             masks[p_idx] = np.isin(vals, pred)
