@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_per_doc": q.token_count_per_doc,
         "quality_score": q.quality_score,
         "corpus_clean_pipeline": q.corpus_clean_pipeline,
+        "token_budget_shards": q.token_budget_shards,
+        "stratified_sample": q.stratified_sample,
         "minhash_near_dup": q.minhash_near_dup,
         "events_windowed_stats": q.events_windowed_stats,
         "top_users_by_value": q.top_users_by_value,
@@ -162,6 +164,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
             "CAST(floor((length(text) - length(replace(text, ' ', ''))) * 1000000.0 "
             "/ greatest(length(text), 1)) AS BIGINT) AS space_ratio_ppm FROM documents",
+        "token_budget_shards":
+            "SELECT doc_id, n_tokens, "
+            "CAST(floor((run_tokens - n_tokens) / 4096.0) AS BIGINT) AS shard_id "
+            "FROM ("
+            "  SELECT doc_id, n_tokens, "
+            "    sum(n_tokens) OVER (ORDER BY doc_id "
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_tokens"
+            "  FROM ("
+            "    SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END"
+            "      AS BIGINT) AS n_tokens FROM documents) t) w",
+        "stratified_sample":
+            "SELECT doc_id, lang FROM documents "
+            "WHERE substr(md5(text), 1, 1) < (CASE WHEN lang = 'en' "
+            "THEN '8' ELSE '4' END)",
         "corpus_clean_pipeline":
             "WITH scored AS ("
             "  SELECT doc_id, lang, text, "

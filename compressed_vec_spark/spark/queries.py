@@ -651,6 +651,38 @@ def token_count_per_doc(spark, sf_dir) -> DataFrame:
     return df.select("doc_id", cnt.cast("long").alias("n_tokens"))
 
 
+def token_budget_shards(spark, sf_dir) -> DataFrame:
+    """Token-budget sharding for training-data packing: docs in doc_id
+    order are assigned contiguous shard ids so each shard holds ~BUDGET
+    tokens (shard = floor(exclusive-prefix-tokens / BUDGET)).  Runs on
+    the distributed two-pass prefix-sum scan (operators.scan
+    global_cumsum) — no single-partition window, no driver data."""
+    from ..operators.scan import global_cumsum
+    BUDGET = 4096
+    df = _read(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1).cast("long")
+    d = df.select("doc_id", n_tokens.alias("n_tokens"))
+    with_run = global_cumsum(d, ["doc_id"], "n_tokens", out_col="run_tokens")
+    return with_run.select(
+        "doc_id", "n_tokens",
+        F.floor((F.col("run_tokens") - F.col("n_tokens")) / BUDGET)
+        .cast("long").alias("shard_id"))
+
+
+def stratified_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic per-language stratified sampling: keep a doc iff
+    md5(text) falls under its language's hex threshold (en 50%, others
+    25%).  Pure map — content-hash thresholds reproduce exactly on any
+    engine and any cluster size, no RNG state."""
+    df = _read(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    threshold = F.when(F.col("lang") == "en", F.lit("8")).otherwise(F.lit("4"))
+    return (df.where(F.substring(h, 1, 1) < threshold)
+            .select("doc_id", "lang"))
+
+
 def corpus_clean_pipeline(spark, sf_dir) -> DataFrame:
     """Composed training-data cleaning pipeline, all JVM built-ins
     (whole-stage codegen end to end): language filter -> quality gates
