@@ -176,25 +176,22 @@ def analytics_over_encoded(spark, sf_dir) -> DataFrame:
     encoded store: encode -> decode_chunks -> groupBy/agg — the proof
     that standard DataFrame analytics work over the engine's format
     (decoded view is a normal DataFrame; Catalyst owns the agg plan)."""
-    import shutil as sh
     from ..spark import decode_job, encode_job
-    out = _scratch_dir(spark, "cvx_q1_")
-    try:
+    key = (id(spark.sparkContext), sf_dir, "lineitem_q1")
+    if key not in _STORE_CACHE:
+        out = _scratch_dir(spark, "cvx_q1_")
         df = _read(spark, sf_dir, "lineitem").select(
             "l_returnflag", "l_linestatus",
             F.col("l_quantity").cast("long").alias("qty"))
         encode_job.encode_table(spark, df, out, url_col=None,
                                 num_partitions=8, resume=False)
-        chunks = spark.read.parquet(f"{out}/chunks")
-        decoded = decode_job.decode_chunks(
-            chunks, "l_returnflag string, l_linestatus string, qty long")
-        agg = (decoded.groupBy("l_returnflag", "l_linestatus")
-               .agg(F.sum("qty").cast("long").alias("sum_qty"),
-                    F.count("*").alias("count_order")))
-        # materialize before the temp store is deleted (lineage cut)
-        return agg.localCheckpoint(eager=True)
-    finally:
-        sh.rmtree(out, ignore_errors=True)
+        _STORE_CACHE[key] = out
+    chunks = spark.read.parquet(f"{_STORE_CACHE[key]}/chunks")
+    decoded = decode_job.decode_chunks(
+        chunks, "l_returnflag string, l_linestatus string, qty long")
+    return (decoded.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("qty").cast("long").alias("sum_qty"),
+                 F.count("*").alias("count_order")))
 
 
 def match_positions_query(spark, sf_dir) -> DataFrame:
