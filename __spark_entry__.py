@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_filter_count": q.prefix_filter_count,
         "encoded_table_pruned_count": q.encoded_table_pruned_count,
         "encoded_table_range_count": q.encoded_table_range_count,
+        "encoded_table_multi_and_count": q.encoded_table_multi_and_count,
         "analytics_over_encoded": q.analytics_over_encoded,
         "match_positions": q.match_positions_query,
         # sink/transform family (reference src/sink.rs, nibblepacking.rs)
@@ -96,6 +97,9 @@ def oracle_sql() -> dict[str, str]:
         "encoded_table_range_count":
             "SELECT count(*) AS hits FROM orders "
             "WHERE o_orderkey BETWEEN 1000 AND 5000",
+        "encoded_table_multi_and_count":
+            "SELECT count(*) AS hits FROM orders "
+            "WHERE o_orderkey BETWEEN 1000 AND 20000 AND o_custkey = 605",
         "analytics_over_encoded":
             "SELECT l_returnflag, l_linestatus, "
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "

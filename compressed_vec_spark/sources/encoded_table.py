@@ -143,6 +143,84 @@ def stored_schema(spark: SparkSession, out_dir: str) -> tuple[str, dict]:
     return ddl, {r["name"]: decode_dtype(r["dtype"]) for r in rows}
 
 
+def _unwrap_vec(blob: bytes) -> bytes:
+    """Strip the optional NULM wrapper + chunk codec tag, returning the
+    raw BinaryVector payload (nulls ride as zeros)."""
+    b = bytes(blob)
+    if b[:4] == b"NULM":
+        n = int.from_bytes(b[4:8], "little")
+        b = b[8 + (n + 7) // 8:]
+    return b[4:]
+
+
+def pruned_multi_and_count(spark: SparkSession, out_dir: str,
+                           range_col: str, lo: int, hi: int,
+                           eq_col: str, value: int) -> tuple[int, dict]:
+    """count(lo <= range_col <= hi AND eq_col == value) over an encoded
+    table — the reference's MultiVectorFilter (src/filter.rs:239-286)
+    running on the PERSISTED store:
+
+      1. manifest [min,max] stats prune chunks per column; a chunk
+         survives only if BOTH predicates admit it (candidate id sets
+         intersected before any blob is read),
+      2. the two columns' blobs of one chunk_id pair up with one join
+         (chunks are row-aligned by construction),
+      3. inside a chunk, range_mask runs first and its all-zero sections
+         short-circuit the equality column's decode
+         (section_masks(skip_sections=...)), exactly the reference's
+         sparse-first ordering."""
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    total_chunks = manifest.where(F.col("column") == range_col).count()
+    cand_r = manifest.where(
+        (F.col("column") == range_col)
+        & (F.col("min_val") <= hi) & (F.col("max_val") >= lo))
+    cand_e = manifest.where(
+        (F.col("column") == eq_col)
+        & (F.col("min_val") <= value) & (F.col("max_val") >= value))
+    cand = (cand_r.select("chunk_id")
+            .join(cand_e.select("chunk_id"), "chunk_id"))
+    scanned = cand.count()
+
+    chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    vec_codecs = ["vec_u64", "vec_u32"]
+    a = (chunks.where((F.col("column") == range_col)
+                      & F.col("codec").isin(vec_codecs))
+         .select("chunk_id", F.col("blob").alias("blob_r"),
+                 F.col("codec").alias("codec_r")))
+    b = (chunks.where((F.col("column") == eq_col)
+                      & F.col("codec").isin(vec_codecs))
+         .select("chunk_id", F.col("blob").alias("blob_e"),
+                 F.col("codec").alias("codec_e")))
+    paired = (a.join(F.broadcast(cand), "chunk_id")
+              .join(b, "chunk_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hits = skipped_sections = 0
+        for pdf in batches:
+            for br, cr, be, ce in zip(pdf["blob_r"], pdf["codec_r"],
+                                      pdf["blob_e"], pdf["codec_e"]):
+                kr = "u64" if cr == "vec_u64" else "u32"
+                ke = "u64" if ce == "vec_u64" else "u32"
+                m1 = filters.range_mask(_unwrap_vec(br), kr, lo, hi)
+                dead = ~m1.any(axis=1)
+                skipped_sections += int(dead.sum())
+                m2 = filters.section_masks(_unwrap_vec(be), ke, [value],
+                                           skip_sections=dead)
+                hits += filters.count_hits(m1 & m2)
+        yield pd.DataFrame({"hits": [hits], "skipped": [skipped_sections]})
+
+    agg = (paired.select("blob_r", "codec_r", "blob_e", "codec_e")
+           .mapInPandas(fn, "hits long, skipped long")
+           .agg(F.sum("hits").alias("h"), F.sum("skipped").alias("s"))
+           .collect()[0])
+    return int(agg["h"] or 0), {
+        "total_chunks": total_chunks,
+        "scanned_chunks": scanned,
+        "pruned_chunks": total_chunks - scanned,
+        "eq_sections_short_circuited": int(agg["s"] or 0),
+    }
+
+
 def read_decoded(spark: SparkSession, out_dir: str, schema: str | None = None,
                  dtypes: dict[str, str] | None = None) -> DataFrame:
     """Full decoded view of an encoded table (see decode_job for the

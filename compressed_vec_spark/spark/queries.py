@@ -171,6 +171,20 @@ def encoded_table_range_count(spark, sf_dir) -> DataFrame:
         pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
 
 
+def encoded_table_multi_and_count(spark, sf_dir) -> DataFrame:
+    """MultiVectorFilter over the persisted store: range AND equality
+    across two columns' chunks with manifest pruning intersected across
+    BOTH predicates and per-section short-circuit of the second column
+    (reference src/filter.rs:239-286 applied to storage)."""
+    from ..sources import encoded_table
+    out = _orders_store(spark, sf_dir)
+    hits, stats = encoded_table.pruned_multi_and_count(
+        spark, out, "o_orderkey", 1000, 20000, "o_custkey", 605)
+    assert stats["pruned_chunks"] >= 0
+    return spark.createDataFrame(
+        pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
+
+
 def analytics_over_encoded(spark, sf_dir) -> DataFrame:
     """TPC-H-Q1-style aggregation running on the DECODED view of an
     encoded store: encode -> decode_chunks -> groupBy/agg — the proof

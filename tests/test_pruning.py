@@ -62,6 +62,23 @@ def test_pruned_range_count_two_levels(spark, tmp_path):
     assert count == 0 and stats["scanned_chunks"] == 0
 
 
+def test_pruned_multi_and_short_circuits(spark, tmp_path):
+    """Two-column AND over the store: chunk candidates intersect across
+    both predicates, and range-dead sections skip the equality column's
+    decode entirely (MultiVectorFilter short-circuit on storage)."""
+    out = str(tmp_path / "enc_mv")
+    df = spark.range(0, 40000, 1, 8).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    encode_job.encode_table(spark, df, out, url_col=None)
+
+    count, stats = encoded_table.pruned_multi_and_count(
+        spark, out, "k", 10400, 10499, "v", 3)
+    want = sum(1 for i in range(10400, 10500) if i % 7 == 3)
+    assert count == want
+    assert stats["pruned_chunks"] > 0
+    assert stats["eq_sections_short_circuited"] > 0
+
+
 def test_register_encoded_table_sql(spark, tmp_path):
     """An encoded store is self-describing: register it as a temp view
     (no schema handed over) and run plain SQL over the decoded rows."""
