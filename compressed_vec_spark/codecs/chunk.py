@@ -112,7 +112,9 @@ def encode_column(series: pd.Series, codec: str | None = None) -> tuple[str, byt
         arr = pa.array(series.where(series.notna(), b""), type=pa.large_binary())
         data, offsets = fsst._string_buffers(arr)
         lens_vec = vec.encode_vector(np.diff(offsets).astype(np.uint64), "u64")
-        comp = zlib.compress(data.tobytes(), 1)  # speed-biased level
+        # level 2: measured +3% ratio over level 1 at ~the same MB/s on
+        # html; level 3+ halves throughput for single-digit ratio gains
+        comp = zlib.compress(data.tobytes(), 2)
         payload = (len(arr).to_bytes(4, "little") + len(lens_vec).to_bytes(4, "little")
                    + lens_vec + comp)
     else:
