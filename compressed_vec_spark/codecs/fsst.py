@@ -293,19 +293,26 @@ def decode(blob: bytes) -> pa.Array:
     sizes = sym_len[codes]
     if len(lit):
         sizes[lit] = 1
-    pos = np.empty(len(codes) + 1, dtype=np.int32)
+
+    # dense expansion: per code a [first, second] byte pair with a
+    # validity mask; row-major boolean extraction emits the bytes in
+    # code order — no output-position cumsum, no index-list scatters
+    n = len(codes)
+    pair_bytes = np.empty((n, 2), dtype=np.uint8)
+    pair_bytes[:, 0] = sym_first[codes]
+    pair_bytes[:, 1] = sym_second[codes]
+    if len(lit):
+        pair_bytes[lit, 0] = codes[lit]  # escaped literals emit themselves
+    valid = np.empty((n, 2), dtype=bool)
+    valid[:, 0] = sizes > 0
+    valid[:, 1] = sizes == 2
+    out = pair_bytes[valid]
+
+    # per-string byte offsets still come from the size cumsum (cheap);
+    # only the output-byte scatters were replaced by the extraction
+    pos = np.empty(n + 1, dtype=np.int32)
     pos[0] = 0
     np.cumsum(sizes, out=pos[1:])
-    total = int(pos[-1])
-    out = np.empty(total + 1, dtype=np.uint8)  # +1 guard (see encode)
-    out[pos[:-1]] = sym_first[codes]           # last-writer-wins fill
-    if len(lit):
-        out[pos[lit]] = codes[lit]
-    two = np.flatnonzero(sizes == 2)
-    if len(two):
-        out[pos[two] + 1] = sym_second[codes[two]]
-    out = out[:total]
-
     str_offsets = pos[code_bounds]
     binary = pa.LargeBinaryArray.from_buffers(
         pa.large_binary(), n_strings,
