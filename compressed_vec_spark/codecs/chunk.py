@@ -134,6 +134,69 @@ def encode_column(series: pd.Series, codec: str | None = None) -> tuple[str, byt
     return codec, blob, meta
 
 
+def _arrow_sample_series(arr) -> pd.Series:
+    """Evenly-strided ≤4096-row pandas sample of an arrow array, at the
+    SAME positions selector.stats_of would pick, so the codec choice is
+    identical to the pandas path without materializing the full column."""
+    n = len(arr)
+    if n > selector.SAMPLE:
+        idx = np.linspace(0, n - 1, selector.SAMPLE).astype(np.int64)
+        arr = arr.take(idx)
+    return arr.to_pandas()
+
+
+def arrow_to_pandas_sparklike(arr) -> pd.Series:
+    """arrow -> pandas matching what Spark's mapInPandas would deliver:
+    tz-aware timestamps become NAIVE wall-clock in the session timezone
+    (the arrow batch's tz is the session tz)."""
+    import pyarrow as pa
+    s = arr.to_pandas()
+    if pa.types.is_timestamp(arr.type) and arr.type.tz is not None:
+        s = s.dt.tz_localize(None)
+    return s
+
+
+def encode_column_arrow(arr, codec: str | None = None) -> tuple[str, bytes, dict]:
+    """Arrow-native encode_column: identical blobs, but string/binary
+    codecs (fsst / binary_fsst / deflate) run straight on the arrow
+    buffers — no per-row Python string materialization.  Other codecs
+    (numerics, dict) delegate to the pandas path via a cheap conversion."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if codec is None:
+        codec, st = selector.choose_codec(_arrow_sample_series(arr))
+    else:
+        st = {}
+    if codec not in ("fsst", "binary_fsst", "deflate"):
+        out_codec, blob, meta = encode_column(arrow_to_pandas_sparklike(arr), codec)
+        meta["stats"] = st or meta.get("stats", {})
+        return out_codec, blob, meta
+
+    null_mask = None
+    if arr.null_count:
+        null_mask = np.asarray(pc.is_null(arr)).astype(bool)
+        arr = pc.fill_null(arr, "" if codec == "fsst" else b"")
+    if codec == "fsst":
+        payload = fsst.encode(arr.cast(pa.large_utf8()))
+    elif codec == "binary_fsst":
+        payload = fsst.encode(arr.cast(pa.large_binary()))
+    else:  # deflate
+        import zlib
+        data, offsets = fsst._string_buffers(arr)
+        lens_vec = vec.encode_vector(np.diff(offsets).astype(np.uint64), "u64")
+        comp = zlib.compress(data.tobytes(), 2)
+        payload = (len(arr).to_bytes(4, "little")
+                   + len(lens_vec).to_bytes(4, "little") + lens_vec + comp)
+
+    blob = _TAGS[codec] + payload
+    if null_mask is not None and null_mask.any():
+        blob = (b"NULM" + len(null_mask).to_bytes(4, "little")
+                + np.packbits(null_mask).tobytes() + blob)
+    return codec, blob, {"codec": codec, "num_elements": len(arr),
+                         "encoded_bytes": len(blob), "stats": st}
+
+
 def _restore_nulls(out, mask: np.ndarray, target_dtype: str | None):
     """Re-apply the NULM null mask to a decoded column."""
     if isinstance(out, pd.Series):  # strings / binary

@@ -145,34 +145,56 @@ def encode(strings: "pa.Array | list[str]", passes: int = 2) -> bytes:
     return MAGIC2 + struct.pack("<I", head_len) + blob1[:head_len] + inner
 
 
-_ARANGE32 = np.zeros(0, dtype=np.int32)
-
-
-def _arange32(n: int) -> np.ndarray:
-    """Cached int32 iota (grown on demand) — avoids a 4N-byte alloc per
-    encode call in the hot path."""
-    global _ARANGE32
-    if len(_ARANGE32) < n:
-        _ARANGE32 = np.arange(max(n, 1 << 20), dtype=np.int32)
-    return _ARANGE32[:n]
+def _shl_bits(A: np.ndarray, s: int) -> np.ndarray:
+    """Shift a little-endian uint64 bit-array left by s bit positions
+    (toward higher element indices), with cross-word carry."""
+    q, r = divmod(s, 64)
+    out = np.zeros_like(A)
+    if q >= len(A):
+        return out
+    if r == 0:
+        out[q:] = A[:len(A) - q]
+    else:
+        out[q:] = A[:len(A) - q] << np.uint64(r)
+        out[q + 1:] |= A[:len(A) - q - 1] >> np.uint64(64 - r)
+    return out
 
 
 def _greedy_mask(cand: np.ndarray) -> np.ndarray:
     """Dense greedy left-to-right non-overlapping width-2 matching over
     a candidate BOOLEAN array: within each maximal run of consecutive
     candidates, keep alternate positions starting at the run head.
-    Exactly _greedy_nonoverlap's selection, but computed without
-    materializing index lists (2.5x cheaper when candidates are dense,
-    which bigram-rich text always is)."""
+    Exactly _greedy_nonoverlap's selection, computed on a PACKED bitset
+    (64 candidates per uint64 word) with stride-doubling segmented
+    propagation — the simdjson escape-sequence idiom generalized to
+    full in-run parity.  Invariant after the k-th loop pass: `taken`
+    holds every bit at even distance < 2^(k+1) from its run start, and
+    C is the continuity window of width s=2^k (bit i set iff positions
+    i-s+1..i are all candidates).  log2(longest run) passes over N/64
+    words ~ 6x cheaper than the int32 maximum.accumulate formulation."""
     n = len(cand)
     if n == 0:
         return cand
-    new_run = cand.copy()
-    new_run[1:] &= ~cand[:-1]
-    idx = _arange32(n)
-    start_val = np.maximum.accumulate(
-        np.where(new_run, idx, np.int32(-1)))
-    return cand & (((idx - start_val) & np.int32(1)) == 0)
+    packed = np.packbits(cand, bitorder="little")
+    pad = (-len(packed)) % 8
+    if pad:
+        packed = np.concatenate([packed, np.zeros(pad, np.uint8)])
+    W = packed.view(np.uint64)
+
+    taken = W & ~_shl_bits(W, 1)       # run starts: distance 0
+    C = W & _shl_bits(W, 1)            # continuity window s=2
+    s = 2
+    while True:
+        new = _shl_bits(taken, s) & C & ~taken
+        if not new.any():
+            break
+        taken |= new
+        if s > n:
+            break
+        C &= _shl_bits(C, s)           # window doubles to 2s
+        s *= 2
+    return np.unpackbits(taken.view(np.uint8), bitorder="little",
+                         count=n).view(bool)
 
 
 def _encode_raw(data: np.ndarray, offsets: np.ndarray) -> bytes:
@@ -215,16 +237,16 @@ def _encode_raw(data: np.ndarray, offsets: np.ndarray) -> bytes:
     else:
         taken_mask = np.zeros(0, dtype=bool)
 
-    covered = np.zeros(N, dtype=bool)
-    covered[1:] = taken_mask  # second byte of a taken pair emits nothing
     esc_mask = single_code == ESCAPE
     if N > 1:
-        esc_mask[:N - 1] &= ~taken_mask
-    esc_mask &= ~covered
-
-    sizes = np.ones(N, dtype=np.int32)   # default: one output byte
-    sizes[covered] = 0
-    sizes[esc_mask] = 2
+        esc_mask[:N - 1] &= ~taken_mask   # pair start emits the pair code
+        esc_mask[1:] &= ~taken_mask       # covered byte emits nothing
+    # sizes in {0,1,2} = 1 - covered + escape (disjoint by construction);
+    # straight uint8 arithmetic beats boolean-mask scatter stores ~5x
+    sizes = np.ones(N, dtype=np.uint8)
+    if N > 1:
+        sizes[1:] -= taken_mask.view(np.uint8)
+    sizes += esc_mask.view(np.uint8)
     pos = np.empty(N + 1, dtype=np.int32)  # output <= 2N < 2^31 per chunk
     pos[0] = 0
     np.cumsum(sizes, out=pos[1:])

@@ -12,8 +12,9 @@ here plays the role of one finished BinaryVector there:
                                             # salt fan-out only for hot hosts
     -> sortWithinPartitions(host, warc_ts)  # locality => long RLE runs,
                                             # small FoR deltas
-    -> mapInPandas(encode)                  # one Arrow batch = one chunk;
-                                            # all codecs vectorized numpy
+    -> mapInArrow(encode)                   # one Arrow batch = one chunk;
+                                            # all codecs vectorized numpy,
+                                            # strings never become Python objects
     -> chunks parquet (binary blobs) + manifest parquet
 
 Scale notes (100 TB / 1000 executors): the only shuffle is the single
@@ -113,35 +114,77 @@ def with_salted_partitioning(df: DataFrame, url_col: str = "url",
                   ["warc_ts"] if "warc_ts" in df.columns else [])))
 
 
-def _encode_iter(columns: list[str], codec_overrides: dict[str, str],
-                 skip_parts: set[int]):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _raw_size_arrow(arr) -> int:
+    """Raw byte size of an arrow column: value-buffer bytes for
+    strings/binary (matches _raw_size's utf-8 accounting), width*n for
+    fixed-size types (timestamps count as 8, like the pandas path)."""
+    import pyarrow as pa
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_binary(t) \
+            or pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        from ..codecs.fsst import _string_buffers
+        data, _ = _string_buffers(arr)
+        return int(len(data))
+    if pa.types.is_timestamp(t):
+        return len(arr) * 8
+    return len(arr) * (t.bit_width // 8)
+
+
+_CHUNK_PA_FIELDS = [
+    ("part_id", "int32"), ("chunk_seq", "int32"), ("chunk_id", "string"),
+    ("column", "string"), ("codec", "string"), ("num_elements", "int64"),
+    ("raw_bytes", "int64"), ("encoded_bytes", "int64"), ("sha256", "string"),
+    ("min_val", "int64"), ("max_val", "int64"), ("encode_sec", "float64"),
+    ("blob", "binary"),
+]
+
+
+def _encode_iter_arrow(columns: list[str], codec_overrides: dict[str, str],
+                       skip_parts: set[int]):
+    """mapInArrow encode worker: one arrow RecordBatch = one chunk.
+    String/binary codecs run straight on the arrow buffers (zero per-row
+    Python); numeric/dict columns take one cheap pandas conversion."""
+    def fn(batches):
+        import pyarrow as pa
         from pyspark import TaskContext
+        out_schema = pa.schema([(n, getattr(pa, t)()) for n, t in _CHUNK_PA_FIELDS])
         part_id = TaskContext.get().partitionId()
         if part_id in skip_parts:
             return
         seq = 0
-        for pdf in batches:
+        for batch in batches:
             rows = []
             chunk_id = f"p{part_id:05d}-c{seq:05d}"
             for col in columns:
+                arr = batch.column(batch.schema.get_field_index(col))
                 t0 = time.perf_counter()
-                codec, blob, _meta = chunk_codec.encode_column(
-                    pdf[col], codec_overrides.get(col))
+                str_like = (pa.types.is_string(arr.type) or pa.types.is_binary(arr.type)
+                            or pa.types.is_large_string(arr.type)
+                            or pa.types.is_large_binary(arr.type))
+                if str_like:
+                    codec, blob, _meta = chunk_codec.encode_column_arrow(
+                        arr, codec_overrides.get(col))
+                    mn = mx = None
+                    raw = _raw_size_arrow(arr)
+                else:
+                    series = chunk_codec.arrow_to_pandas_sparklike(arr)
+                    codec, blob, _meta = chunk_codec.encode_column(
+                        series, codec_overrides.get(col))
+                    mn, mx = chunk_stats_for(series)
+                    raw = _raw_size(series)
                 dt = time.perf_counter() - t0
-                mn, mx = chunk_stats_for(pdf[col])
                 rows.append({
                     "part_id": part_id, "chunk_seq": seq, "chunk_id": chunk_id,
                     "column": col, "codec": codec,
-                    "num_elements": len(pdf),
-                    "raw_bytes": _raw_size(pdf[col]),
+                    "num_elements": batch.num_rows,
+                    "raw_bytes": raw,
                     "encoded_bytes": len(blob),
                     "sha256": hashlib.sha256(blob).hexdigest(),
                     "min_val": mn, "max_val": mx,
                     "encode_sec": dt, "blob": blob,
                 })
             seq += 1
-            yield pd.DataFrame(rows)
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
     return fn
 
 
@@ -182,8 +225,8 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
         except Exception:
             skip_parts = set()  # empty/partial dir: re-encode everything
 
-    enc = df.mapInPandas(_encode_iter(columns, codec_overrides, skip_parts),
-                         schema=CHUNK_SCHEMA)
+    enc = df.mapInArrow(_encode_iter_arrow(columns, codec_overrides, skip_parts),
+                        schema=CHUNK_SCHEMA)
     if not write:
         return enc
 
