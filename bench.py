@@ -202,7 +202,9 @@ def main() -> None:
     # robust when no single pair landed fully quiet
     best_of_best = round((high["docs_per_sec"] / low["docs_per_sec"])
                          / (n_high / n_low), 3)
-    eff = max(max(pair_effs), best_of_best)
+    # cap the headline at 1.0: anything above is measurement noise
+    # (a contended low-side run), not real superlinear scaling
+    eff = min(max(max(pair_effs), best_of_best), 1.0)
     speedup = round(eff * (n_high / n_low), 3)
 
     queries = run_queries(CPUS)

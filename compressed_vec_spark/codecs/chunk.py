@@ -214,6 +214,81 @@ def _restore_nulls(out, mask: np.ndarray, target_dtype: str | None):
                                             mask=mask.copy()))
 
 
+def decode_column_arrow(blob: bytes, pa_type, session_tz: str | None = None):
+    """Decode a chunk blob straight to an arrow array of the given arrow
+    type — strings come back as arrow buffers (no per-row Python), and
+    NULM nulls land in the validity bitmap instead of pandas masked
+    arrays.  Value-identical to decode_column.  Timestamps are stored as
+    wall-clock µs in the session timezone (the mapInPandas/mapInArrow
+    convention); session_tz says which zone that is (defaults to the
+    target type's tz)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    blob = bytes(blob)
+    null_mask = None
+    if blob[:4] == b"NULM":
+        n = int.from_bytes(blob[4:8], "little")
+        nbytes = (n + 7) // 8
+        null_mask = np.unpackbits(
+            np.frombuffer(blob, dtype=np.uint8, count=nbytes, offset=8)
+        )[:n].astype(bool)
+        blob = blob[8 + nbytes:]
+    codec = _BY_TAG[bytes(blob[:4])]
+    payload = blob[4:]
+
+    if codec in ("fsst", "binary_fsst"):
+        arr = fsst.decode(payload)                     # large_binary
+    elif codec == "deflate":
+        import zlib
+        n = int.from_bytes(payload[:4], "little")
+        lv_len = int.from_bytes(payload[4:8], "little")
+        lens = vec.decode_vector(payload[8:8 + lv_len], "u64").astype(np.int64)[:n]
+        data = zlib.decompress(payload[8 + lv_len:])
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(offs.astype(np.int64).tobytes()), pa.py_buffer(data)])
+    elif codec == "dict":
+        d = dictionary.dictionary(payload)
+        c = dictionary.codes(payload).astype(np.int64) - 1   # code 0 = null
+        arr = pc.take(pa.array(d, type=pa.string()),
+                      pa.array(c, mask=c < 0))
+    else:
+        if codec == "vec_u64":
+            vals = vec.decode_vector(payload, "u64").astype(np.int64)
+        elif codec == "vec_u32":
+            vals = vec.decode_vector(payload, "u32").astype(np.int64)
+        elif codec == "zz_u64":
+            vals = _unzigzag(vec.decode_vector(payload, "u64"))
+        elif codec == "rle":
+            vals = rle.decode(payload).astype(np.int64)
+        elif codec == "zz_rle":
+            vals = _unzigzag(rle.decode(payload))
+        elif codec == "vec_f32":
+            vals = vec.decode_vector(payload, "f32")
+        elif codec == "xor_f64":
+            n = int.from_bytes(payload[:4], "little")
+            vals = (npk.unpack_f64_xor(
+                np.frombuffer(payload, dtype=np.uint8, offset=4), n)
+                if n else np.empty(0, dtype=np.float64))
+        else:
+            raise ValueError(codec)
+        if pa.types.is_timestamp(pa_type):
+            # stored as wall-clock epoch-µs in the session timezone
+            naive = pa.array(vals.astype("datetime64[us]"), type=pa.timestamp("us"))
+            tz = session_tz or pa_type.tz
+            arr = pc.assume_timezone(naive, tz) if tz else naive
+        else:
+            arr = pa.array(vals, type=pa_type)
+
+    if not arr.type.equals(pa_type):
+        arr = arr.cast(pa_type)
+    if null_mask is not None and null_mask.any():
+        arr = pc.if_else(pa.array(null_mask), pa.scalar(None, type=pa_type), arr)
+    return arr
+
+
 def decode_column(blob: bytes, target_dtype: str | None = None):
     """Decode a chunk blob. Returns a numpy array / pandas Series whose
     values are bit-identical to what was encoded (NA restored from the

@@ -23,23 +23,34 @@ def decode_chunks(chunks: DataFrame, schema: str,
                   dtypes: dict[str, str] | None = None) -> DataFrame:
     """Reassemble rows from per-column chunk blobs.
 
-    groupBy(chunk_id).applyInPandas zips the decoded columns of one
+    groupBy(chunk_id).applyInArrow zips the decoded columns of one
     chunk back together — chunks are independent, so this parallelizes
     per chunk with one narrow shuffle of the (already compressed) blobs.
+    Decoded strings go out as arrow buffers (no per-row Python objects);
+    `dtypes` is kept for API compatibility but the arrow schema is the
+    single source of decode types now.
     """
-    dtypes = dtypes or {}
+    import pyarrow as pa
+    from pyspark.sql.types import StructType
+    from pyspark.sql.pandas.types import to_arrow_type
 
-    def rebuild(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = {}
-        for _, row in pdf.iterrows():
-            out = chunk_codec.decode_column(bytes(row["blob"]), dtypes.get(row["column"]))
-            # keep pandas Series as-is (nullable chunks come back as
-            # masked extension arrays; .to_numpy() would objectify NA)
-            cols[row["column"]] = (out.reset_index(drop=True)
-                                   if isinstance(out, pd.Series) else np.asarray(out))
-        return pd.DataFrame(cols)
+    spark = chunks.sparkSession
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
+    struct = StructType.fromDDL(schema)
+    fields = [(f.name, to_arrow_type(f.dataType)) for f in struct.fields]
+    out_schema = pa.schema(fields)
 
-    return chunks.groupBy("chunk_id").applyInPandas(rebuild, schema=schema)
+    def rebuild(key: tuple, table: pa.Table) -> pa.Table:
+        by_col = {}
+        names = table.column("column").to_pylist()
+        blobs = table.column("blob")
+        for i, name in enumerate(names):
+            by_col[name] = blobs[i].as_py()
+        cols = [chunk_codec.decode_column_arrow(by_col[n], t, session_tz)
+                for n, t in fields]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    return chunks.groupBy("chunk_id").applyInArrow(rebuild, schema=schema)
 
 
 def verify_bit_identical(source: DataFrame, decoded: DataFrame,
