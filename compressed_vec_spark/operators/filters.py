@@ -231,6 +231,54 @@ def count_hits(masks: np.ndarray) -> int:
     return int(masks.sum())
 
 
+def masked_sum(buf: bytes, kind: str, masks: np.ndarray,
+               return_stats: bool = False):
+    """Sum of the elements selected by per-section `masks` over a
+    compressed int vector — the aggregation analog of the reference's
+    filter short-circuits (beyond parity; the reference stops at
+    count/positions, src/filter.rs:296-321).  Header-only fast paths:
+    Null sections contribute 0, Constant sections contribute
+    const * popcount(mask) without decode; only NP/Delta sections with
+    at least one selected element are unpacked.
+
+    Exact for any u64 values: per-call partial sums are computed on
+    hi/lo 32-bit halves (each fits uint64 up to 2^31 selected elements)
+    and recombined in Python ints.
+    """
+    assert kind in ("u32", "u64")
+    body, offs, n, width = _section_layout(buf, kind)
+    starts = offs[:-1]
+    types = body[starts]
+    S = len(starts)
+    if masks.shape != (S, FIXED_LEN):
+        raise ValueError(f"masks shape {masks.shape} != ({S}, {FIXED_LEN})")
+    any_hit = masks.any(axis=1)
+    total = 0
+
+    c_idx = np.nonzero((types == sect.SECT_CONST) & any_hit)[0]
+    if len(c_idx):
+        cv = _const_values(body, starts[c_idx], width)
+        counts = masks[c_idx].sum(axis=1).astype(np.uint64)
+        lo = int(((cv & np.uint64(0xFFFFFFFF)) * counts).sum(dtype=np.uint64))
+        hi = int(((cv >> np.uint64(32)) * counts).sum(dtype=np.uint64))
+        total += lo + (hi << 32)
+
+    packable = np.isin(types, (sect.SECT_NP_MED, sect.SECT_DELTA_NP_MED)) \
+        & any_hit
+    p_idx = np.nonzero(packable)[0]
+    if len(p_idx):
+        vals = _decode_subset_int(body, starts[p_idx], types[p_idx], width)
+        sel = vals[masks[p_idx]]
+        lo = int((sel & np.uint64(0xFFFFFFFF)).sum(dtype=np.uint64))
+        hi = int((sel >> np.uint64(32)).sum(dtype=np.uint64))
+        total += lo + (hi << 32)
+
+    if return_stats:
+        return total, {"sections": S,
+                       "summed_without_decode": S - len(p_idx)}
+    return total
+
+
 def match_positions(masks: np.ndarray) -> np.ndarray:
     """Matching row ordinals (reference src/filter.rs:302-321)."""
     return np.flatnonzero(masks.reshape(-1))

@@ -22,17 +22,43 @@ from ..codecs import chunk as chunk_codec
 from ..operators import filters
 
 
-def chunk_stats_for(series: pd.Series) -> tuple[int | None, int | None]:
-    """Integer min/max for numeric/timestamp chunks (None otherwise)."""
+_I64MAX = (1 << 63) - 1
+_I64MIN = -(1 << 63)
+
+
+def chunk_stats_for(series: pd.Series) \
+        -> tuple[int | None, int | None, int | None, int]:
+    """(min, max, sum, null_count) for numeric/timestamp chunks
+    ((None, None, None, nulls) otherwise).  The sum enables manifest-only
+    aggregation pushdown (`pruned_filtered_sum`): a chunk fully covered
+    by the predicate contributes its manifest sum with zero blob reads —
+    the storage-layer analog of the reference's header-only section
+    short-circuits (reference src/filter.rs:53-107).  Sum is over
+    non-null values (SQL SUM semantics); None if it exceeds int64."""
+    nulls = int(series.isna().sum())
     if series.dtype.kind == "M":
-        v = series.astype("datetime64[us]").to_numpy().view(np.int64)
+        v = series.dropna().astype("datetime64[us]").to_numpy().view(np.int64)
     elif series.dtype.kind in "iu":
-        v = series.to_numpy()
+        v = series.dropna().to_numpy()
     else:
-        return None, None
+        return None, None, None, nulls
     if not len(v):
-        return None, None
-    return int(v.min()), int(v.max())
+        return None, None, None, nulls
+    # exact overflow-free sum: elements split into hi/lo 32-bit halves
+    # (v == (v >> 32) * 2^32 + (v & 0xFFFFFFFF) for arithmetic shift),
+    # each partial sum fits its 64-bit dtype for any chunk <= 2^31
+    # elements; recombined in Python ints
+    if v.dtype.kind == "u":
+        vv = v.astype(np.uint64)
+        total = (int((vv & np.uint64(0xFFFFFFFF)).sum(dtype=np.uint64))
+                 + (int((vv >> np.uint64(32)).sum(dtype=np.uint64)) << 32))
+    else:
+        vv = v.astype(np.int64)
+        total = (int((vv & 0xFFFFFFFF).sum(dtype=np.int64))
+                 + (int((vv >> 32).sum(dtype=np.int64)) << 32))
+    if not (_I64MIN <= total <= _I64MAX):
+        total = None
+    return int(v.min()), int(v.max()), total, nulls
 
 
 def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
@@ -219,6 +245,110 @@ def pruned_multi_and_count(spark: SparkSession, out_dir: str,
         "pruned_chunks": total_chunks - scanned,
         "eq_sections_short_circuited": int(agg["s"] or 0),
     }
+
+
+def pruned_filtered_sum(spark: SparkSession, out_dir: str,
+                        filter_col: str, lo: int, hi: int,
+                        sum_col: str) -> tuple[int, dict]:
+    """SUM(sum_col) WHERE lo <= filter_col <= hi with THREE pushdown
+    levels, cheapest first:
+
+      1. manifest prune: chunks whose filter-col [min,max] is disjoint
+         from [lo,hi] contribute nothing — never read;
+      2. manifest ANSWER: chunks fully covered (min >= lo, max <= hi,
+         no nulls) contribute their manifest `sum_val` — zero blob
+         reads, the aggregation analog of Parquet row-group stats;
+      3. partially-overlapping chunks decode only the sections the
+         range mask needs (`filters.range_mask` header skips) and sum
+         via `filters.masked_sum` (Const/Null sections summed from
+         their header byte).
+
+    Cross-chunk accumulation runs in decimal(38,0) so no int64 overflow
+    regardless of chunk count.  Chunks with nulls or non-vec codecs in
+    either column fall back to a full decode of that chunk (SQL null
+    semantics: null filter values never match, null sum values add 0).
+    """
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    f_man = manifest.where(F.col("column") == filter_col)
+    total_chunks = f_man.count()
+    overlap = f_man.where((F.col("min_val") <= hi) & (F.col("max_val") >= lo))
+
+    s_man = (manifest.where(F.col("column") == sum_col)
+             .select("chunk_id", F.col("sum_val").alias("s_sum"),
+                     F.col("null_count").alias("s_nulls"),
+                     F.col("codec").alias("s_codec")))
+    j = overlap.join(s_man, "chunk_id")
+    covered = ((F.col("min_val") >= lo) & (F.col("max_val") <= hi)
+               & (F.col("null_count") == 0) & F.col("s_sum").isNotNull())
+    agg = j.agg(
+        F.sum(F.when(covered, F.col("s_sum")).otherwise(F.lit(0))
+              .cast("decimal(38,0)")).alias("manifest_sum"),
+        F.sum(F.when(covered, 1).otherwise(0)).alias("covered"),
+        F.count("*").alias("scanned")).collect()[0]
+    manifest_sum = int(agg["manifest_sum"] or 0)
+    covered_chunks = int(agg["covered"] or 0)
+    scanned = int(agg["scanned"] or 0)
+
+    partial_ids = j.where(~covered).select(
+        "chunk_id", "null_count", "s_nulls", "codec", "s_codec")
+    chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    fb = (chunks.where(F.col("column") == filter_col)
+          .select("chunk_id", F.col("blob").alias("blob_f")))
+    sb = (chunks.where(F.col("column") == sum_col)
+          .select("chunk_id", F.col("blob").alias("blob_s")))
+    paired = (fb.join(F.broadcast(partial_ids), "chunk_id").join(sb, "chunk_id"))
+
+    vec_codecs = ("vec_u64", "vec_u32")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        task_sum, fast_sections = 0, 0
+        for pdf in batches:
+            for bf, cf, nf, bs, cs, ns in zip(
+                    pdf["blob_f"], pdf["codec"], pdf["null_count"],
+                    pdf["blob_s"], pdf["s_codec"], pdf["s_nulls"]):
+                if cf in vec_codecs and cs in vec_codecs and not nf and not ns:
+                    kf = "u64" if cf == "vec_u64" else "u32"
+                    ks = "u64" if cs == "vec_u64" else "u32"
+                    masks = filters.range_mask(_unwrap_vec(bf), kf, lo, hi)
+                    t, st = filters.masked_sum(_unwrap_vec(bs), ks, masks,
+                                               return_stats=True)
+                    fast_sections += st["summed_without_decode"]
+                else:  # nullable or non-vec codec: decoded fallback
+                    fv = pd.Series(chunk_codec.decode_column(bytes(bf)))
+                    sv = pd.Series(chunk_codec.decode_column(bytes(bs)))
+                    m = (fv >= lo) & (fv <= hi)
+                    m = m.fillna(False).to_numpy(dtype=bool)
+                    t = int(sv[m].dropna().astype(object).sum())
+                task_sum += t
+        # exact cross-chunk accumulation: the Python-int partial rides as
+        # a string, Spark finishes in decimal(38,0) — no float, no wrap
+        yield pd.DataFrame({"part_sum": [str(task_sum)],
+                            "fast_sections": [fast_sections]})
+
+    part = (paired.mapInPandas(fn, "part_sum string, fast_sections long")
+            .agg(F.sum(F.col("part_sum").cast("decimal(38,0)")).alias("s"),
+                 F.sum("fast_sections").alias("fs")).collect()[0])
+    partial_sum = int(part["s"] or 0)
+    return manifest_sum + partial_sum, {
+        "total_chunks": total_chunks,
+        "pruned_chunks": total_chunks - scanned,
+        "covered_from_manifest": covered_chunks,
+        "partial_chunks": scanned - covered_chunks,
+        "sections_summed_without_decode": int(part["fs"] or 0),
+    }
+
+
+def manifest_min_max(spark: SparkSession, out_dir: str,
+                     column: str) -> tuple[int | None, int | None]:
+    """Global MIN/MAX of a column answered from the manifest ALONE —
+    no chunk blob is ever read (min of chunk mins / max of chunk maxes;
+    SQL semantics: nulls ignored, all-null table yields (None, None))."""
+    m = (spark.read.parquet(os.path.join(out_dir, "manifest"))
+         .where(F.col("column") == column)
+         .agg(F.min("min_val").alias("mn"), F.max("max_val").alias("mx"))
+         .collect()[0])
+    return (None if m["mn"] is None else int(m["mn"]),
+            None if m["mx"] is None else int(m["mx"]))
 
 
 def read_decoded(spark: SparkSession, out_dir: str, schema: str | None = None,

@@ -45,12 +45,13 @@ from ..sources.encoded_table import chunk_stats_for
 CHUNK_SCHEMA = (
     "part_id int, chunk_seq int, chunk_id string, column string, codec string, "
     "num_elements long, raw_bytes long, encoded_bytes long, sha256 string, "
-    "min_val long, max_val long, encode_sec double, blob binary"
+    "min_val long, max_val long, sum_val long, null_count long, "
+    "encode_sec double, blob binary"
 )
 
 MANIFEST_COLS = ["part_id", "chunk_seq", "chunk_id", "column", "codec",
                  "num_elements", "raw_bytes", "encoded_bytes", "sha256",
-                 "min_val", "max_val", "encode_sec"]
+                 "min_val", "max_val", "sum_val", "null_count", "encode_sec"]
 
 
 def _fs_exists(spark: SparkSession, path: str) -> bool:
@@ -134,7 +135,8 @@ _CHUNK_PA_FIELDS = [
     ("part_id", "int32"), ("chunk_seq", "int32"), ("chunk_id", "string"),
     ("column", "string"), ("codec", "string"), ("num_elements", "int64"),
     ("raw_bytes", "int64"), ("encoded_bytes", "int64"), ("sha256", "string"),
-    ("min_val", "int64"), ("max_val", "int64"), ("encode_sec", "float64"),
+    ("min_val", "int64"), ("max_val", "int64"), ("sum_val", "int64"),
+    ("null_count", "int64"), ("encode_sec", "float64"),
     ("blob", "binary"),
 ]
 
@@ -164,13 +166,14 @@ def _encode_iter_arrow(columns: list[str], codec_overrides: dict[str, str],
                 if str_like:
                     codec, blob, _meta = chunk_codec.encode_column_arrow(
                         arr, codec_overrides.get(col))
-                    mn = mx = None
+                    mn = mx = sm = None
+                    nulls = arr.null_count
                     raw = _raw_size_arrow(arr)
                 else:
                     series = chunk_codec.arrow_to_pandas_sparklike(arr)
                     codec, blob, _meta = chunk_codec.encode_column(
                         series, codec_overrides.get(col))
-                    mn, mx = chunk_stats_for(series)
+                    mn, mx, sm, nulls = chunk_stats_for(series)
                     raw = _raw_size(series)
                 dt = time.perf_counter() - t0
                 rows.append({
@@ -181,6 +184,7 @@ def _encode_iter_arrow(columns: list[str], codec_overrides: dict[str, str],
                     "encoded_bytes": len(blob),
                     "sha256": hashlib.sha256(blob).hexdigest(),
                     "min_val": mn, "max_val": mx,
+                    "sum_val": sm, "null_count": nulls,
                     "encode_sec": dt, "blob": blob,
                 })
             seq += 1

@@ -185,6 +185,37 @@ def encoded_table_multi_and_count(spark, sf_dir) -> DataFrame:
         pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
 
 
+def encoded_table_sum_pushdown(spark, sf_dir) -> DataFrame:
+    """Aggregation pushdown over the persisted store (beyond the
+    reference, which stops at count/positions — src/filter.rs:296-321):
+    SUM(o_custkey) WHERE o_orderkey BETWEEN lo AND hi answered with
+    three levels — manifest prune, manifest per-chunk sum_val for fully
+    covered chunks (zero blob reads), and header-skipping masked_sum
+    for the boundary chunks."""
+    from ..sources import encoded_table
+    out = _orders_store(spark, sf_dir)
+    total, stats = encoded_table.pruned_filtered_sum(
+        spark, out, "o_orderkey", 1000, 20000, "o_custkey")
+    assert (stats["pruned_chunks"] + stats["covered_from_manifest"]
+            + stats["partial_chunks"]) == stats["total_chunks"]
+    return spark.createDataFrame(
+        pd.DataFrame({"sum_custkey": [total]})) \
+        .select(F.col("sum_custkey").cast("long"))
+
+
+def encoded_table_minmax_pushdown(spark, sf_dir) -> DataFrame:
+    """Global MIN/MAX answered from the manifest ALONE — no chunk blob
+    is read (the storage-layer analog of the reference's VectorStats,
+    src/vector.rs:343-359, persisted at encode time)."""
+    from ..sources import encoded_table
+    out = _orders_store(spark, sf_dir)
+    mn, mx = encoded_table.manifest_min_max(spark, out, "o_custkey")
+    return spark.createDataFrame(
+        pd.DataFrame({"min_custkey": [mn], "max_custkey": [mx]})) \
+        .select(F.col("min_custkey").cast("long"),
+                F.col("max_custkey").cast("long"))
+
+
 def analytics_over_encoded(spark, sf_dir) -> DataFrame:
     """TPC-H-Q1-style aggregation running on the DECODED view of an
     encoded store: encode -> decode_chunks -> groupBy/agg — the proof
