@@ -40,6 +40,12 @@ def decode_chunks(chunks: DataFrame, schema: str,
     fields = [(f.name, to_arrow_type(f.dataType)) for f in struct.fields]
     out_schema = pa.schema(fields)
 
+    # column pruning at the STORE level: only the requested columns'
+    # blobs are read and shuffled (the isin filter reaches the parquet
+    # scan as a pushed filter) — a 2-column projection of a 5-column
+    # table moves 2 columns' bytes, not 5
+    chunks = chunks.where(F.col("column").isin([n for n, _ in fields]))
+
     def rebuild(key: tuple, table: pa.Table) -> pa.Table:
         by_col = {}
         names = table.column("column").to_pylist()

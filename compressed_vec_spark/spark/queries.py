@@ -185,6 +185,48 @@ def encoded_table_multi_and_count(spark, sf_dir) -> DataFrame:
         pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
 
 
+def encoded_table_group_count(spark, sf_dir) -> DataFrame:
+    """GROUP BY + COUNT over a dict-coded column straight from the
+    compressed store: per chunk, one bincount over the u32 code vector
+    (never materializing per-row strings) + a |dict|-sized code->value
+    map; the shuffle then moves (distinct values x chunks) tiny rows
+    instead of N decoded strings.  Extends the reference's
+    filter-on-codes design goal (reference README.md:83-86) to
+    aggregation."""
+    key = (id(spark.sparkContext), sf_dir, "documents_src")
+    if key not in _STORE_CACHE:
+        from ..spark import encode_job
+        out = _scratch_dir(spark, "cvx_doc_")
+        df = (_read(spark, sf_dir, "documents").select("doc_id", "source")
+              .repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id"))
+        encode_job.encode_table(spark, df, out, url_col=None, resume=False,
+                                codec_overrides={"source": "dict"})
+        _STORE_CACHE[key] = out
+    chunks = (spark.read.parquet(os.path.join(_STORE_CACHE[key], "chunks"))
+              .where((F.col("column") == "source") & (F.col("codec") == "dict")))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals_out, cnts_out = [], []
+            for blob in pdf["blob"]:
+                payload = bytes(blob)[4:]  # strip chunk codec tag
+                c = dictionary.codes(payload).astype(np.int64)
+                counts = np.bincount(c)
+                vals = dictionary.dictionary(payload)
+                # code 0 is the null sentinel; SQL GROUP BY would emit a
+                # NULL group, which the caller can add back if needed
+                for code in np.flatnonzero(counts):
+                    if code > 0:
+                        vals_out.append(vals[code - 1])
+                        cnts_out.append(int(counts[code]))
+            yield pd.DataFrame({"source": pd.Series(vals_out, dtype=object),
+                                "cnt": pd.Series(cnts_out, dtype="int64")})
+
+    return (chunks.select("blob").mapInPandas(fn, "source string, cnt long")
+            .groupBy("source")
+            .agg(F.sum("cnt").cast("long").alias("doc_count")))
+
+
 def encoded_table_sum_pushdown(spark, sf_dir) -> DataFrame:
     """Aggregation pushdown over the persisted store (beyond the
     reference, which stops at count/positions — src/filter.rs:296-321):

@@ -101,6 +101,25 @@ def test_pruned_filtered_sum_nullable_fallback(spark, tmp_path):
     assert total == expect  # SQL SUM semantics: nulls contribute nothing
 
 
+def test_decode_column_pruning(spark, tmp_path):
+    """A projected decode must only read/shuffle the requested columns'
+    blobs: the column-name filter reaches the chunks parquet scan."""
+    out = str(tmp_path / "encp")
+    df = spark.range(0, 4000, 1, 4).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b"),
+        (F.col("id") % 5).alias("c"))
+    encode_job.encode_table(spark, df, out, url_col=None, num_partitions=4)
+    from compressed_vec_spark.spark import decode_job
+    chunks = spark.read.parquet(out + "/chunks")
+    dec = decode_job.decode_chunks(chunks, "a long, c long")
+    assert dec.columns == ["a", "c"]
+    agg = dec.agg(F.sum("a").alias("sa"), F.sum("c").alias("sc")).collect()[0]
+    assert agg["sa"] == sum(range(4000))
+    assert agg["sc"] == sum(i % 5 for i in range(4000))
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "column" in plan.split("PushedFilters")[1][:200]  # pruned at scan
+
+
 def test_manifest_min_max(spark, tmp_path):
     out = str(tmp_path / "encm")
     df = spark.range(0, 3000, 1, 4).select(
