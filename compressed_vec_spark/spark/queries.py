@@ -185,14 +185,9 @@ def encoded_table_multi_and_count(spark, sf_dir) -> DataFrame:
         pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
 
 
-def encoded_table_group_count(spark, sf_dir) -> DataFrame:
-    """GROUP BY + COUNT over a dict-coded column straight from the
-    compressed store: per chunk, one bincount over the u32 code vector
-    (never materializing per-row strings) + a |dict|-sized code->value
-    map; the shuffle then moves (distinct values x chunks) tiny rows
-    instead of N decoded strings.  Extends the reference's
-    filter-on-codes design goal (reference README.md:83-86) to
-    aggregation."""
+def _documents_dict_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached encoded store of documents (doc_id, dict-coded
+    source); returns the source column's dict chunks."""
     key = (id(spark.sparkContext), sf_dir, "documents_src")
     if key not in _STORE_CACHE:
         from ..spark import encode_job
@@ -202,8 +197,40 @@ def encoded_table_group_count(spark, sf_dir) -> DataFrame:
         encode_job.encode_table(spark, df, out, url_col=None, resume=False,
                                 codec_overrides={"source": "dict"})
         _STORE_CACHE[key] = out
-    chunks = (spark.read.parquet(os.path.join(_STORE_CACHE[key], "chunks"))
-              .where((F.col("column") == "source") & (F.col("codec") == "dict")))
+    return (spark.read.parquet(os.path.join(_STORE_CACHE[key], "chunks"))
+            .where((F.col("column") == "source") & (F.col("codec") == "dict")))
+
+
+def encoded_table_distinct_pushdown(spark, sf_dir) -> DataFrame:
+    """COUNT(DISTINCT dict_column) answered from the dictionary HEAPS
+    alone — the per-chunk symbol tables are unioned and the code
+    vectors are never decoded (a chunk's heap holds exactly the values
+    present in that chunk, so the union is the exact distinct set)."""
+    from ..codecs import dictionary as dict_codec
+
+    chunks = _documents_dict_chunks(spark, sf_dir)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vals: set[str] = set()
+        for pdf in batches:
+            for blob in pdf["blob"]:
+                vals.update(dict_codec.dictionary(bytes(blob)[4:]))
+        yield pd.DataFrame({"source": pd.Series(sorted(vals), dtype=object)})
+
+    return (chunks.select("blob").mapInPandas(fn, "source string")
+            .agg(F.count_distinct(F.col("source")).cast("long")
+                 .alias("distinct_sources")))
+
+
+def encoded_table_group_count(spark, sf_dir) -> DataFrame:
+    """GROUP BY + COUNT over a dict-coded column straight from the
+    compressed store: per chunk, one bincount over the u32 code vector
+    (never materializing per-row strings) + a |dict|-sized code->value
+    map; the shuffle then moves (distinct values x chunks) tiny rows
+    instead of N decoded strings.  Extends the reference's
+    filter-on-codes design goal (reference README.md:83-86) to
+    aggregation."""
+    chunks = _documents_dict_chunks(spark, sf_dir)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -111,3 +111,32 @@ def test_regression_seeds():
         out, _ = npk.pack_groups(arr.reshape(1, 8))
         decoded, _ = npk.unpack_groups(out, np.array([0]))
         assert (decoded.ravel() == arr).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.integers(0, 100), st.integers(0, (1 << 64) - 1)),
+                min_size=1, max_size=2000),
+       st.integers(0, (1 << 64) - 1), st.integers(0, (1 << 64) - 1))
+def test_prop_masked_sum_range(vals, a, b):
+    """masked_sum over range_mask == exact numpy filtered sum, for any
+    u64 values (including > int64) and any [lo, hi]."""
+    from compressed_vec_spark.operators import filters
+    lo, hi = min(a, b), max(a, b)
+    v = np.array(vals, dtype=np.uint64)
+    buf = vec.encode_vector(v, "u64")
+    masks = filters.range_mask(buf, "u64", lo, hi)
+    got = filters.masked_sum(buf, "u64", masks)
+    expect = int(v[(v >= lo) & (v <= hi)].astype(object).sum())
+    assert got == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, (1 << 32) - 1), min_size=1, max_size=1500),
+       st.integers(0, (1 << 32) - 1))
+def test_prop_masked_sum_equals_u32(vals, needle):
+    from compressed_vec_spark.operators import filters
+    v = np.array(vals, dtype=np.uint64)
+    buf = vec.encode_vector(v, "u32")
+    masks = filters.equals_mask(buf, "u32", needle)
+    got = filters.masked_sum(buf, "u32", masks)
+    assert got == int(needle) * int((v == needle).sum())
