@@ -125,6 +125,51 @@ def run_encode_bench(cores: int, rows: int, input_path: str | None = None) -> di
         spark.stop()
 
 
+def run_decode_bench(cores: int, rows: int, input_path: str | None = None) -> dict:
+    """Encode the web table to a real store (untimed), then time the
+    full decode back to rows (chunks parquet scan -> applyInArrow
+    rebuild -> length aggregation over every column) — evidence for the
+    north rule's bit-identical-decode side at pipeline scale."""
+    import shutil
+    import tempfile
+    from compressed_vec_spark.spark.session import get_spark
+    from compressed_vec_spark.spark import encode_job, webtable
+    from compressed_vec_spark.sources import encoded_table
+    from pyspark.sql import functions as F
+
+    parts = int(os.environ.get("CVX_BENCH_PARTITIONS", "64"))
+    out = os.path.join(tempfile.mkdtemp(prefix="cvx_decbench_"), "store")
+    spark = get_spark(f"cvx-decbench-{cores}", cores=cores)
+    try:
+        if input_path:
+            web = spark.read.parquet(input_path).repartition(parts)
+        else:
+            web = webtable.webpages(spark, rows, partitions=parts)
+        raw_bytes = web.select(
+            (F.sum(F.length(F.col("url")) + F.length(F.col("text"))
+                   + F.length(F.col("html")) + F.length(F.col("lang")) + F.lit(8)))
+        ).collect()[0][0]
+        encode_job.encode_table(spark, web, out, resume=False,
+                                num_partitions=parts)
+
+        t0 = time.perf_counter()
+        dec = encoded_table.read_decoded(spark, out)
+        agg = dec.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("url") + F.length("text") + F.length("html")
+                  + F.length("lang")).alias("chars")).collect()[0]
+        wall = time.perf_counter() - t0
+        assert agg["n"] == rows, f"decode row count {agg['n']} != {rows}"
+        return {"cores": cores, "rows": int(agg["n"]),
+                "wall_sec": round(wall, 3),
+                "raw_mb": round(raw_bytes / 1e6, 2),
+                "docs_per_sec": round(agg["n"] / wall, 1),
+                "mb_per_sec": round(raw_bytes / 1e6 / wall, 2)}
+    finally:
+        spark.stop()
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
 def run_queries(cores: int) -> dict:
     import __spark_entry__ as entrymod
     from compressed_vec_spark.spark.session import get_spark
@@ -138,7 +183,7 @@ def run_queries(cores: int) -> dict:
         # numbers then measure the QUERIES (the encode pipeline itself
         # is measured separately in the scaling section)
         for warm in ("filter_equals_count", "encoded_table_pruned_count",
-                     "analytics_over_encoded"):
+                     "encoded_table_group_count", "analytics_over_encoded"):
             qs[warm](spark, SF_DIR) \
                 .write.format("noop").mode("overwrite").save()
         for name, fn in qs.items():
@@ -207,6 +252,18 @@ def main() -> None:
     eff = min(max(max(pair_effs), best_of_best), 1.0)
     speedup = round(eff * (n_high / n_low), 3)
 
+    # one decode measurement at the 4N level (fresh subprocess)
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--decode-run",
+             str(n_high), str(SCALING_ROWS), input_path],
+            capture_output=True, text=True, timeout=900)
+        decode = json.loads(r.stdout.strip().splitlines()[-1]) \
+            if r.returncode == 0 else {"error": r.stderr[-500:]}
+    except Exception as e:  # decode bench is evidence, not the gate
+        decode = {"error": str(e)[:500]}
+
     queries = run_queries(CPUS)
 
     best = max(high, saturated, key=lambda r: r["mb_per_sec"])
@@ -217,6 +274,7 @@ def main() -> None:
         "sf": sf_val,
         "queries": queries,
         "encode": {"low": low, "high": high, "saturated": saturated},
+        "decode": decode,
         "scaling": {
             "cores_low": low["cores"], "cores_high": high["cores"],
             "speedup": round(speedup, 3),
@@ -245,6 +303,10 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--encode-run":
         print(json.dumps(run_encode_bench(
+            int(sys.argv[2]), int(sys.argv[3]),
+            sys.argv[4] if len(sys.argv) > 4 else None)))
+    elif len(sys.argv) >= 4 and sys.argv[1] == "--decode-run":
+        print(json.dumps(run_decode_bench(
             int(sys.argv[2]), int(sys.argv[3]),
             sys.argv[4] if len(sys.argv) > 4 else None)))
     else:
