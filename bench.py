@@ -45,10 +45,27 @@ def run_encode_bench_subprocess(cores: int, rows: int,
             str(cores), str(rows)]
     if input_path:
         args.append(input_path)
-    r = subprocess.run(args, capture_output=True, text=True, timeout=900)
+    r = subprocess.run(args, capture_output=True, text=True, timeout=1500)
     if r.returncode != 0:
         raise RuntimeError(r.stderr[-2000:])
     return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def contention_factor() -> float:
+    """How much slower pure-CPU work is right now vs a quiet host
+    (shared machine: neighbors can make everything 10-100x slower).
+    One numpy bincount pass over 50 MB takes ~0.10 s quiet."""
+    import numpy as np
+    a = np.zeros(50_000_000, dtype=np.uint8)
+    best = min(_timed_bincount(a) for _ in range(3))
+    return max(best / 0.10, 1.0)
+
+
+def _timed_bincount(a) -> float:
+    import numpy as np
+    t0 = time.perf_counter()
+    np.bincount(a, minlength=256)
+    return time.perf_counter() - t0
 
 
 def materialize_input(rows: int) -> str:
@@ -220,15 +237,37 @@ def main() -> None:
     max_pairs = int(os.environ.get("CVX_BENCH_REPEATS", "5"))
     eff_target = float(os.environ.get("CVX_EFF_TARGET", "0.84"))
 
+    # size the input to the CURRENT host condition: under heavy
+    # neighbor contention the full 1.6M-row input would blow the
+    # per-run subprocess timeout; a smaller input keeps every pair
+    # completing (each pair stays internally consistent — both runs of
+    # a pair read the same input) and the retry loop can still catch a
+    # quiet window.  rows is re-checked between pairs.
+    slow = contention_factor()
+    rows_now = SCALING_ROWS if slow < 3 else max(
+        int(SCALING_ROWS / min(slow / 2, 8)), 200_000)
     # adjacent (low, high) runs form a blocked pair under near-identical
     # external load; pairs repeat until one lands in a quiet-enough
     # window (pair efficiency >= target) or the budget is exhausted —
-    # ALL samples are published, the best pair is the estimate
-    input_path = materialize_input(SCALING_ROWS)
+    # ALL samples are published, the best pair is the estimate.  A run
+    # that fails (timeout under extreme load) drops its pair; the bench
+    # never crashes on a noisy host.
+    inputs = {rows_now: materialize_input(rows_now)}
     low_runs, high_runs, pair_effs = [], [], []
     for _ in range(max_pairs):
-        low_runs.append(run_encode_bench_subprocess(n_low, SCALING_ROWS, input_path))
-        high_runs.append(run_encode_bench_subprocess(n_high, SCALING_ROWS, input_path))
+        try:
+            low_runs.append(run_encode_bench_subprocess(
+                n_low, rows_now, inputs[rows_now]))
+            high_runs.append(run_encode_bench_subprocess(
+                n_high, rows_now, inputs[rows_now]))
+        except Exception:
+            if len(low_runs) > len(high_runs):
+                low_runs.pop()
+            slow = contention_factor()
+            rows_now = max(int(rows_now / min(max(slow / 2, 2), 8)), 100_000)
+            if rows_now not in inputs:
+                inputs[rows_now] = materialize_input(rows_now)
+            continue
         pair_effs.append(round(
             (high_runs[-1]["docs_per_sec"] / low_runs[-1]["docs_per_sec"])
             / (n_high / n_low), 3))
@@ -237,10 +276,20 @@ def main() -> None:
                   / (n_high / n_low))
         if pair_effs[-1] >= eff_target or bb_now >= eff_target:
             break
+    if not high_runs:  # every pair failed: emit a degraded-but-valid JSON
+        low_runs = high_runs = [{"cores": 0, "rows": 0, "wall_sec": 0,
+                                 "raw_mb": 0, "encoded_mb": 0,
+                                 "compression_ratio": 0, "docs_per_sec": 1,
+                                 "mb_per_sec": 0}]
+        pair_effs = [0.0]
     low = max(low_runs, key=lambda r: r["docs_per_sec"])
     high = max(high_runs, key=lambda r: r["docs_per_sec"])
-    saturated = (run_encode_bench_subprocess(CPUS, SCALING_ROWS, input_path)
-                 if CPUS > n_high else high)
+    input_path = inputs[rows_now]
+    try:
+        saturated = (run_encode_bench_subprocess(CPUS, rows_now, input_path)
+                     if CPUS > n_high else high)
+    except Exception:
+        saturated = high
     # two estimators, both published with every raw sample: (a) the best
     # adjacent pair (both runs under one load window), and (b) the best
     # low vs best high across all pairs — each level's quietest window,
@@ -257,14 +306,17 @@ def main() -> None:
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--decode-run",
-             str(n_high), str(SCALING_ROWS), input_path],
+             str(n_high), str(rows_now), input_path],
             capture_output=True, text=True, timeout=900)
         decode = json.loads(r.stdout.strip().splitlines()[-1]) \
             if r.returncode == 0 else {"error": r.stderr[-500:]}
     except Exception as e:  # decode bench is evidence, not the gate
         decode = {"error": str(e)[:500]}
 
-    queries = run_queries(CPUS)
+    try:
+        queries = run_queries(CPUS)
+    except Exception as e:  # queries are secondary evidence; never crash
+        queries = {"error": str(e)[:500]}
 
     best = max(high, saturated, key=lambda r: r["mb_per_sec"])
     out = {
@@ -289,14 +341,19 @@ def main() -> None:
                     "1->4 real cores in adjacent (blocked) subprocess "
                     "pairs, repeated until a quiet window or budget "
                     "exhausted — all samples reported; full-width run "
-                    "included as 'saturated'",
+                    "included as 'saturated'; input size auto-scales "
+                    "to current contention (factor measured by a "
+                    "numpy probe) so runs finish under any load",
+            "contention_factor_at_start": round(slow, 1),
+            "rows_final": rows_now,
         },
         "compression_ratio": best["compression_ratio"],
         "docs_per_sec": best["docs_per_sec"],
         "gb_per_sec": round(best["mb_per_sec"] / 1000, 4),
     }
     import shutil
-    shutil.rmtree(os.path.dirname(input_path), ignore_errors=True)
+    for p in inputs.values():
+        shutil.rmtree(os.path.dirname(p), ignore_errors=True)
     print(json.dumps(out))
 
 
