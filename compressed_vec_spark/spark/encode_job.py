@@ -97,11 +97,17 @@ def with_salted_partitioning(df: DataFrame, url_col: str = "url",
     """
     spark = df.sparkSession
     host = F.expr(f"parse_url({url_col}, 'HOST')")
-    df = df.withColumn("__host", host)
-    # ONE sampling job: top host counts; the total is derived driver-side
-    sampled = (df.sample(fraction=sample_fraction, seed=42)
+    # ONE sampling job: top host counts; the total is derived driver-side.
+    # The sample is taken on the bare url column BEFORE deriving the
+    # host, so parse_url runs on sample_fraction of the rows — written
+    # the other way round, Sample sits above the Project and the regex
+    # runs on 100% of the table (verified in the physical plan).
+    sampled = (df.select(F.col(url_col))
+                 .sample(fraction=sample_fraction, seed=42)
+                 .select(host.alias("__host"))
                  .groupBy("__host").count()
                  .orderBy(F.desc("count")).limit(max_hot_hosts * 4).collect())
+    df = df.withColumn("__host", host)
     total = sum(r["count"] for r in sampled) or 1
     hot = [r["__host"] for r in sampled
            if r["count"] > hot_threshold * total][:max_hot_hosts]
