@@ -43,6 +43,15 @@ def main(argv: list[str] | None = None) -> int:
     ver.add_argument("--encoded", required=True)
     ver.add_argument("--key", default="url")
 
+    agg = sub.add_parser(
+        "sum", help="SUM(sum-col) WHERE lo <= filter-col <= hi straight off "
+                    "the encoded store (manifest + header pushdown)")
+    agg.add_argument("--encoded", required=True, help="encode output dir")
+    agg.add_argument("--filter-col", required=True)
+    agg.add_argument("--lo", type=int, required=True)
+    agg.add_argument("--hi", type=int, required=True)
+    agg.add_argument("--sum-col", required=True)
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -76,6 +85,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(res))
         if any(v != 0 for v in res["mismatches"].values()):
             return 1
+    elif args.cmd == "sum":
+        from compressed_vec_spark.sources import encoded_table
+        total, stats = encoded_table.pruned_filtered_sum(
+            spark, args.encoded, args.filter_col, args.lo, args.hi,
+            args.sum_col)
+        print(json.dumps({"sum": total, **stats}))
     return 0
 
 
