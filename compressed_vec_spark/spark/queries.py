@@ -185,19 +185,26 @@ def encoded_table_multi_and_count(spark, sf_dir) -> DataFrame:
         pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
 
 
-def _documents_dict_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _documents_store(spark: SparkSession, sf_dir: str) -> str:
     """Session-cached encoded store of documents (doc_id, dict-coded
-    source); returns the source column's dict chunks."""
+    source, n_chars as a sectioned int vector)."""
     key = (id(spark.sparkContext), sf_dir, "documents_src")
     if key not in _STORE_CACHE:
         from ..spark import encode_job
         out = _scratch_dir(spark, "cvx_doc_")
-        df = (_read(spark, sf_dir, "documents").select("doc_id", "source")
+        df = (_read(spark, sf_dir, "documents")
+              .select("doc_id", "source", "n_chars")
               .repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id"))
         encode_job.encode_table(spark, df, out, url_col=None, resume=False,
                                 codec_overrides={"source": "dict"})
         _STORE_CACHE[key] = out
-    return (spark.read.parquet(os.path.join(_STORE_CACHE[key], "chunks"))
+    return _STORE_CACHE[key]
+
+
+def _documents_dict_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source column's dict chunks of the documents store."""
+    out = _documents_store(spark, sf_dir)
+    return (spark.read.parquet(os.path.join(out, "chunks"))
             .where((F.col("column") == "source") & (F.col("codec") == "dict")))
 
 
@@ -252,6 +259,47 @@ def encoded_table_group_count(spark, sf_dir) -> DataFrame:
     return (chunks.select("blob").mapInPandas(fn, "source string, cnt long")
             .groupBy("source")
             .agg(F.sum("cnt").cast("long").alias("doc_count")))
+
+
+def encoded_table_group_sum(spark, sf_dir) -> DataFrame:
+    """GROUP BY dict-column + SUM(numeric) straight off the compressed
+    store: one bincount over the u32 code vector weighted by the decoded
+    int column — per-group partials per chunk, so the shuffle carries
+    (groups x chunks) rows; no row-level string ever exists."""
+    from ..codecs import chunk as chunk_codec
+    out = _documents_store(spark, sf_dir)
+    chunks = (spark.read.parquet(os.path.join(out, "chunks"))
+              .where(F.col("column").isin(["source", "n_chars"])))
+    a = (chunks.where(F.col("column") == "source")
+         .select("chunk_id", F.col("blob").alias("blob_s")))
+    b = (chunks.where(F.col("column") == "n_chars")
+         .select("chunk_id", F.col("blob").alias("blob_n")))
+    paired = a.join(b, "chunk_id")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals_out, sums_out = [], []
+            for bs, bn in zip(pdf["blob_s"], pdf["blob_n"]):
+                payload = bytes(bs)[4:]
+                codes = dictionary.codes(payload).astype(np.int64)
+                nchars = np.asarray(chunk_codec.decode_column(bytes(bn)),
+                                    dtype=np.int64)
+                # float64-weighted bincount is exact below 2^53; per-doc
+                # n_chars < 2^32 and 65536 docs/chunk keep partials far
+                # under that
+                assert nchars.max(initial=0) < (1 << 32)
+                acc = np.bincount(codes, weights=nchars.astype(np.float64))
+                vals = dictionary.dictionary(payload)
+                for code in np.flatnonzero(acc):
+                    if code > 0:  # 0 = null sentinel
+                        vals_out.append(vals[code - 1])
+                        sums_out.append(int(acc[code]))
+            yield pd.DataFrame({"source": pd.Series(vals_out, dtype=object),
+                                "s": pd.Series(sums_out, dtype="int64")})
+
+    return (paired.mapInPandas(fn, "source string, s long")
+            .groupBy("source")
+            .agg(F.sum("s").cast("long").alias("sum_chars")))
 
 
 def encoded_table_sum_pushdown(spark, sf_dir) -> DataFrame:
