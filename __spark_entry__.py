@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_table_group_count": q.encoded_table_group_count,
         "encoded_table_distinct_pushdown": q.encoded_table_distinct_pushdown,
         "encoded_table_group_sum": q.encoded_table_group_sum,
+        "encoded_table_topk_pushdown": q.encoded_table_topk_pushdown,
         "encoded_table_minmax_pushdown": q.encoded_table_minmax_pushdown,
         "analytics_over_encoded": q.analytics_over_encoded,
         "match_positions": q.match_positions_query,
@@ -117,6 +118,9 @@ def oracle_sql() -> dict[str, str]:
         "encoded_table_group_sum":
             "SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents WHERE source IS NOT NULL GROUP BY source",
+        "encoded_table_topk_pushdown":
+            "SELECT CAST(o_custkey AS BIGINT) AS v FROM orders "
+            "ORDER BY v DESC LIMIT 10",
         "encoded_table_minmax_pushdown":
             "SELECT CAST(min(o_custkey) AS BIGINT) AS min_custkey, "
             "CAST(max(o_custkey) AS BIGINT) AS max_custkey FROM orders",

@@ -338,6 +338,54 @@ def pruned_filtered_sum(spark: SparkSession, out_dir: str,
     }
 
 
+def pruned_topk(spark: SparkSession, out_dir: str, column: str,
+                k: int) -> tuple[list[int], dict]:
+    """The k largest values of a column with manifest-threshold pruning.
+
+    Every chunk contributes at least its max, so the k-th largest
+    per-chunk max_val (M_k) lower-bounds the k-th largest value — chunks
+    with max_val < M_k cannot hold a top-k element (ties at M_k are
+    kept: the prune is strict-less-than).  Surviving chunks emit only a
+    k-row partial top-k each, so the final shuffle is k x chunks rows.
+    """
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    col_man = manifest.where(F.col("column") == column)
+    total_chunks = col_man.count()
+    # metadata-only job: the k largest chunk maxima
+    maxes = [r["max_val"] for r in
+             col_man.orderBy(F.desc("max_val")).limit(k).collect()
+             if r["max_val"] is not None]
+    if not maxes:
+        return [], {"total_chunks": total_chunks, "scanned_chunks": 0,
+                    "pruned_chunks": total_chunks}
+    threshold = min(maxes) if len(maxes) >= k else None
+    cand = col_man if threshold is None else \
+        col_man.where(F.col("max_val") >= threshold)
+    scanned = cand.count()
+
+    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
+              .where(F.col("column") == column)
+              .join(F.broadcast(cand.select("chunk_id")), "chunk_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["blob"]:
+                v = np.asarray(chunk_codec.decode_column(bytes(blob)))
+                v = pd.Series(v).dropna().to_numpy()
+                if not len(v):
+                    continue
+                part = np.sort(v)[-k:]  # chunk-local top-k only
+                yield pd.DataFrame({"v": part.astype(np.int64)})
+
+    top = (chunks.select("blob").mapInPandas(fn, "v long")
+           .orderBy(F.desc("v")).limit(k).collect())
+    return [int(r["v"]) for r in top], {
+        "total_chunks": total_chunks,
+        "scanned_chunks": scanned,
+        "pruned_chunks": total_chunks - scanned,
+    }
+
+
 def manifest_min_max(spark: SparkSession, out_dir: str,
                      column: str) -> tuple[int | None, int | None]:
     """Global MIN/MAX of a column answered from the manifest ALONE —

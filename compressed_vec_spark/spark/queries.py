@@ -320,6 +320,20 @@ def encoded_table_sum_pushdown(spark, sf_dir) -> DataFrame:
         .select(F.col("sum_custkey").cast("long"))
 
 
+def encoded_table_topk_pushdown(spark, sf_dir) -> DataFrame:
+    """Top-10 values of a column over the store with manifest-threshold
+    pruning: chunks whose max_val is below the k-th largest chunk max
+    are never read, surviving chunks ship only a k-row partial top-k."""
+    from ..sources import encoded_table
+    out = _orders_store(spark, sf_dir)
+    top, stats = encoded_table.pruned_topk(spark, out, "o_custkey", 10)
+    assert stats["scanned_chunks"] + stats["pruned_chunks"] \
+        == stats["total_chunks"]
+    return spark.createDataFrame(
+        pd.DataFrame({"v": pd.Series(top, dtype="int64")})) \
+        .select(F.col("v").cast("long"))
+
+
 def encoded_table_minmax_pushdown(spark, sf_dir) -> DataFrame:
     """Global MIN/MAX answered from the manifest ALONE — no chunk blob
     is read (the storage-layer analog of the reference's VectorStats,

@@ -120,6 +120,24 @@ def test_decode_column_pruning(spark, tmp_path):
     assert "column" in plan.split("PushedFilters")[1][:200]  # pruned at scan
 
 
+def test_pruned_topk(spark, tmp_path):
+    out = str(tmp_path / "enct")
+    n = 20000
+    df = (spark.range(0, n, 1, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 9973).alias("v"))
+        .repartitionByRange(8, "k").sortWithinPartitions("k"))
+    encode_job.encode_table(spark, df, out, url_col=None)
+    top, stats = encoded_table.pruned_topk(spark, out, "v", 10)
+    expect = sorted((i * 7 % 9973 for i in range(n)), reverse=True)[:10]
+    assert top == expect
+    assert stats["scanned_chunks"] + stats["pruned_chunks"] \
+        == stats["total_chunks"]
+    # sorted column: only the tail chunk(s) can hold the top-k
+    top_k, stats_k = encoded_table.pruned_topk(spark, out, "k", 5)
+    assert top_k == list(range(n - 1, n - 6, -1))
+    assert stats_k["pruned_chunks"] > 0
+
+
 def test_manifest_min_max(spark, tmp_path):
     out = str(tmp_path / "encm")
     df = spark.range(0, 3000, 1, 4).select(
