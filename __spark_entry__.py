@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q.embedding_near_dup,
         "simhash_signatures": q.simhash_signatures_query,
         "ann_cosine_topk": q.ann_cosine_topk,
+        "ann_ivf_topk": q.ann_ivf_topk,
         "lang_id_stopword": q.lang_id_stopword,
         "doc_fingerprint": q.doc_fingerprint,
     }
@@ -267,6 +268,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000.0)"
             " >= 950000",
         "ann_cosine_topk":
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id FROM embeddings, q WHERE vec_id <> 0 "
+            "ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id LIMIT 10",
+        "ann_ivf_topk":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
             "SELECT vec_id FROM embeddings, q WHERE vec_id <> 0 "
             "ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id LIMIT 10",

@@ -699,6 +699,23 @@ def ann_cosine_topk(spark, sf_dir) -> DataFrame:
     return top.select("vec_id")
 
 
+def ann_ivf_topk(spark, sf_dir) -> DataFrame:
+    """IVF ANN under the oracle gate: with nprobe == n_centroids every
+    inverted list is probed, so the result is EXACTLY the brute-force
+    top-k — the oracle checks the whole IVF machinery (deterministic
+    k-means training, bucket assignment, candidate scan, tie-broken
+    partial top-k) end to end.  Production recall/latency trades come
+    from lowering nprobe, exercised in test_similarity."""
+    from ..operators import similarity
+    df = _read(spark, sf_dir, "embeddings")
+    qvec = np.array(df.where(F.col("vec_id") == 0)
+                    .select("embedding").first()[0], dtype=np.float64)
+    cents = similarity.train_ivf_centroids(df, "embedding", n_centroids=8)
+    top = similarity.ivf_topk(df, "vec_id", "embedding", cents, qvec,
+                              k=10, nprobe=len(cents), exclude_ids=(0,))
+    return top.select("vec_id")
+
+
 def lang_id_stopword(spark, sf_dir) -> DataFrame:
     """Language-ID heuristic: English stopword ppm per document."""
     from ..operators import text_analysis as ta
