@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_table_distinct_pushdown": q.encoded_table_distinct_pushdown,
         "encoded_table_group_sum": q.encoded_table_group_sum,
         "encoded_table_topk_pushdown": q.encoded_table_topk_pushdown,
+        "rle_range_count": q.rle_range_count,
         "encoded_table_minmax_pushdown": q.encoded_table_minmax_pushdown,
         "analytics_over_encoded": q.analytics_over_encoded,
         "match_positions": q.match_positions_query,
@@ -122,6 +123,9 @@ def oracle_sql() -> dict[str, str]:
         "encoded_table_topk_pushdown":
             "SELECT CAST(o_custkey AS BIGINT) AS v FROM orders "
             "ORDER BY v DESC LIMIT 10",
+        "rle_range_count":
+            "SELECT count(*) AS hits FROM orders "
+            "WHERE o_custkey BETWEEN 100 AND 700",
         "encoded_table_minmax_pushdown":
             "SELECT CAST(min(o_custkey) AS BIGINT) AS min_custkey, "
             "CAST(max(o_custkey) AS BIGINT) AS max_custkey FROM orders",

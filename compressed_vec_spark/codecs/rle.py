@@ -52,3 +52,41 @@ def decode(blob: bytes) -> np.ndarray:
 
 def num_runs(blob: bytes) -> int:
     return struct.unpack_from("<III", blob, 2)[0]
+
+
+def runs(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """(run_values, run_lengths) without expanding — the RLE analog of
+    answering from section headers: aggregates over an RLE column touch
+    R runs, never n elements."""
+    assert blob[:2] == MAGIC, "not an RLE blob"
+    nruns, n, vlen = struct.unpack_from("<III", blob, 2)
+    v = vec.decode_vector(blob[14:14 + vlen], "u64")[:nruns]
+    l = vec.decode_vector(blob[14 + vlen:], "u64")[:nruns]
+    return v, l
+
+
+def count_in_range(blob: bytes, lo: int, hi: int) -> int:
+    """COUNT(lo <= x <= hi) straight off the runs (no expansion)."""
+    v, l = runs(blob)
+    lo_u = np.uint64(max(lo, 0))
+    hi_u = np.uint64(min(max(hi, 0), (1 << 64) - 1))
+    if hi < 0:
+        return 0
+    sel = (v >= lo_u) & (v <= hi_u)
+    return int(l[sel].sum())
+
+
+def sum_in_range(blob: bytes, lo: int, hi: int) -> int:
+    """SUM(x WHERE lo <= x <= hi) off the runs; exact for any u64
+    values up to 2^31 total elements per blob (hi/lo 32-bit split
+    partials each fit uint64, recombined in Python ints)."""
+    v, l = runs(blob)
+    lo_u = np.uint64(max(lo, 0))
+    hi_u = np.uint64(min(max(hi, 0), (1 << 64) - 1))
+    if hi < 0:
+        return 0
+    sel = (v >= lo_u) & (v <= hi_u)
+    vs, ls = v[sel], l[sel]
+    lo_part = int(((vs & np.uint64(0xFFFFFFFF)) * ls).sum(dtype=np.uint64))
+    hi_part = int(((vs >> np.uint64(32)) * ls).sum(dtype=np.uint64))
+    return lo_part + (hi_part << 32)

@@ -347,6 +347,46 @@ def encoded_table_minmax_pushdown(spark, sf_dir) -> DataFrame:
                 F.col("max_custkey").cast("long"))
 
 
+def rle_range_count(spark, sf_dir) -> DataFrame:
+    """COUNT over an RLE-coded stored column without expansion: orders
+    sorted by o_custkey makes o_custkey runs long, the rle codec stores
+    (values, lengths) as two NibblePacked vectors, and the range count
+    sums run lengths whose value lands in [lo, hi] — touching R runs,
+    never n rows (rle.count_in_range).  Manifest min/max still prunes
+    whole chunks first."""
+    from ..spark import encode_job
+    key = (id(spark.sparkContext), sf_dir, "orders_by_cust")
+    if key not in _STORE_CACHE:
+        out = _scratch_dir(spark, "cvx_rle_")
+        df = (_read(spark, sf_dir, "orders")
+              .select("o_custkey", "o_orderkey")
+              .repartitionByRange(8, "o_custkey")
+              .sortWithinPartitions("o_custkey", "o_orderkey"))
+        encode_job.encode_table(spark, df, out, url_col=None, resume=False,
+                                codec_overrides={"o_custkey": "rle"})
+        _STORE_CACHE[key] = out
+    lo, hi = 100, 700
+    manifest = spark.read.parquet(os.path.join(_STORE_CACHE[key], "manifest"))
+    cand = (manifest.where((F.col("column") == "o_custkey")
+                           & (F.col("codec") == "rle")
+                           & (F.col("min_val") <= hi)
+                           & (F.col("max_val") >= lo))
+            .select("chunk_id"))
+    chunks = (spark.read.parquet(os.path.join(_STORE_CACHE[key], "chunks"))
+              .where(F.col("column") == "o_custkey")
+              .join(F.broadcast(cand), "chunk_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hits = 0
+        for pdf in batches:
+            for blob in pdf["blob"]:
+                hits += rle.count_in_range(bytes(blob)[4:], lo, hi)
+        yield pd.DataFrame({"hits": [hits]})
+
+    return (chunks.select("blob").mapInPandas(fn, "hits long")
+            .agg(F.sum("hits").cast("long").alias("hits")))
+
+
 def analytics_over_encoded(spark, sf_dir) -> DataFrame:
     """TPC-H-Q1-style aggregation running on the DECODED view of an
     encoded store: encode -> decode_chunks -> groupBy/agg — the proof
