@@ -91,6 +91,68 @@ def streaming_dedup(source: DataFrame, hash_col: str = "text") -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout).drop("__h")
 
 
+def sessionize(source: DataFrame, key_col: str, ts_col: str,
+               gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization: consecutive events of one key belong to
+    one session while the gap between them stays under `gap_seconds`.
+    A custom stateful operator the built-in window functions can't
+    express on a stream — applyInPandasWithState keeps (session start,
+    last ts, event count) per key and emits a row per CLOSED session
+    when the processing-time timeout fires after the gap with no new
+    events.  State is O(active keys); each batch writes only the keys
+    it saw (same per-key design as streaming_dedup)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        first, last, count = (state.get if state.exists else (None, None, 0))
+        parts = [pd.to_datetime(pdf[ts_col]).astype("int64").to_numpy() // 1000
+                 for pdf in pdfs if len(pdf)]
+        if parts:
+            ts = np.sort(np.concatenate(parts))
+            # vectorized segmentation: a session break wherever the gap
+            # exceeds the threshold (per-SESSION work below, never
+            # per-event)
+            brk = np.flatnonzero(np.diff(ts) > gap_us) + 1
+            seg_a = np.concatenate(([0], brk))
+            seg_b = np.concatenate((brk, [len(ts)]))
+            closed = []
+            for a, b in zip(seg_a, seg_b):
+                if last is not None and int(ts[a]) - last <= gap_us:
+                    # continues the stored session
+                    count += int(b - a)
+                    last = int(ts[b - 1])
+                else:
+                    if count:
+                        closed.append((key[0], first, last, count))
+                    first, last, count = int(ts[a]), int(ts[b - 1]), int(b - a)
+            if closed:
+                yield pd.DataFrame(closed, columns=[
+                    "key", "session_start_us", "session_end_us", "events"])
+        if state.hasTimedOut:
+            if count:
+                yield pd.DataFrame(
+                    [(key[0], first, last, count)],
+                    columns=["key", "session_start_us",
+                             "session_end_us", "events"])
+            state.remove()
+        else:
+            state.update((first, last, count))
+            state.setTimeoutDuration(gap_seconds * 1000)
+
+    return (source.groupBy(F.col(key_col))
+            .applyInPandasWithState(
+                fn,
+                outputStructType="key long, session_start_us long, "
+                                 "session_end_us long, events long",
+                stateStructType="first long, last long, count long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
 def windowed_stats(source: DataFrame, ts_col: str = "warc_ts",
                    watermark: str = "10 minutes",
                    window: str = "5 minutes") -> DataFrame:

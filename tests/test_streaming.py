@@ -126,3 +126,51 @@ def test_streaming_dedup_stateful(spark, tmp_path):
     assert max(t for _, _, t in stats) == n_distinct
     dup_batches = [(i, u, t) for i, u, t in stats if i > 0 and u == 0]
     assert dup_batches, f"replayed batch should update 0 state rows: {stats}"
+
+
+def test_sessionize_gap_sessions(spark, tmp_path):
+    """Gap-based sessionization: two in-batch sessions split at the gap,
+    a later batch within the gap continues the open session (no
+    premature emit)."""
+    import glob
+    import shutil
+    import pandas as pd
+    src_dir = str(tmp_path / "ss_in")
+    os.makedirs(src_dir)
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    gap = 600  # seconds
+    # key 7: events at t=0..2min (session A), then t=60min.. (session B)
+    rows1 = pd.DataFrame({
+        "user_id": [7, 7, 7, 7, 9],
+        "ts": [base, base + pd.Timedelta("60s"), base + pd.Timedelta("120s"),
+               base + pd.Timedelta("60min"), base + pd.Timedelta("5s")],
+    })
+    staging = str(tmp_path / "ss_stage")
+    spark.createDataFrame(rows1).coalesce(1).write.parquet(staging)
+    part = glob.glob(staging + "/part-*.parquet")[0]
+    shutil.copy(part, os.path.join(src_dir, "f1.parquet"))
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    sessions = encode_stream.sessionize(stream, "user_id", "ts",
+                                        gap_seconds=gap)
+    q = (sessions.writeStream.format("memory").queryName("ss_out")
+         .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+         .outputMode("append").trigger(processingTime="1 seconds").start())
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM ss_out").first()["c"] >= 1:
+                break
+            time.sleep(2)
+        got = spark.sql(
+            "SELECT * FROM ss_out ORDER BY key, session_start_us").collect()
+    finally:
+        q.stop()
+    # only key 7's FIRST session closed (the 60min event opened a new
+    # one, still pending; key 9's single event is also still open)
+    assert len(got) == 1
+    r = got[0]
+    assert r["key"] == 7 and r["events"] == 3
+    assert (r["session_end_us"] - r["session_start_us"]) == 120_000_000
