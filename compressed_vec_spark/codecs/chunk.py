@@ -104,19 +104,9 @@ def encode_column(series: pd.Series, codec: str | None = None) -> tuple[str, byt
             arr = pa.array(series.fillna(""), type=pa.large_utf8())
         payload = fsst.encode(arr)
     elif codec == "deflate":
-        # entropy coding for opaque binary payloads (html blobs) where
-        # bigram symbol tables underperform; lengths still ride a
-        # BinaryVector so per-row access stays cheap
-        import zlib
         import pyarrow as pa
         arr = pa.array(series.where(series.notna(), b""), type=pa.large_binary())
-        data, offsets = fsst._string_buffers(arr)
-        lens_vec = vec.encode_vector(np.diff(offsets).astype(np.uint64), "u64")
-        # level 2: measured +3% ratio over level 1 at ~the same MB/s on
-        # html; level 3+ halves throughput for single-digit ratio gains
-        comp = zlib.compress(data.tobytes(), 2)
-        payload = (len(arr).to_bytes(4, "little") + len(lens_vec).to_bytes(4, "little")
-                   + lens_vec + comp)
+        payload = _entropy_payload(arr)
     else:
         raise ValueError(f"unsupported codec {codec} for dtype {series.dtype}")
 
@@ -156,6 +146,36 @@ def arrow_to_pandas_sparklike(arr) -> pd.Series:
     return s
 
 
+def _entropy_payload(arr) -> bytes:
+    """'deflate' codec payload for opaque binary columns (html blobs)
+    where bigram symbol tables underperform: lengths ride a BinaryVector
+    for cheap per-row access; the concatenated bytes go through zstd
+    level 3 (measured on html: 187 MB/s at 3.7x vs zlib-2's 80 MB/s at
+    3.1x) with zlib-2 as the fallback when this build lacks zstd.  The
+    decoder sniffs the stream magic, so both formats stay readable."""
+    data, offsets = fsst._string_buffers(arr)
+    lens_vec = vec.encode_vector(np.diff(offsets).astype(np.uint64), "u64")
+    zc = fsst.zstd_codec(3)
+    if zc is not None:
+        comp = bytes(zc.compress(data.tobytes()))
+    else:
+        import zlib
+        comp = zlib.compress(data.tobytes(), 2)
+    return (len(arr).to_bytes(4, "little")
+            + len(lens_vec).to_bytes(4, "little") + lens_vec + comp)
+
+
+_ZSTD_FRAME_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def _entropy_decompress(comp: bytes, size: int) -> bytes:
+    if comp[:4] == _ZSTD_FRAME_MAGIC:
+        import pyarrow as pa
+        return bytes(pa.Codec("zstd").decompress(comp, size))
+    import zlib
+    return zlib.decompress(comp)
+
+
 def encode_column_arrow(arr, codec: str | None = None) -> tuple[str, bytes, dict]:
     """Arrow-native encode_column: identical blobs, but string/binary
     codecs (fsst / binary_fsst / deflate) run straight on the arrow
@@ -182,12 +202,7 @@ def encode_column_arrow(arr, codec: str | None = None) -> tuple[str, bytes, dict
     elif codec == "binary_fsst":
         payload = fsst.encode(arr.cast(pa.large_binary()))
     else:  # deflate
-        import zlib
-        data, offsets = fsst._string_buffers(arr)
-        lens_vec = vec.encode_vector(np.diff(offsets).astype(np.uint64), "u64")
-        comp = zlib.compress(data.tobytes(), 2)
-        payload = (len(arr).to_bytes(4, "little")
-                   + len(lens_vec).to_bytes(4, "little") + lens_vec + comp)
+        payload = _entropy_payload(arr)
 
     blob = _TAGS[codec] + payload
     if null_mask is not None and null_mask.any():
@@ -240,11 +255,10 @@ def decode_column_arrow(blob: bytes, pa_type, session_tz: str | None = None):
     if codec in ("fsst", "binary_fsst"):
         arr = fsst.decode(payload)                     # large_binary
     elif codec == "deflate":
-        import zlib
         n = int.from_bytes(payload[:4], "little")
         lv_len = int.from_bytes(payload[4:8], "little")
         lens = vec.decode_vector(payload[8:8 + lv_len], "u64").astype(np.int64)[:n]
-        data = zlib.decompress(payload[8 + lv_len:])
+        data = _entropy_decompress(payload[8 + lv_len:], int(lens.sum()))
         offs = np.concatenate(([0], np.cumsum(lens)))
         arr = pa.LargeBinaryArray.from_buffers(
             pa.large_binary(), n,
@@ -327,12 +341,11 @@ def decode_column(blob: bytes, target_dtype: str | None = None):
     elif codec == "binary_fsst":
         out = pd.Series(fsst.decode(payload).to_pandas())
     elif codec == "deflate":
-        import zlib
         import pyarrow as pa
         n = int.from_bytes(payload[:4], "little")
         lv_len = int.from_bytes(payload[4:8], "little")
         lens = vec.decode_vector(payload[8:8 + lv_len], "u64").astype(np.int64)[:n]
-        data = zlib.decompress(payload[8 + lv_len:])
+        data = _entropy_decompress(payload[8 + lv_len:], int(lens.sum()))
         offs = np.concatenate(([0], np.cumsum(lens)))
         arr = pa.LargeBinaryArray.from_buffers(
             pa.large_binary(), n,
