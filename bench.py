@@ -254,7 +254,14 @@ def main() -> None:
     # never crashes on a noisy host.
     inputs = {rows_now: materialize_input(rows_now)}
     low_runs, high_runs, pair_effs = [], [], []
+    # hard wall-clock budget for the pair loop: under heavy contention
+    # a single pair can take 10+ minutes, and an unbounded retry hunt
+    # would outlive any caller's patience — report what we have instead
+    t_pairs = time.perf_counter()
+    pair_budget = float(os.environ.get("CVX_BENCH_PAIR_BUDGET_SEC", "1400"))
     for _ in range(max_pairs):
+        if high_runs and time.perf_counter() - t_pairs > pair_budget:
+            break
         try:
             low_runs.append(run_encode_bench_subprocess(
                 n_low, rows_now, inputs[rows_now]))
@@ -291,7 +298,9 @@ def main() -> None:
     input_path = inputs[rows_now]
     try:
         saturated = (run_encode_bench_subprocess(CPUS, rows_now, input_path)
-                     if CPUS > n_high else high)
+                     if CPUS > n_high
+                     and time.perf_counter() - t_pairs < pair_budget * 1.2
+                     else high)
     except Exception:
         saturated = high
     # two estimators, both published with every raw sample: (a) the best
