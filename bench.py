@@ -371,7 +371,38 @@ def main() -> None:
     import shutil
     for p in inputs.values():
         shutil.rmtree(os.path.dirname(p), ignore_errors=True)
-    print(json.dumps(out))
+
+    # Full detail goes to a file (the canonical local artifact; history
+    # lives in git).  stdout gets ONE compact JSON line — the driver's
+    # stdout tail window is 2000 chars, so the line must fit inside it
+    # (round 2's full-detail line was 2.9KB and recorded parsed:null).
+    with open(os.path.join(REPO, "BENCH_local.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        "metric": "encode_throughput_mb_s",
+        "value": best["mb_per_sec"],
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": {k: (round(v, 2) if isinstance(v, float) else v)
+                    for k, v in queries.items()},
+        "scaling": {"cores_low": low["cores"], "cores_high": high["cores"],
+                    "speedup": round(speedup, 3),
+                    "efficiency": round(eff, 3)},
+        "compression_ratio": best["compression_ratio"],
+        "docs_per_sec": best["docs_per_sec"],
+        "encode_mb_s": best["mb_per_sec"],
+        "decode_mb_s": decode.get("mb_per_sec"),
+        "detail": "BENCH_local.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never exceed the driver's tail window
+        compact["queries"] = {k: v for k, v in sorted(
+            compact["queries"].items())[:30]}
+        compact["queries_truncated"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -152,7 +152,8 @@ def _entropy_payload(arr) -> bytes:
     for cheap per-row access; the concatenated bytes go through zstd
     level 3 (measured on html: 187 MB/s at 3.7x vs zlib-2's 80 MB/s at
     3.1x) with zlib-2 as the fallback when this build lacks zstd.  The
-    decoder sniffs the stream magic, so both formats stay readable."""
+    decoder sniffs the stream magic; zstd-written payloads require a
+    zstd-capable reader (zstd_decompress raises clearly if absent)."""
     data, offsets = fsst._string_buffers(arr)
     lens_vec = vec.encode_vector(np.diff(offsets).astype(np.uint64), "u64")
     zc = fsst.zstd_codec(3)
@@ -170,8 +171,7 @@ _ZSTD_FRAME_MAGIC = b"\x28\xb5\x2f\xfd"
 
 def _entropy_decompress(comp: bytes, size: int) -> bytes:
     if comp[:4] == _ZSTD_FRAME_MAGIC:
-        import pyarrow as pa
-        return bytes(pa.Codec("zstd").decompress(comp, size))
+        return fsst.zstd_decompress(comp, size)
     import zlib
     return zlib.decompress(comp)
 

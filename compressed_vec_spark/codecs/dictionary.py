@@ -35,6 +35,14 @@ def encode(series: pd.Series) -> bytes:
     raw_codes, uniques = pd.factorize(filled, sort=True)
     codes = (raw_codes + 1).astype(np.uint64)
     codes[isnull] = 0
+    uniques = list(uniques)
+    # fillna("") injects a phantom "" entry when the series has NULLs
+    # but no genuine empty string; it would be zero-referenced (nulls
+    # are code 0) yet still inflate DISTINCT counts derived from the
+    # dictionary heap.  "" sorts first, so it can only be code 1.
+    if uniques and uniques[0] == "" and not (codes == 1).any():
+        uniques = uniques[1:]
+        codes[codes > 0] -= 1
     enc = [str(s).encode("utf-8") for s in uniques]
     offsets = np.zeros(len(enc) + 1, dtype=np.uint32)
     np.cumsum([len(b) for b in enc], out=offsets[1:])

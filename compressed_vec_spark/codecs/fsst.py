@@ -132,11 +132,27 @@ MAGIC4 = b"F\x04"
 
 def zstd_codec(level: int):
     """pyarrow's bundled zstd codec, or None if this build lacks it
-    (callers fall back to zlib — both stream formats stay decodable)."""
+    (ENCODERS fall back to zlib; a blob already written with zstd still
+    requires a zstd-capable reader — see zstd_decompress)."""
     try:
         return pa.Codec("zstd", compression_level=level)
     except Exception:
         return None
+
+
+def zstd_decompress(comp: bytes, size: int) -> bytes:
+    """Decode-side zstd with an explicit availability probe: the
+    encode-side zlib fallback cannot help here (the bytes on disk are a
+    zstd frame), so fail with a clear message instead of a raw pyarrow
+    error."""
+    try:
+        codec = pa.Codec("zstd")
+    except Exception as e:
+        raise RuntimeError(
+            "blob was written with the zstd entropy back end but this "
+            "build's pyarrow lacks zstd; read the store with a "
+            "zstd-capable pyarrow build") from e
+    return bytes(codec.decompress(comp, size))
 
 
 def encode(strings: "pa.Array | list[str]", passes: int = 2) -> bytes:
@@ -300,8 +316,7 @@ def decode(blob: bytes) -> pa.Array:
         (head_len,) = struct.unpack_from("<I", blob, 2)
         head = bytes(blob[6:6 + head_len])
         code_len = struct.unpack_from("<BBIII", head, 2)[3]
-        codes = bytes(pa.Codec("zstd").decompress(
-            bytes(blob[6 + head_len:]), code_len))
+        codes = zstd_decompress(bytes(blob[6 + head_len:]), code_len)
         return decode(head + codes)
     if bytes(blob[:2]) == MAGIC3:
         import zlib

@@ -53,6 +53,20 @@ MANIFEST_COLS = ["part_id", "chunk_seq", "chunk_id", "column", "codec",
                  "num_elements", "raw_bytes", "encoded_bytes", "sha256",
                  "min_val", "max_val", "sum_val", "null_count", "encode_sec"]
 
+# Bumped whenever CHUNK_SCHEMA / MANIFEST_COLS change shape.  v2 added
+# sum_val + null_count.  Stores written before versioning existed have
+# no store_meta directory and read as None.
+STORE_FORMAT_VERSION = 2
+
+
+def _store_version(spark: SparkSession, out_dir: str) -> int | None:
+    try:
+        row = (spark.read.parquet(os.path.join(out_dir, "store_meta"))
+               .first())
+        return int(row["format_version"]) if row else None
+    except Exception:
+        return None
+
 
 def _fs_exists(spark: SparkSession, path: str) -> bool:
     """Existence check through Spark's Hadoop FileSystem API — works on
@@ -223,6 +237,16 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
     chunks_path = os.path.join(out_dir, "chunks")
     manifest_path = os.path.join(out_dir, "manifest")
     if resume and write and _fs_exists(spark, chunks_path):
+        # a resume APPENDS to the existing chunks dataset, so the
+        # on-disk format must match what this build writes — mixing
+        # schemas (e.g. a pre-v2 store without sum_val/null_count)
+        # would corrupt the dataset for every reader
+        ver = _store_version(spark, out_dir)
+        if ver != STORE_FORMAT_VERSION:
+            raise ValueError(
+                f"store at {out_dir} has format_version={ver}, this build "
+                f"writes v{STORE_FORMAT_VERSION}; rerun with resume=False "
+                "to re-encode, or read the old store with a matching build")
         # resume state is derived from the CHUNKS directory (the data of
         # record), not the manifest: a failure between the chunk write
         # and the manifest write would otherwise leave committed chunks
@@ -255,6 +279,9 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
     (spark.createDataFrame(schema_rows, "position int, name string, dtype string")
         .coalesce(1).write.mode("overwrite")
         .parquet(os.path.join(out_dir, "table_schema")))
+    (spark.createDataFrame([(STORE_FORMAT_VERSION,)], "format_version int")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "store_meta")))
     # manifest derived from the written chunks (no double encode)
     written = spark.read.parquet(chunks_path)
     (written.select(*MANIFEST_COLS)

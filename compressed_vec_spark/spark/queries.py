@@ -283,12 +283,15 @@ def encoded_table_group_sum(spark, sf_dir) -> DataFrame:
                 payload = bytes(bs)[4:]
                 codes = dictionary.codes(payload).astype(np.int64)
                 nchars = np.asarray(chunk_codec.decode_column(bytes(bn)),
-                                    dtype=np.int64)
+                                    dtype=np.float64)
+                # SQL SUM semantics: NULL contributes 0 (a NaN here
+                # would otherwise int-cast to -2^63 silently)
+                np.nan_to_num(nchars, copy=False)
                 # float64-weighted bincount is exact below 2^53; per-doc
                 # n_chars < 2^32 and 65536 docs/chunk keep partials far
                 # under that
                 assert nchars.max(initial=0) < (1 << 32)
-                acc = np.bincount(codes, weights=nchars.astype(np.float64))
+                acc = np.bincount(codes, weights=nchars)
                 vals = dictionary.dictionary(payload)
                 for code in np.flatnonzero(acc):
                     if code > 0:  # 0 = null sentinel

@@ -92,15 +92,21 @@ def streaming_dedup(source: DataFrame, hash_col: str = "text") -> DataFrame:
 
 
 def sessionize(source: DataFrame, key_col: str, ts_col: str,
-               gap_seconds: int = 1800) -> DataFrame:
-    """Gap-based sessionization: consecutive events of one key belong to
-    one session while the gap between them stays under `gap_seconds`.
-    A custom stateful operator the built-in window functions can't
-    express on a stream — applyInPandasWithState keeps (session start,
-    last ts, event count) per key and emits a row per CLOSED session
-    when the processing-time timeout fires after the gap with no new
-    events.  State is O(active keys); each batch writes only the keys
-    it saw (same per-key design as streaming_dedup)."""
+               gap_seconds: int = 1800,
+               watermark: str = "30 minutes") -> DataFrame:
+    """Gap-based sessionization with EVENT-TIME close semantics: events
+    of one key belong to one session while the event-time gap between
+    them stays under `gap_seconds`; a session closes only once the
+    watermark guarantees no event can extend it (watermark >
+    session_end + gap).  Backpressure / processing-time stalls can no
+    longer split a session, and out-of-order events (within the
+    watermark delay) merge into the right session with correct bounds:
+    state holds ALL open intervals per key and each batch re-merges
+    stored intervals with the batch's sorted segments, taking min/max
+    bounds.  State is O(active keys x open intervals), each batch writes
+    only the keys it saw (same per-key design as streaming_dedup).
+    Events older than the watermark are dropped (standard late-data
+    contract)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -108,49 +114,66 @@ def sessionize(source: DataFrame, key_col: str, ts_col: str,
     gap_us = gap_seconds * 1_000_000
 
     def fn(key, pdfs, state: GroupState):
-        first, last, count = (state.get if state.exists else (None, None, 0))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            firsts, lasts, counts = state.get
+            ivals = [[int(f), int(l), int(c)]
+                     for f, l, c in zip(firsts, lasts, counts)]
+        else:
+            ivals = []
         parts = [pd.to_datetime(pdf[ts_col]).astype("int64").to_numpy() // 1000
                  for pdf in pdfs if len(pdf)]
         if parts:
             ts = np.sort(np.concatenate(parts))
+            if wm_us > 0:  # drop data later than the watermark allows
+                ts = ts[ts >= wm_us]
             # vectorized segmentation: a session break wherever the gap
             # exceeds the threshold (per-SESSION work below, never
             # per-event)
-            brk = np.flatnonzero(np.diff(ts) > gap_us) + 1
-            seg_a = np.concatenate(([0], brk))
-            seg_b = np.concatenate((brk, [len(ts)]))
-            closed = []
-            for a, b in zip(seg_a, seg_b):
-                if last is not None and int(ts[a]) - last <= gap_us:
-                    # continues the stored session
-                    count += int(b - a)
-                    last = int(ts[b - 1])
-                else:
-                    if count:
-                        closed.append((key[0], first, last, count))
-                    first, last, count = int(ts[a]), int(ts[b - 1]), int(b - a)
-            if closed:
-                yield pd.DataFrame(closed, columns=[
-                    "key", "session_start_us", "session_end_us", "events"])
-        if state.hasTimedOut:
-            if count:
-                yield pd.DataFrame(
-                    [(key[0], first, last, count)],
-                    columns=["key", "session_start_us",
-                             "session_end_us", "events"])
+            if len(ts):
+                brk = np.flatnonzero(np.diff(ts) > gap_us) + 1
+                seg_a = np.concatenate(([0], brk))
+                seg_b = np.concatenate((brk, [len(ts)]))
+                ivals += [[int(ts[a]), int(ts[b - 1]), int(b - a)]
+                          for a, b in zip(seg_a, seg_b)]
+        # interval merge with gap threshold — out-of-order segments
+        # (earlier than a stored session's start) extend bounds via
+        # min/max instead of corrupting them
+        ivals.sort(key=lambda iv: iv[0])
+        merged: list[list[int]] = []
+        for iv in ivals:
+            if merged and iv[0] - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], iv[1])
+                merged[-1][2] += iv[2]
+            else:
+                merged.append(iv)
+        closed = [iv for iv in merged if iv[1] + gap_us <= wm_us]
+        still_open = [iv for iv in merged if iv[1] + gap_us > wm_us]
+        if closed:
+            yield pd.DataFrame(
+                [(key[0], f, l, c) for f, l, c in closed],
+                columns=["key", "session_start_us", "session_end_us",
+                         "events"])
+        if still_open:
+            state.update(([iv[0] for iv in still_open],
+                          [iv[1] for iv in still_open],
+                          [iv[2] for iv in still_open]))
+            # fire when the watermark passes the earliest possible close
+            t_ms = min(iv[1] + gap_us for iv in still_open) // 1000
+            state.setTimeoutTimestamp(max(t_ms, wm_us // 1000 + 1))
+        elif state.exists:
             state.remove()
-        else:
-            state.update((first, last, count))
-            state.setTimeoutDuration(gap_seconds * 1000)
 
-    return (source.groupBy(F.col(key_col))
+    return (source.withWatermark(ts_col, watermark)
+            .groupBy(F.col(key_col))
             .applyInPandasWithState(
                 fn,
                 outputStructType="key long, session_start_us long, "
                                  "session_end_us long, events long",
-                stateStructType="first long, last long, count long",
+                stateStructType="firsts array<long>, lasts array<long>, "
+                                "counts array<long>",
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
 def windowed_stats(source: DataFrame, ts_col: str = "warc_ts",

@@ -34,6 +34,23 @@ def test_dict_nulls():
     assert pd.isna(back[1]) and pd.isna(back[3])
 
 
+def test_dict_nulls_no_phantom_empty_entry():
+    """NULLs must not leak a phantom "" into the dictionary heap (it
+    would inflate DISTINCT counts derived from unioned heaps)."""
+    s = pd.Series(["b", None, "a", None])
+    blob = dictionary.encode(s)
+    assert dictionary.dictionary(blob) == ["a", "b"]
+    back = dictionary.decode(blob)
+    assert back[0] == "b" and back[2] == "a"
+    assert pd.isna(back[1]) and pd.isna(back[3])
+    # a GENUINE empty string is data and must stay
+    s2 = pd.Series(["", None, "a"])
+    blob2 = dictionary.encode(s2)
+    assert dictionary.dictionary(blob2) == ["", "a"]
+    back2 = dictionary.decode(blob2)
+    assert back2[0] == "" and pd.isna(back2[1]) and back2[2] == "a"
+
+
 def test_dict_determinism():
     s = pd.Series(LANGS * 3)
     assert dictionary.encode(s) == dictionary.encode(s.copy())

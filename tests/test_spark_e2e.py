@@ -111,6 +111,30 @@ def test_resume_completes_after_partial_failure(spark, tmp_path):
     assert all(v == 0 for v in res["mismatches"].values()), res
 
 
+def test_resume_rejects_foreign_format_version(spark, tmp_path):
+    """Resume onto a store written by a different format version (or a
+    pre-versioning store with no store_meta) must fail loudly instead of
+    appending chunks with a mismatched schema."""
+    import pytest
+    out = str(tmp_path / "enc6")
+    web = webtable.webpages(spark, 500, partitions=2)
+    encode_job.encode_table(spark, web, out, num_partitions=2)
+    # pre-versioning store: no store_meta at all
+    shutil.rmtree(os.path.join(out, "store_meta"))
+    with pytest.raises(ValueError, match="format_version"):
+        encode_job.encode_table(spark, web, out, num_partitions=2)
+    # wrong version number
+    spark.createDataFrame([(99,)], "format_version int") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(out, "store_meta"))
+    with pytest.raises(ValueError, match="format_version"):
+        encode_job.encode_table(spark, web, out, num_partitions=2)
+    # resume=False re-encodes and heals the version marker
+    encode_job.encode_table(spark, web, out, num_partitions=2, resume=False)
+    assert encode_job._store_version(spark, out) \
+        == encode_job.STORE_FORMAT_VERSION
+
+
 def test_resume_after_manifest_write_failure(spark, tmp_path):
     """Failure BETWEEN the chunk write and the manifest write: chunks
     are fully committed but no manifest exists.  The re-run must not

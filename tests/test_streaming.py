@@ -129,9 +129,8 @@ def test_streaming_dedup_stateful(spark, tmp_path):
 
 
 def test_sessionize_gap_sessions(spark, tmp_path):
-    """Gap-based sessionization: two in-batch sessions split at the gap,
-    a later batch within the gap continues the open session (no
-    premature emit)."""
+    """Event-time sessionization: sessions close when the WATERMARK
+    passes session_end + gap, independent of wall-clock."""
     import glob
     import shutil
     import pandas as pd
@@ -140,7 +139,11 @@ def test_sessionize_gap_sessions(spark, tmp_path):
 
     base = pd.Timestamp("2026-01-01 00:00:00")
     gap = 600  # seconds
-    # key 7: events at t=0..2min (session A), then t=60min.. (session B)
+    # key 7: events at t=0..2min (session A), then t=60min (session B);
+    # key 9: one event at t=5s.  Watermark delay 30min => wm after this
+    # batch = t0+30min: A (end+gap = 12min) and key 9 (end+gap = 10min
+    # 5s) are provably complete and close; B (end+gap = 70min) stays
+    # open.
     rows1 = pd.DataFrame({
         "user_id": [7, 7, 7, 7, 9],
         "ts": [base, base + pd.Timedelta("60s"), base + pd.Timedelta("120s"),
@@ -154,23 +157,88 @@ def test_sessionize_gap_sessions(spark, tmp_path):
     stream = (spark.readStream.schema("user_id long, ts timestamp")
               .option("maxFilesPerTrigger", 1).parquet(src_dir))
     sessions = encode_stream.sessionize(stream, "user_id", "ts",
-                                        gap_seconds=gap)
+                                        gap_seconds=gap,
+                                        watermark="30 minutes")
     q = (sessions.writeStream.format("memory").queryName("ss_out")
          .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
          .outputMode("append").trigger(processingTime="1 seconds").start())
     try:
         deadline = time.time() + 90
         while time.time() < deadline:
-            if spark.sql("SELECT count(*) c FROM ss_out").first()["c"] >= 1:
+            if spark.sql("SELECT count(*) c FROM ss_out").first()["c"] >= 2:
                 break
             time.sleep(2)
         got = spark.sql(
             "SELECT * FROM ss_out ORDER BY key, session_start_us").collect()
     finally:
         q.stop()
-    # only key 7's FIRST session closed (the 60min event opened a new
-    # one, still pending; key 9's single event is also still open)
+    assert len(got) == 2
+    r7, r9 = got
+    assert r7["key"] == 7 and r7["events"] == 3
+    assert (r7["session_end_us"] - r7["session_start_us"]) == 120_000_000
+    assert r9["key"] == 9 and r9["events"] == 1
+    # key 7's t=60min session must NOT have closed (wm = t0+30min)
+    assert r7["session_start_us"] == int(base.value // 1000)
+
+
+def test_sessionize_out_of_order_merge(spark, tmp_path):
+    """An event arriving in a LATER micro-batch with an EARLIER
+    event-time (within the watermark) merges into the open session and
+    extends session_start backwards — the processing-time/ordering bug
+    class from round 2."""
+    import glob
+    import shutil
+    import pandas as pd
+    src_dir = str(tmp_path / "so_in")
+    os.makedirs(src_dir)
+
+    base = pd.Timestamp("2026-02-01 00:00:00")
+    gap = 600  # 10 min
+
+    def drop_file(df_rows: dict, name: str):
+        stage = str(tmp_path / ("so_stage_" + name))
+        spark.createDataFrame(pd.DataFrame(df_rows)) \
+            .coalesce(1).write.parquet(stage)
+        p = glob.glob(stage + "/part-*.parquet")[0]
+        shutil.move(p, os.path.join(src_dir, name + ".parquet"))
+
+    # batch 1: key 5 at t=10min and t=12min
+    drop_file({"user_id": [5, 5],
+               "ts": [base + pd.Timedelta("10min"),
+                      base + pd.Timedelta("12min")]}, "f1")
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    sessions = encode_stream.sessionize(stream, "user_id", "ts",
+                                        gap_seconds=gap,
+                                        watermark="30 minutes")
+    q = (sessions.writeStream.format("memory").queryName("so_out")
+         .option("checkpointLocation", str(tmp_path / "so_ckpt"))
+         .outputMode("append").trigger(processingTime="1 seconds").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not q.recentProgress:
+            time.sleep(2)
+        # batch 2: an OUT-OF-ORDER event at t=9min (before the stored
+        # session's start, within gap) plus t=70min to advance the
+        # watermark to t0+40min > 12min+gap so the merged session closes
+        drop_file({"user_id": [5, 5],
+                   "ts": [base + pd.Timedelta("9min"),
+                          base + pd.Timedelta("70min")]}, "f2")
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM so_out").first()["c"] >= 1:
+                break
+            time.sleep(2)
+        got = spark.sql(
+            "SELECT * FROM so_out ORDER BY session_start_us").collect()
+    finally:
+        q.stop()
     assert len(got) == 1
     r = got[0]
-    assert r["key"] == 7 and r["events"] == 3
-    assert (r["session_end_us"] - r["session_start_us"]) == 120_000_000
+    assert r["key"] == 5 and r["events"] == 3
+    # bounds must span the out-of-order event: start = t0+9min
+    assert r["session_start_us"] == int(
+        (base + pd.Timedelta("9min")).value // 1000)
+    assert r["session_end_us"] == int(
+        (base + pd.Timedelta("12min")).value // 1000)
