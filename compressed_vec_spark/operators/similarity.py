@@ -49,11 +49,21 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str,
 
 def train_ivf_centroids(df: DataFrame, vec_col: str, n_centroids: int = 16,
                         iters: int = 10, sample_rows: int = 4096,
-                        seed: int = 42) -> np.ndarray:
+                        seed: int = 42, id_col: str | None = None) -> np.ndarray:
     """Deterministic k-means coarse quantizer trained on a driver-side
-    sample (the IVF index of FAISS-style ANN).  At 10^12 rows the sample
-    is a bounded limit() — training cost is constant."""
-    sample = df.select(vec_col).limit(sample_rows).collect()
+    sample (the IVF index of FAISS-style ANN).
+
+    The sample is the sample_rows rows with the SMALLEST xxhash64 — a
+    uniform deterministic draw across every partition (TakeOrdered:
+    O(sample) memory per partition, tiny shuffle).  A limit() here would
+    read only the first partition(s), and with host-clustered
+    partitioning the quantizer would train on one shard's distribution
+    (skewed centroids -> skewed inverted lists)."""
+    h = F.xxhash64(F.col(id_col)) if id_col else F.xxhash64(F.col(vec_col))
+    cols = [id_col, vec_col] if id_col else [vec_col]
+    sample = (df.select(*cols).withColumn("__h", h)
+              .orderBy("__h").limit(sample_rows)
+              .select(vec_col).collect())
     m = np.stack([np.array(r[vec_col], dtype=np.float64) for r in sample])
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -96,7 +106,8 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
 
 def cosine_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
                         threshold_ppm: int = 950000, n_planes: int = 8,
-                        n_tables: int = 24, seed: int = 42) -> DataFrame:
+                        n_tables: int = 24, seed: int = 42,
+                        bucket_cap: int = 1024) -> DataFrame:
     """All-pairs cosine near-dup WITHOUT the all-pairs join: multi-table
     random-hyperplane LSH generates candidates (docs sharing a (table,
     bucket) key), then an exact JVM-side cosine verifies them.
@@ -108,6 +119,14 @@ def cosine_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
     larger corpora raise n_planes (~log2(N/64)) and n_tables together so
     per-bucket occupancy and recall both hold.  The verify stage
     broadcasts only the id-pair list; embeddings are never shuffled.
+
+    `bucket_cap` drops (table, bucket) groups holding more vectors than
+    the cap — the same guard as minhash's bucket_cap: without it a
+    corpus dense with near-identical embeddings (exactly the dedup use
+    case) makes one join group quadratic.  Byte-identical embeddings
+    beyond the cap collide in EVERY table and should be collapsed by
+    exact dedup first (they are exact dups — a hash groupBy, far
+    cheaper); the LSH pass then handles the non-identical remainder.
 
     Returns (v1, v2) with floor(cos * 1e6) >= threshold_ppm, v1 < v2.
     """
@@ -136,6 +155,12 @@ def cosine_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
 
     banded = df.select(id_col, vec_col).mapInPandas(
         band_fn, f"{id_col} long, table int, bucket long")
+    if bucket_cap:
+        small = (banded.groupBy("table", "bucket")
+                 .agg(F.count("*").alias("sz"))
+                 .where(F.col("sz") <= bucket_cap)
+                 .select("table", "bucket"))
+        banded = banded.join(small, ["table", "bucket"])
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, on=["table", "bucket"])
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -753,7 +753,8 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
     df = _read(spark, sf_dir, "embeddings")
     qvec = np.array(df.where(F.col("vec_id") == 0)
                     .select("embedding").first()[0], dtype=np.float64)
-    cents = similarity.train_ivf_centroids(df, "embedding", n_centroids=8)
+    cents = similarity.train_ivf_centroids(df, "embedding", n_centroids=8,
+                                           id_col="vec_id")
     top = similarity.ivf_topk(df, "vec_id", "embedding", cents, qvec,
                               k=10, nprobe=len(cents), exclude_ids=(0,))
     return top.select("vec_id")

@@ -58,6 +58,64 @@ def test_ivf_recall(emb):
     assert len(approx & exact) / 10 >= 0.5  # ANN recall floor
 
 
+def test_ivf_training_sample_spans_partitions(spark):
+    """Skewed-partition fixture where a limit() sample provably fails:
+    partition 0 holds only cluster A; a first-partition sample would
+    place every centroid in A.  The hash-ordered sample must draw from
+    all partitions so some centroid lands near cluster B."""
+    import pandas as pd
+    rng = np.random.default_rng(3)
+    a_dir = rng.standard_normal(16)
+    b_dir = rng.standard_normal(16)
+    rows = []
+    for i in range(600):
+        c = a_dir if i < 300 else b_dir
+        v = c + 0.05 * rng.standard_normal(16)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    df = (spark.createDataFrame(
+              pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+          .repartitionByRange(2, "vec_id"))  # p0 = cluster A, p1 = B
+    # sample smaller than one partition: limit() would see only A
+    cents = similarity.train_ivf_centroids(df, "embedding", n_centroids=4,
+                                           sample_rows=200, id_col="vec_id")
+    bn = b_dir / np.linalg.norm(b_dir)
+    an = a_dir / np.linalg.norm(a_dir)
+    assert (cents @ bn).max() > 0.9, "no centroid near cluster B"
+    assert (cents @ an).max() > 0.9
+    # determinism across invocations
+    again = similarity.train_ivf_centroids(df, "embedding", n_centroids=4,
+                                           sample_rows=200, id_col="vec_id")
+    assert (cents == again).all()
+
+
+def test_cosine_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """1000 byte-identical embeddings (the degenerate dedup corpus)
+    collide in one bucket per table; bucket_cap must drop those
+    quadratic groups while planted near-dup pairs in small buckets
+    survive."""
+    import pandas as pd
+    rng = np.random.default_rng(11)
+    dup = rng.standard_normal(16)
+    dup /= np.linalg.norm(dup)
+    rows = [(i, dup.tolist()) for i in range(1000)]
+    # planted near-dup pair in its own region of the sphere
+    v1 = rng.standard_normal(16)
+    v1 /= np.linalg.norm(v1)
+    v2 = v1 + 0.02 * rng.standard_normal(16)
+    v2 /= np.linalg.norm(v2)
+    rows += [(2001, v1.tolist()), (2002, v2.tolist())]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = similarity.cosine_near_dup_lsh(df, "vec_id", "embedding",
+                                         threshold_ppm=950000,
+                                         bucket_cap=64).collect()
+    got = {(r["v1"], r["v2"]) for r in out}
+    assert (2001, 2002) in got
+    # every identical-group pair was dropped by the cap (they are exact
+    # dups — exact dedup's job), so the result is bounded, not 499500
+    assert all(p == (2001, 2002) for p in got)
+
+
 def test_lsh_topk_returns_subset_of_corpus(emb):
     q = qvec(emb)
     rows = similarity.lsh_bucket_topk(emb, "vec_id", "embedding", q, k=10,
