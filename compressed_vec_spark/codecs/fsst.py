@@ -128,6 +128,212 @@ def build_table(data: np.ndarray, pair_ids: np.ndarray,
 MAGIC2 = b"F\x02"
 MAGIC3 = b"F\x03"
 MAGIC4 = b"F\x04"
+MAGIC5 = b"F\x05"
+
+# ---------------------------------------------------------------------------
+# Long-symbol front end (FSST paper §3.1: symbols up to 8 bytes).
+#
+# Frequent symbols on text converge to whole words/fragments; the
+# vectorizable formulation of "up to 8-byte greedy longest match" is to
+# match at TOKEN granularity: a symbol is a token of <= 8 bytes plus its
+# trailing space, replaced by one code byte.  Code values live in the
+# non-printable range (1..31, 127..255), so printable ASCII passes
+# through literally with NO escapes; a raw byte that collides with the
+# code space is escaped as (0x00, byte).  The residual stream (codes +
+# literals) then runs through the existing vectorized pair pass and the
+# zstd entropy back end, so frequent word BIGRAMS ("of the ") become a
+# single pair code — effective symbol lengths beyond 8 bytes.
+# Non-spacey or non-ASCII-heavy chunks fall back to the plain pair pass
+# (decided per chunk from exact token/escape accounting — the same
+# stats-driven auto-selection the section codecs use).
+# ---------------------------------------------------------------------------
+
+_WCODES = np.concatenate([np.arange(1, 32), np.arange(127, 256)]).astype(np.uint8)
+_MAX_WORDS = len(_WCODES)          # 160
+_W_ESCAPE = 0                      # (0x00, byte) escapes code-space collisions
+_IS_WCODE = np.zeros(256, dtype=bool)
+_IS_WCODE[_WCODES] = True
+_IS_WCODE[_W_ESCAPE] = True        # a raw 0x00 byte must be escaped too
+_POW256 = (np.uint64(1) << (np.uint64(8) * np.arange(8, dtype=np.uint64)))
+
+
+def _tokenize(data: np.ndarray, offsets: np.ndarray):
+    """Token segmentation on spaces, never crossing string boundaries.
+    Returns (tok_start, tok_len, eligible) where eligible tokens are
+    1..8 bytes long and followed by a space in the same string."""
+    N = len(data)
+    isp = data == 32
+    start_mask = ~isp
+    start_mask[1:] &= isp[:-1]
+    starts_in = offsets[:-1][offsets[:-1] < N]
+    start_mask[starts_in] = ~isp[starts_in]
+    tok_start = np.flatnonzero(start_mask)
+    sp_idx = np.flatnonzero(isp)
+    nxt_sp = np.searchsorted(sp_idx, tok_start)
+    e_sp = np.where(nxt_sp < len(sp_idx),
+                    sp_idx[np.minimum(nxt_sp, len(sp_idx) - 1)], N)
+    # containing string's end (tokens are sorted, so this searchsorted
+    # is a merge over n_strings boundaries)
+    e_str = offsets[np.searchsorted(offsets, tok_start, side="right")]
+    tok_end = np.minimum(e_sp, e_str)
+    tok_len = tok_end - tok_start
+    # eligible: <= 8 bytes and the next byte is a space INSIDE the string
+    eligible = (tok_len <= 8) & (e_sp < e_str)
+    return tok_start, tok_len, eligible
+
+
+def _token_keys(data: np.ndarray, tok_start: np.ndarray,
+                tok_len: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact uint64 key = the token's bytes little-endian packed
+    (tokens are <= 8 bytes, so keys are collision-free).  Tokens
+    CONTAINING 0x00 are flagged invalid — zero is the pad value, so
+    their keys would be ambiguous ("a\\x00" == "a")."""
+    pad = 8 + (-len(data)) % 8  # uint64 view needs a multiple of 8
+    padded = np.concatenate([data, np.zeros(pad, np.uint8)])
+    # overlapping unaligned 8-byte little-endian loads: one gather per
+    # token instead of an (n_tokens, 8) index-matrix gather + matvec
+    wide = np.lib.stride_tricks.as_strided(
+        padded.view(np.uint64), shape=(len(data) + 1,), strides=(1,))
+    lmask = np.zeros(9, dtype=np.uint64)
+    lmask[1:] = (~np.uint64(0)) >> (np.uint64(64) - np.uint64(8) * np.arange(1, 9, dtype=np.uint64))
+    m = lmask[tok_len]
+    keys = wide[tok_start] & m
+    # zero byte inside the token <=> zero byte in (key | ~mask)
+    v = keys | ~m
+    ok = ((v - np.uint64(0x0101010101010101)) & ~v
+          & np.uint64(0x8080808080808080)) == 0
+    return keys, ok
+
+
+def _select_words(keys: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Top-_MAX_WORDS token keys by sampled byte gain (len bytes saved
+    per occurrence).  Deterministic: strided sample + lexsort on
+    (-gain, key)."""
+    if len(keys) == 0:
+        return np.empty(0, np.uint64)
+    stride = len(keys) // (SAMPLE_BYTES // 8) + 1
+    ks, ls = keys[::stride], lens[::stride]
+    uk, first, cnt = np.unique(ks, return_index=True, return_counts=True)
+    gain = cnt * ls[first]
+    order = np.lexsort((uk, -gain))
+    top = order[gain[order] > 0][:_MAX_WORDS]
+    return np.sort(uk[top])
+
+
+def _encode_words(data: np.ndarray,
+                  offsets: np.ndarray) -> tuple[bytes, bytes] | None:
+    """Word-symbol front end; returns (MAGIC5 header, inner MAGIC1
+    blob over the residual stream) so the caller can entropy-wrap the
+    inner blob, or None when the chunk doesn't profit (caller falls
+    back to the plain pair pass)."""
+    N = len(data)
+    if N == 0:
+        return None
+    # cheap pre-gate: token symbols need spaces
+    sp_frac = float((data[::max(N // SAMPLE_BYTES, 1)] == 32).mean())
+    if sp_frac < 0.03:
+        return None
+    tok_start, tok_len, eligible = _tokenize(data, offsets)
+    if not eligible.any():
+        return None
+    el_start, el_len = tok_start[eligible], tok_len[eligible]
+    keys, key_ok = _token_keys(data, el_start, el_len)
+    el_start, el_len, keys = el_start[key_ok], el_len[key_ok], keys[key_ok]
+    if len(keys) == 0:
+        return None
+    words = _select_words(keys, el_len)
+    if len(words) == 0:
+        return None
+    rank = np.searchsorted(words, keys)
+    matched = words[np.minimum(rank, len(words) - 1)] == keys
+    m_start, m_len = el_start[matched], el_len[matched]
+    # exact profitability: bytes saved by matches vs escape overhead
+    esc_all = int(_IS_WCODE[data].sum())
+    if int(m_len.sum()) - esc_all < max(N // 20, 16):
+        return None
+
+    # matched covered regions are disjoint, so plain scatters into two
+    # arrays replace the (slow, buffered) np.add.at delta build
+    inc = np.zeros(N + 1, dtype=np.int8)
+    dec = np.zeros(N + 1, dtype=np.int8)
+    inc[m_start + 1] = 1
+    dec[m_start + m_len + 1] = 1
+    # nesting depth is exactly 0/1, so an int8 running sum suffices
+    # (4x less cumsum write traffic than int32)
+    covered = np.cumsum(inc[:N] - dec[:N], dtype=np.int8) > 0
+    esc = _IS_WCODE[data] & ~covered
+    esc[m_start] = False
+    sizes = np.ones(N, dtype=np.uint8)
+    sizes[covered] = 0
+    sizes += esc.view(np.uint8)
+    sizes[m_start] = 1
+    emit = data.copy()
+    emit[esc] = _W_ESCAPE
+    emit[m_start] = _WCODES[rank[matched]]
+    pos = np.empty(N + 1, dtype=np.int32)
+    pos[0] = 0
+    np.cumsum(sizes, out=pos[1:])
+    total = int(pos[-1])
+    out = np.empty(total + 1, dtype=np.uint8)
+    out[pos[:-1]] = emit          # last-writer-wins fills every slot
+    esc_idx = np.flatnonzero(esc)
+    if len(esc_idx):
+        out[pos[esc_idx] + 1] = data[esc_idx]
+    toffsets = pos[offsets].astype(np.int64)
+
+    wbytes = words[:, None].view(np.uint8).reshape(len(words), 8)
+    wlens = 8 - (wbytes[:, ::-1] != 0).argmax(axis=1)
+    wlens[(wbytes == 0).all(axis=1)] = 0
+    heap = wbytes[np.arange(8)[None, :] < wlens[:, None]]
+    inner = _encode_raw(out[:total], toffsets)
+    head = (MAGIC5 + bytes([len(words), 0])
+            + wlens.astype(np.uint8).tobytes() + heap.tobytes())
+    return head, inner
+
+
+def _decode_words(blob: bytes) -> pa.Array:
+    n_words = blob[2]
+    p = 4
+    wlens = np.frombuffer(blob, dtype=np.uint8, count=n_words,
+                          offset=p).astype(np.int64)
+    p += n_words
+    heap = np.frombuffer(blob, dtype=np.uint8, count=int(wlens.sum()), offset=p)
+    p += int(wlens.sum())
+    wtable = np.zeros((n_words, 8), dtype=np.uint8)
+    wtable[np.arange(8)[None, :] < wlens[:, None]] = heap
+    inner = decode(bytes(blob[p:]))
+    tdata, toffs = _string_buffers(inner)
+    M = len(tdata)
+
+    coderank = np.full(256, 255, dtype=np.uint8)
+    coderank[_WCODES[:n_words]] = np.arange(n_words, dtype=np.uint8)
+    rank = coderank[tdata]
+    zero_idx = np.flatnonzero(tdata == _W_ESCAPE)
+    seg_of = np.searchsorted(toffs, zero_idx, side="right")
+    markers = _greedy_nonoverlap(zero_idx, seg_of)
+    lit = markers + 1
+    lit = lit[lit < M]
+    rank[lit] = 255
+    iscode = rank != 255
+    sizes = np.ones(M, dtype=np.int8)
+    sizes[iscode] = (wlens[rank[iscode]] + 1).astype(np.int8)
+    sizes[markers] = 0
+    emat = np.zeros((M, 9), dtype=np.uint8)
+    emat[:, 0] = tdata
+    rows = np.flatnonzero(iscode)
+    if len(rows):
+        emat[rows, :8] = wtable[rank[rows]]
+        emat[rows, wlens[rank[rows]]] = 32   # trailing space
+    valid = np.arange(9, dtype=np.int8)[None, :] < sizes[:, None]
+    outb = emat[valid]
+    pos = np.empty(M + 1, dtype=np.int64)
+    pos[0] = 0
+    np.cumsum(sizes, out=pos[1:])
+    str_offsets = pos[toffs]
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(toffs) - 1,
+        [None, pa.py_buffer(str_offsets.astype(np.int64).tobytes()),
+         pa.py_buffer(outb.tobytes())])
 
 
 def zstd_codec(level: int):
@@ -155,20 +361,10 @@ def zstd_decompress(comp: bytes, size: int) -> bytes:
     return bytes(codec.decompress(comp, size))
 
 
-def encode(strings: "pa.Array | list[str]", passes: int = 2) -> bytes:
-    """passes=2 entropy-codes the pass-1 symbol stream with zstd
-    (symbol-table front end + entropy back end; zlib when zstd is
-    unavailable).  Measured on web text vs the earlier recursive second
-    FSST pass: the zlib back end did 30 vs 20 MB/s encode at 3.30x vs
-    2.49x; zstd level 6 on the code stream matches zlib-2's speed at
-    3.59x raw-equivalent ratio and decompresses ~4x faster."""
-    if not isinstance(strings, pa.Array):
-        strings = pa.array(strings, type=pa.large_utf8())
-    data, offsets = _string_buffers(strings)
-    blob1 = _encode_raw(data, offsets)
-    if passes <= 1:
-        return blob1
-    n_symbols, n_single, n_strings, code_len, lens_len = struct.unpack_from("<BBIII", blob1, 2)
+def _entropy_wrap(blob1: bytes) -> bytes:
+    """zstd (or zlib) entropy back end over a MAGIC1 blob's code stream;
+    returns the MAGIC4/MAGIC3 wrapper, or blob1 when incompressible."""
+    code_len = struct.unpack_from("<BBIII", blob1, 2)[3]
     head_len = len(blob1) - code_len
     zc = zstd_codec(6)
     if zc is not None:
@@ -181,6 +377,26 @@ def encode(strings: "pa.Array | list[str]", passes: int = 2) -> bytes:
     if len(comp) >= code_len:  # incompressible symbol stream
         return blob1
     return magic + struct.pack("<I", head_len) + blob1[:head_len] + comp
+
+
+def encode(strings: "pa.Array | list[str]", passes: int = 2) -> bytes:
+    """Three-stage pipeline: word-symbol front end (symbols up to
+    8 bytes + trailing space, MAGIC5; skipped when the chunk doesn't
+    profit) -> vectorized pair pass (MAGIC1) -> entropy back end over
+    the code stream (passes=2: zstd, MAGIC4; zlib fallback MAGIC3).
+    Measured on web text vs the earlier recursive second FSST pass: the
+    zlib back end did 30 vs 20 MB/s encode at 3.30x vs 2.49x; zstd
+    level 6 on the code stream matches zlib-2's speed and decompresses
+    ~4x faster."""
+    if not isinstance(strings, pa.Array):
+        strings = pa.array(strings, type=pa.large_utf8())
+    data, offsets = _string_buffers(strings)
+    wrap = _entropy_wrap if passes >= 2 else (lambda b: b)
+    wblob = _encode_words(data, offsets)
+    if wblob is not None:
+        head, inner = wblob
+        return head + wrap(inner)
+    return wrap(_encode_raw(data, offsets))
 
 
 def _shl_bits(A: np.ndarray, s: int) -> np.ndarray:
@@ -312,6 +528,8 @@ def _encode_raw(data: np.ndarray, offsets: np.ndarray) -> bytes:
 
 
 def decode(blob: bytes) -> pa.Array:
+    if bytes(blob[:2]) == MAGIC5:
+        return _decode_words(blob)
     if bytes(blob[:2]) == MAGIC4:
         (head_len,) = struct.unpack_from("<I", blob, 2)
         head = bytes(blob[6:6 + head_len])

@@ -66,8 +66,20 @@ def choose_codec(series: pd.Series, spark_type: str | None = None) -> tuple[str,
     if kind == "O" or spark_type == "binary":
         nonnull = series.dropna()
         if len(nonnull) and isinstance(nonnull.iloc[0], (bytes, bytearray)):
-            # opaque binary payloads: entropy coding wins over bigram
-            # symbol tables on both ratio and CPU
+            # text-like binary (html: printable, spacey) profits from the
+            # word-symbol FSST front end (~5.6x vs deflate's ~3.6x on
+            # html); truly opaque payloads keep the cheap entropy coder
+            probe = bytes(nonnull.iloc[0])[:4096]
+            if len(nonnull) > 1:
+                probe += bytes(nonnull.iloc[len(nonnull) // 2])[:4096]
+            if probe:
+                b = np.frombuffer(probe, dtype=np.uint8)
+                printable = float(((b >= 32) & (b < 127)).mean())
+                spacey = float((b == 32).mean())
+                st["printable_frac"] = printable
+                st["space_frac"] = spacey
+                if printable >= 0.9 and spacey >= 0.05:
+                    return "binary_fsst", st
             return "deflate", st
     if kind in "OU" or spark_type == "string":
         frac = st["cardinality"] / max(st["sample_n"], 1)

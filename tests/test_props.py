@@ -97,6 +97,60 @@ def test_prop_fsst_roundtrip_arbitrary_bytes(blobs, esc_mode):
     assert out.to_pylist() == blobs
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from(
+        ["the", "of", "and", "warc", "a", "archive", "crawling",  # <=8B
+         "deadbeef8", "x" * 15,                                   # >8B
+         "zhé", "über",                                 # UTF-8 high bytes
+         "", "\x01ctl", "ab\x00cd"]),                             # edge bytes
+        min_size=0, max_size=60).map(" ".join),
+    min_size=1, max_size=30),
+    st.integers(0, 2))
+def test_prop_word_fsst_roundtrip(docs, variant):
+    """The word-symbol front end (MAGIC5) round-trips corpora with
+    8-byte-boundary tokens, NUL-bearing tokens, code-space bytes and
+    UTF-8 high bytes — and falls back cleanly when unprofitable."""
+    import pyarrow as pa
+    from compressed_vec_spark.codecs import fsst
+    if variant == 1:
+        docs = [d + " " for d in docs]          # trailing spaces
+    elif variant == 2:
+        docs = ["  " + d.replace(" ", "   ") for d in docs]  # space runs
+    arr = pa.array(docs, type=pa.large_utf8())
+    out = fsst.decode(fsst.encode(arr)).cast(pa.large_utf8())
+    assert out.to_pylist() == docs
+
+
+def test_word_fsst_activates_and_extends_symbols():
+    """A spacey skewed corpus must take the MAGIC5 path with whole
+    words (> 2 bytes) as symbols, and beat the pair-only encoding."""
+    import pyarrow as pa
+    from compressed_vec_spark.codecs import fsst
+    docs = [("the quick brown fox jumps over the lazy dog and the "
+             "archive server streams warc records ") * 6] * 50
+    arr = pa.array(docs, type=pa.large_utf8())
+    blob = fsst.encode(arr)
+    assert bytes(blob[:2]) == fsst.MAGIC5
+    n_words = blob[2]
+    wlens = np.frombuffer(blob, dtype=np.uint8, count=n_words, offset=4)
+    assert wlens.max() >= 5  # genuine long symbols, not just bigrams
+    # the long-symbol front end must pay for itself
+    data, offsets = fsst._string_buffers(arr)
+    pair_only = fsst._entropy_wrap(fsst._encode_raw(data, offsets))
+    assert len(blob) < len(pair_only)
+    assert fsst.decode(blob).cast(pa.large_utf8()).to_pylist() == docs
+
+
+def test_word_fsst_skips_spaceless_urls():
+    import pyarrow as pa
+    from compressed_vec_spark.codecs import fsst
+    urls = [f"https://site-{i % 7}.example.com/page/{i:08x}" for i in range(500)]
+    blob = fsst.encode(pa.array(urls, type=pa.large_utf8()))
+    assert bytes(blob[:2]) != fsst.MAGIC5  # no spaces -> pair path
+    assert fsst.decode(blob).cast(pa.large_utf8()).to_pylist() == urls
+
+
 def test_regression_seeds():
     # reference proptest-regressions/nibblepacking.txt + nibblepack_simd.txt
     seeds = [

@@ -61,7 +61,9 @@ def test_codec_choices_match_north_rule(spark, tmp_path):
     # else sectioned FoR/Delta vector (stats-driven, like AutoEncoder)
     assert codec_by_col["warc_ts"] in ("rle", "vec_u64")
     assert codec_by_col["url"] in ("fsst", "dict")
-    assert codec_by_col["html"] == "deflate"      # opaque binary -> entropy coding
+    # text-like binary (printable + spacey) routes through the
+    # word-symbol FSST front end; opaque binary would take deflate
+    assert codec_by_col["html"] == "binary_fsst"
 
 
 def test_resume_skips_completed_partitions(spark, tmp_path):
