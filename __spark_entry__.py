@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q.ann_ivf_topk,
         "lang_id_stopword": q.lang_id_stopword,
         "doc_fingerprint": q.doc_fingerprint,
+        # multimodal: real container parsers cross-checked against the
+        # metadata columns by the oracle
+        "media_inventory": q.media_inventory,
     }
 
 
@@ -321,4 +324,8 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 6 THEN 887503681 ELSE 27512614111 END)) "
             f"% {1 << 31} AS BIGINT) AS fingerprint "
             "FROM pos GROUP BY doc_id",
+        # the Spark side PARSES every payload (P6 PPM / RIFF WAVE); the
+        # oracle re-derives counts from metadata + raw blob functions
+        # over the same deterministic parquet (written by the query)
+        "media_inventory": q.MEDIA_INVENTORY_ORACLE,
     }

@@ -956,3 +956,67 @@ def quality_score(spark, sf_dir) -> DataFrame:
         length.cast("long").alias("n_chars"),
         ppm.cast("long").alias("space_ratio_ppm"),
     )
+
+
+_MEDIA_ORACLE_DIR = "/tmp/cvx_media_oracle"
+MEDIA_ORACLE_ROWS = 300
+
+
+def media_inventory(spark, sf_dir) -> DataFrame:
+    """Multimodal inventory under the oracle gate: the Spark side
+    PARSES every payload with the real container parsers (P6 PPM
+    pixels, RIFF/WAVE samples — operators/multimodal.py) and aggregates
+    per kind; the DuckDB oracle re-derives the same numbers from the
+    parquet METADATA columns + its own sha256/octet_length over the
+    payload blobs.  A parser drifting from the container contract (or a
+    payload corrupted anywhere in the pipeline) breaks the hash match.
+    The media table is deterministic synthetic parquet written once at
+    a fixed path so both engines read identical bytes."""
+    import hashlib
+    from ..operators import multimodal as mm
+    pq = os.path.join(_MEDIA_ORACLE_DIR, "media.parquet")
+    if not os.path.exists(pq):
+        mm.synthetic_media(spark, MEDIA_ORACLE_ROWS).write \
+            .mode("overwrite").parquet(pq)
+    df = spark.read.parquet(pq)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                b = bytes(payload)
+                px = samples = 0
+                if kind == "image":
+                    img = mm.decode_ppm(b)
+                    px = int(img.shape[0]) * int(img.shape[1])
+                elif kind == "audio":
+                    s, sr = mm.decode_wav(b)
+                    assert sr == mm.AUDIO_SR
+                    samples = len(s)
+                rows.append((str(kind), len(b),
+                             hashlib.sha256(b).hexdigest(), px, samples))
+            yield pd.DataFrame(rows, columns=["kind", "nbytes", "sha",
+                                              "px", "samples"])
+
+    parsed = df.select("kind", "payload").mapInPandas(
+        fn, "kind string, nbytes long, sha string, px long, samples long")
+    return (parsed.groupBy("kind")
+            .agg(F.count("*").cast("long").alias("cnt"),
+                 F.sum("nbytes").cast("long").alias("payload_bytes"),
+                 F.count_distinct("sha").cast("long").alias("distinct_payloads"),
+                 F.sum("px").cast("long").alias("pixels"),
+                 F.sum("samples").cast("long").alias("samples")))
+
+
+MEDIA_INVENTORY_ORACLE = f"""
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS payload_bytes,
+       CAST(count(DISTINCT payload) AS BIGINT) AS distinct_payloads,
+       CAST(sum(CASE WHEN kind = 'image' THEN width * height ELSE 0 END)
+            AS BIGINT) AS pixels,
+       CAST(sum(CASE WHEN kind = 'audio' THEN duration_ms * 8 ELSE 0 END)
+            AS BIGINT) AS samples
+FROM '{_MEDIA_ORACLE_DIR}/media.parquet/*.parquet'
+GROUP BY kind
+"""
