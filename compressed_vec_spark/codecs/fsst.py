@@ -11,9 +11,10 @@ sequential scan, so encode and decode are both whole-chunk vectorized.
 New work mandated by the north rule; the reference has no string codecs
 (reference src/vector.rs:84-97 carries only legacy string type tags).
 
-Blob layout (little-endian; version 3 'F\x03' wraps the version-1 blob
-with a deflate-compressed code stream — FSST symbol front end + entropy
-back end; version 2 was a recursive second FSST pass, decode-supported):
+Blob layout (little-endian; version 4 'F\x04' wraps the version-1 blob
+with a zstd-compressed code stream, version 3 zlib — FSST symbol front
+end + entropy back end; version 2 was a recursive second FSST pass,
+decode-supported):
   +0  b'F' magic, u8 version=1
   +2  u8 n_symbols, u8 n_single    (first n_single symbols are 1-byte)
   +4  u32 n_strings
@@ -22,6 +23,14 @@ back end; version 2 was a recursive second FSST pass, decode-supported):
   +16 symbol heap: n_single bytes then (n_symbols-n_single) byte pairs
   ..  BinaryVector<u64> of per-string code lengths
   ..  code bytes
+
+Version 5 'F\x05' prepends the long-symbol word table (FSST paper §3.1,
+symbols up to 8 bytes; see the Long-symbol front end section below):
+  +0  b'F' magic, u8 version=5
+  +2  u8 n_words, u8 reserved
+  +4  n_words u8 word byte-lengths
+  ..  word heap (sum of lengths; entries sorted by packed uint64 key)
+  ..  inner version-1/3/4 blob over the residual code+literal stream
 """
 
 from __future__ import annotations

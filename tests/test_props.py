@@ -142,6 +142,19 @@ def test_word_fsst_activates_and_extends_symbols():
     assert fsst.decode(blob).cast(pa.large_utf8()).to_pylist() == docs
 
 
+def test_word_fsst_golden_header_bytes():
+    """MAGIC5 wire format is deterministic: magic, word count, length
+    table, key-sorted symbol heap — byte-for-byte."""
+    import pyarrow as pa
+    from compressed_vec_spark.codecs import fsst
+    docs = ["the web the web ", "crawl the web "] * 4
+    blob = fsst.encode(pa.array(docs, type=pa.large_utf8()), passes=1)
+    # F\x05 | n_words=3 pad=0 | lens 3,3,5 | heap sorted by uint64 key
+    assert bytes(blob[:18]) == bytes.fromhex(
+        "46050300030305776562746865637261776c")
+    assert fsst.decode(blob).cast(pa.large_utf8()).to_pylist() == docs
+
+
 def test_word_fsst_skips_spaceless_urls():
     import pyarrow as pa
     from compressed_vec_spark.codecs import fsst
