@@ -30,7 +30,11 @@ symbols up to 8 bytes; see the Long-symbol front end section below):
   +2  u8 n_words, u8 reserved
   +4  n_words u8 word byte-lengths
   ..  word heap (sum of lengths; entries sorted by packed uint64 key)
-  ..  inner version-1/3/4 blob over the residual code+literal stream
+  ..  inner blob over the residual code+literal stream — version 7
+      "stored" (u8 flag 0=raw/1=zstd/2=zlib, u32 n_strings, u32
+      raw_len, u32 lens_len, lens BinaryVector<u64>, payload): the
+      residual is dense enough that a further pair pass changes the
+      zstd output by ~0 bytes, so it is entropy-coded directly
 """
 
 from __future__ import annotations
@@ -138,6 +142,51 @@ MAGIC2 = b"F\x02"
 MAGIC3 = b"F\x03"
 MAGIC4 = b"F\x04"
 MAGIC5 = b"F\x05"
+MAGIC7 = b"F\x07"  # stored inner: per-string lens + entropy-coded bytes
+
+
+def _encode_stored(data: np.ndarray, offsets: np.ndarray,
+                   entropy: bool = True) -> bytes:
+    """Stored-mode inner blob for MAGIC5 residual streams: measured on
+    the word-pass residual, a further pair pass changes the final zstd
+    size by ~0 bytes (zstd absorbs bigram redundancy), so the ~10
+    array passes of the pair kernel buy nothing — store the residual
+    with per-string lengths and entropy-code it directly."""
+    lens_vec = vec.encode_vector(np.diff(offsets).astype(np.uint64), "u64")
+    raw = data.tobytes()
+    flag, comp = 0, raw
+    if entropy and len(raw):
+        zc = zstd_codec(6)
+        if zc is not None:
+            flag, comp = 1, bytes(zc.compress(raw))
+        else:
+            import zlib
+            flag, comp = 2, zlib.compress(raw, 6)
+        if len(comp) >= len(raw):
+            flag, comp = 0, raw
+    return (MAGIC7 + bytes([flag])
+            + struct.pack("<III", len(offsets) - 1, len(raw), len(lens_vec))
+            + lens_vec + comp)
+
+
+def _decode_stored(blob: bytes) -> pa.Array:
+    flag = blob[2]  # layout: +0 magic(2) | +2 flag | +3 three u32s
+    n_strings, raw_len, lens_len = struct.unpack_from("<III", blob, 3)
+    p = 15
+    lens = vec.decode_vector(blob[p:p + lens_len], "u64").astype(np.int64)
+    p += lens_len
+    if flag == 1:
+        raw = zstd_decompress(bytes(blob[p:]), raw_len)
+    elif flag == 2:
+        import zlib
+        raw = zlib.decompress(bytes(blob[p:]))
+    else:
+        raw = bytes(blob[p:p + raw_len])
+    offsets = np.zeros(n_strings + 1, dtype=np.int64)
+    np.cumsum(lens[:n_strings], out=offsets[1:])
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n_strings,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(raw)])
 
 # ---------------------------------------------------------------------------
 # Long-symbol front end (FSST paper §3.1: symbols up to 8 bytes).
@@ -256,9 +305,12 @@ def _encode_words(data: np.ndarray,
     rank = np.searchsorted(words, keys)
     matched = words[np.minimum(rank, len(words) - 1)] == keys
     m_start, m_len = el_start[matched], el_len[matched]
-    # exact profitability: bytes saved by matches vs escape overhead
-    esc_all = int(_IS_WCODE[data].sum())
-    if int(m_len.sum()) - esc_all < max(N // 20, 16):
+    # profitability: bytes saved by matches vs (sampled) escape
+    # overhead — the escape count only steers this heuristic, so a
+    # strided estimate avoids a full N-pass
+    stride = max(N // SAMPLE_BYTES, 1)
+    esc_est = float(_IS_WCODE[data[::stride]].mean()) * N
+    if int(m_len.sum()) - esc_est < max(N // 20, 16):
         return None
 
     # matched covered regions are disjoint, so plain scatters into two
@@ -276,17 +328,19 @@ def _encode_words(data: np.ndarray,
     sizes[covered] = 0
     sizes += esc.view(np.uint8)
     sizes[m_start] = 1
-    emit = data.copy()
-    emit[esc] = _W_ESCAPE
-    emit[m_start] = _WCODES[rank[matched]]
     pos = np.empty(N + 1, dtype=np.int32)
     pos[0] = 0
     np.cumsum(sizes, out=pos[1:])
     total = int(pos[-1])
     out = np.empty(total + 1, dtype=np.uint8)
-    out[pos[:-1]] = emit          # last-writer-wins fills every slot
+    # one full scatter of the raw bytes (last-writer-wins fills every
+    # slot), then sparse patches for codes and escapes — avoids a full
+    # N-sized emit copy
+    out[pos[:-1]] = data
+    out[pos[m_start]] = _WCODES[rank[matched]]
     esc_idx = np.flatnonzero(esc)
     if len(esc_idx):
+        out[pos[esc_idx]] = _W_ESCAPE
         out[pos[esc_idx] + 1] = data[esc_idx]
     toffsets = pos[offsets].astype(np.int64)
 
@@ -294,10 +348,9 @@ def _encode_words(data: np.ndarray,
     wlens = 8 - (wbytes[:, ::-1] != 0).argmax(axis=1)
     wlens[(wbytes == 0).all(axis=1)] = 0
     heap = wbytes[np.arange(8)[None, :] < wlens[:, None]]
-    inner = _encode_raw(out[:total], toffsets)
     head = (MAGIC5 + bytes([len(words), 0])
             + wlens.astype(np.uint8).tobytes() + heap.tobytes())
-    return head, inner
+    return head, out[:total], toffsets
 
 
 def _decode_words(blob: bytes) -> pa.Array:
@@ -327,7 +380,9 @@ def _decode_words(blob: bytes) -> pa.Array:
     sizes = np.ones(M, dtype=np.int8)
     sizes[iscode] = (wlens[rank[iscode]] + 1).astype(np.int8)
     sizes[markers] = 0
-    emat = np.zeros((M, 9), dtype=np.uint8)
+    # np.empty is safe: raw rows only expose col 0 (set below), code
+    # rows only cols < wlen+1 (all written), markers expose nothing
+    emat = np.empty((M, 9), dtype=np.uint8)
     emat[:, 0] = tdata
     rows = np.flatnonzero(iscode)
     if len(rows):
@@ -400,12 +455,13 @@ def encode(strings: "pa.Array | list[str]", passes: int = 2) -> bytes:
     if not isinstance(strings, pa.Array):
         strings = pa.array(strings, type=pa.large_utf8())
     data, offsets = _string_buffers(strings)
-    wrap = _entropy_wrap if passes >= 2 else (lambda b: b)
     wblob = _encode_words(data, offsets)
     if wblob is not None:
-        head, inner = wblob
-        return head + wrap(inner)
-    return wrap(_encode_raw(data, offsets))
+        head, residual, toffsets = wblob
+        return head + _encode_stored(residual, toffsets,
+                                     entropy=passes >= 2)
+    blob1 = _encode_raw(data, offsets)
+    return _entropy_wrap(blob1) if passes >= 2 else blob1
 
 
 def _shl_bits(A: np.ndarray, s: int) -> np.ndarray:
@@ -539,6 +595,8 @@ def _encode_raw(data: np.ndarray, offsets: np.ndarray) -> bytes:
 def decode(blob: bytes) -> pa.Array:
     if bytes(blob[:2]) == MAGIC5:
         return _decode_words(blob)
+    if bytes(blob[:2]) == MAGIC7:
+        return _decode_stored(blob)
     if bytes(blob[:2]) == MAGIC4:
         (head_len,) = struct.unpack_from("<I", blob, 2)
         head = bytes(blob[6:6 + head_len])
