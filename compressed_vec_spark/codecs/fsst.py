@@ -322,12 +322,22 @@ def _encode_words(data: np.ndarray,
     # nesting depth is exactly 0/1, so an int8 running sum suffices
     # (4x less cumsum write traffic than int32)
     covered = np.cumsum(inc[:N] - dec[:N], dtype=np.int8) > 0
-    esc = _IS_WCODE[data] & ~covered
-    esc[m_start] = False
-    sizes = np.ones(N, dtype=np.uint8)
-    sizes[covered] = 0
-    sizes += esc.view(np.uint8)
-    sizes[m_start] = 1
+    # pure-printable chunks (byte range proves no code-space bytes —
+    # two SIMD reductions) skip the whole escape machinery: ~4 fewer
+    # array passes on typical ASCII web text
+    if int(data.min()) >= 32 and int(data.max()) <= 126:
+        esc_idx = np.empty(0, dtype=np.int64)
+        sizes = np.ones(N, dtype=np.uint8)
+        sizes[covered] = 0
+        sizes[m_start] = 1
+    else:
+        esc = _IS_WCODE[data] & ~covered
+        esc[m_start] = False
+        sizes = np.ones(N, dtype=np.uint8)
+        sizes[covered] = 0
+        sizes += esc.view(np.uint8)
+        sizes[m_start] = 1
+        esc_idx = np.flatnonzero(esc)
     pos = np.empty(N + 1, dtype=np.int32)
     pos[0] = 0
     np.cumsum(sizes, out=pos[1:])
@@ -338,7 +348,6 @@ def _encode_words(data: np.ndarray,
     # N-sized emit copy
     out[pos[:-1]] = data
     out[pos[m_start]] = _WCODES[rank[matched]]
-    esc_idx = np.flatnonzero(esc)
     if len(esc_idx):
         out[pos[esc_idx]] = _W_ESCAPE
         out[pos[esc_idx] + 1] = data[esc_idx]

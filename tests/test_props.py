@@ -155,6 +155,24 @@ def test_word_fsst_golden_header_bytes():
     assert fsst.decode(blob).cast(pa.large_utf8()).to_pylist() == docs
 
 
+def test_word_fsst_stored_inner_flags():
+    """MAGIC7 stored inner: passes=1 stores raw (flag 0), passes=2
+    entropy-codes (flag 1 zstd / 2 zlib); both decode bit-identically."""
+    import pyarrow as pa
+    from compressed_vec_spark.codecs import fsst
+    docs = ["the of and to in a is that for it with as on be at " * 8] * 30
+    arr = pa.array(docs, type=pa.large_utf8())
+    for passes, flags in ((1, {0}), (2, {1, 2})):
+        blob = fsst.encode(arr, passes=passes)
+        assert bytes(blob[:2]) == fsst.MAGIC5
+        n_words = blob[2]
+        wl = int(np.frombuffer(blob, np.uint8, n_words, 4).sum())
+        inner = bytes(blob[4 + n_words + wl:])
+        assert inner[:2] == fsst.MAGIC7
+        assert inner[2] in flags
+        assert fsst.decode(blob).cast(pa.large_utf8()).to_pylist() == docs
+
+
 def test_word_fsst_skips_spaceless_urls():
     import pyarrow as pa
     from compressed_vec_spark.codecs import fsst
