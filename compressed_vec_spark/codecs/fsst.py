@@ -321,22 +321,22 @@ def _encode_words(data: np.ndarray,
     dec[m_start + m_len + 1] = 1
     # nesting depth is exactly 0/1, so an int8 running sum suffices
     # (4x less cumsum write traffic than int32)
-    covered = np.cumsum(inc[:N] - dec[:N], dtype=np.int8) > 0
+    run = np.cumsum(inc[:N] - dec[:N], dtype=np.int8)  # 1 inside a span
     # pure-printable chunks (byte range proves no code-space bytes —
-    # two SIMD reductions) skip the whole escape machinery: ~4 fewer
-    # array passes on typical ASCII web text
+    # two SIMD reductions) skip the whole escape machinery, and the
+    # running sum IS 1-sizes directly (covered spans never contain a
+    # match start, so no patch-up needed): ~6 fewer array passes on
+    # typical ASCII web text
     if int(data.min()) >= 32 and int(data.max()) <= 126:
         esc_idx = np.empty(0, dtype=np.int64)
-        sizes = np.ones(N, dtype=np.uint8)
-        sizes[covered] = 0
-        sizes[m_start] = 1
+        sizes = (np.int8(1) - run).view(np.uint8)
     else:
+        covered = run > 0
         esc = _IS_WCODE[data] & ~covered
         esc[m_start] = False
         sizes = np.ones(N, dtype=np.uint8)
         sizes[covered] = 0
         sizes += esc.view(np.uint8)
-        sizes[m_start] = 1
         esc_idx = np.flatnonzero(esc)
     pos = np.empty(N + 1, dtype=np.int32)
     pos[0] = 0
