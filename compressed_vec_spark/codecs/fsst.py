@@ -376,27 +376,31 @@ def _decode_words(blob: bytes) -> pa.Array:
     tdata, toffs = _string_buffers(inner)
     M = len(tdata)
 
+    # LUT-driven expansion: per input byte, a size (word len + trailing
+    # space, 1 for raw, 0 for the escape marker) and a 9-byte expansion
+    # row (word + space, pre-baked per table entry) — two 256-entry LUT
+    # gathers + one (M, 9) row gather; no per-row-subset indexing
     coderank = np.full(256, 255, dtype=np.uint8)
     coderank[_WCODES[:n_words]] = np.arange(n_words, dtype=np.uint8)
+    sizelut = np.ones(256, dtype=np.int8)
+    sizelut[_WCODES[:n_words]] = (wlens + 1).astype(np.int8)
+    sizelut[_W_ESCAPE] = 0
+    wtable9 = np.zeros((max(n_words, 1), 9), dtype=np.uint8)
+    wtable9[:n_words, :8] = wtable
+    wtable9[np.arange(n_words), wlens] = 32  # trailing space baked in
     rank = coderank[tdata]
+    sizes = sizelut[tdata]
     zero_idx = np.flatnonzero(tdata == _W_ESCAPE)
-    seg_of = np.searchsorted(toffs, zero_idx, side="right")
-    markers = _greedy_nonoverlap(zero_idx, seg_of)
-    lit = markers + 1
-    lit = lit[lit < M]
-    rank[lit] = 255
-    iscode = rank != 255
-    sizes = np.ones(M, dtype=np.int8)
-    sizes[iscode] = (wlens[rank[iscode]] + 1).astype(np.int8)
-    sizes[markers] = 0
-    # np.empty is safe: raw rows only expose col 0 (set below), code
-    # rows only cols < wlen+1 (all written), markers expose nothing
-    emat = np.empty((M, 9), dtype=np.uint8)
-    emat[:, 0] = tdata
-    rows = np.flatnonzero(iscode)
-    if len(rows):
-        emat[rows, :8] = wtable[rank[rows]]
-        emat[rows, wlens[rank[rows]]] = 32   # trailing space
+    if len(zero_idx):
+        seg_of = np.searchsorted(toffs, zero_idx, side="right")
+        markers = _greedy_nonoverlap(zero_idx, seg_of)
+        lit = markers + 1
+        lit = lit[lit < M]
+        rank[lit] = 255           # escaped literals are raw bytes
+        sizes[lit] = 1
+    emat = wtable9[np.minimum(rank, n_words - 1 if n_words else 0)]
+    raw_rows = rank == 255
+    emat[raw_rows, 0] = tdata[raw_rows]
     valid = np.arange(9, dtype=np.int8)[None, :] < sizes[:, None]
     outb = emat[valid]
     pos = np.empty(M + 1, dtype=np.int64)
