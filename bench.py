@@ -248,7 +248,7 @@ def main() -> None:
     # quiet window.  rows is re-checked between pairs.
     slow = contention_factor()
     rows_now = SCALING_ROWS if slow < 3 else max(
-        int(SCALING_ROWS / min(slow / 2, 8)), 200_000)
+        int(SCALING_ROWS / min(slow / 2, 8)), 100_000)
     # adjacent (low, high) runs form a blocked pair under near-identical
     # external load; pairs repeat until one lands in a quiet-enough
     # window (pair efficiency >= target) or the budget is exhausted —
@@ -274,7 +274,7 @@ def main() -> None:
             if len(low_runs) > len(high_runs):
                 low_runs.pop()
             slow = contention_factor()
-            rows_now = max(int(rows_now / min(max(slow / 2, 2), 8)), 100_000)
+            rows_now = max(int(rows_now / min(max(slow / 2, 2), 8)), 50_000)
             if rows_now not in inputs:
                 inputs[rows_now] = materialize_input(rows_now)
             continue
@@ -285,8 +285,8 @@ def main() -> None:
         # shrink subsequent pairs so several retries still fit in the
         # budget (each pair stays internally consistent regardless)
         if (low_runs[-1]["wall_sec"] + high_runs[-1]["wall_sec"] > 500
-                and rows_now > 200_000):
-            rows_now = max(rows_now // 2, 200_000)
+                and rows_now > 100_000):
+            rows_now = max(rows_now // 2, 100_000)
             if rows_now not in inputs:
                 inputs[rows_now] = materialize_input(rows_now)
         bb_now = ((max(h["docs_per_sec"] for h in high_runs)
