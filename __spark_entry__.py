@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_table_pruned_count": q.encoded_table_pruned_count,
         "encoded_table_range_count": q.encoded_table_range_count,
         "encoded_table_multi_and_count": q.encoded_table_multi_and_count,
+        "encoded_table_string_filter_count": q.encoded_table_string_filter_count,
         "encoded_table_sum_pushdown": q.encoded_table_sum_pushdown,
         "encoded_table_group_count": q.encoded_table_group_count,
         "encoded_table_distinct_pushdown": q.encoded_table_distinct_pushdown,
@@ -111,6 +112,11 @@ def oracle_sql() -> dict[str, str]:
         "encoded_table_multi_and_count":
             "SELECT count(*) AS hits FROM orders "
             "WHERE o_orderkey BETWEEN 1000 AND 20000 AND o_custkey = 605",
+        "encoded_table_string_filter_count":
+            "SELECT CAST(count(CASE WHEN source = 'src12' THEN 1 END) AS BIGINT)"
+            " AS eq_hits, "
+            "CAST(count(CASE WHEN source LIKE 'src1%' THEN 1 END) AS BIGINT)"
+            " AS prefix_hits FROM documents",
         "encoded_table_sum_pushdown":
             "SELECT CAST(sum(o_custkey) AS BIGINT) AS sum_custkey "
             "FROM orders WHERE o_orderkey BETWEEN 1000 AND 20000",

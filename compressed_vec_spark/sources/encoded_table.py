@@ -152,6 +152,126 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
     }
 
 
+def pruned_string_equals_count(spark: SparkSession, out_dir: str,
+                               column: str, value: str) -> tuple[int, dict]:
+    """count(column == value) for a STRING column over the persisted
+    store — the reference's headline design goal, filtering over
+    dictionary codes without decompression (reference README.md:77-78,
+    EqualsSink src/filter.rs:112-139), applied at the storage layer:
+
+      1. manifest [min_str, max_str] stats (UTF-8 bytewise order, the
+         same order Spark and the sorted dictionary use) prune chunks
+         whose range cannot hold the value — never read;
+      2. surviving dict-codec chunks binary-search the value in the
+         sorted dictionary heap (`code_of`) and run the equality on the
+         COMPRESSED u32 code vector (`equals_mask`) — the strings are
+         never materialized; an absent value costs one heap search;
+      3. non-dict string chunks (fsst/deflate) fall back to a full
+         decode + compare, counted in the stats.
+    """
+    from ..codecs import chunk as chunk_codec
+    from ..codecs import dictionary
+
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    total_chunks = manifest.where(F.col("column") == column).count()
+    candidates = manifest.where(
+        (F.col("column") == column)
+        & (F.col("min_str") <= value) & (F.col("max_str") >= value))
+    scanned_chunks = candidates.count()
+    cand_ids = candidates.select("chunk_id")
+
+    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
+              .where(F.col("column") == column)
+              .join(F.broadcast(cand_ids), "chunk_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hits = fast = decoded = 0
+        for pdf in batches:
+            for blob, codec in zip(pdf["blob"], pdf["codec"]):
+                if codec == "dict":  # dict stores nulls natively: no NULM
+                    payload = bytes(blob)[4:]
+                    code = dictionary.code_of(payload, value)
+                    if code:
+                        hits += filters.count_hits(filters.equals_mask(
+                            dictionary.codes_vector(payload), "u32", code))
+                    fast += 1
+                else:
+                    s = pd.Series(chunk_codec.decode_column(bytes(blob)))
+                    hits += int((s == value).sum())
+                    decoded += 1
+        yield pd.DataFrame({"hits": [hits], "fast": [fast], "dec": [decoded]})
+
+    agg = (chunks.select("blob", "codec")
+           .mapInPandas(fn, "hits long, fast long, dec long")
+           .agg(F.sum("hits").alias("h"), F.sum("fast").alias("f"),
+                F.sum("dec").alias("d")).collect()[0])
+    return int(agg["h"] or 0), {
+        "total_chunks": total_chunks,
+        "scanned_chunks": scanned_chunks,
+        "pruned_chunks": total_chunks - scanned_chunks,
+        "dict_fast_chunks": int(agg["f"] or 0),
+        "decoded_fallback_chunks": int(agg["d"] or 0),
+    }
+
+
+def pruned_string_prefix_count(spark: SparkSession, out_dir: str,
+                               column: str, prefix: str) -> tuple[int, dict]:
+    """count(column LIKE 'prefix%') over the persisted store.  The
+    manifest prune truncates [min_str, max_str] to len(prefix): prefix
+    truncation is monotone in lexicographic order, so a chunk holding a
+    match must satisfy trunc(min) <= prefix <= trunc(max) — an exact
+    prune with no sentinel-suffix edge cases.  Surviving dict chunks map
+    the predicate to an inclusive code range on the sorted dictionary
+    (`prefix_range`) and scan the compressed code vector with
+    `range_mask` (Null/Const/Delta sections skipped from headers);
+    non-dict chunks decode and compare."""
+    from ..codecs import chunk as chunk_codec
+    from ..codecs import dictionary
+
+    L = len(prefix)
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    total_chunks = manifest.where(F.col("column") == column).count()
+    candidates = manifest.where(
+        (F.col("column") == column)
+        & (F.substring(F.col("min_str"), 1, L) <= prefix)
+        & (F.substring(F.col("max_str"), 1, L) >= prefix))
+    scanned_chunks = candidates.count()
+    cand_ids = candidates.select("chunk_id")
+
+    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
+              .where(F.col("column") == column)
+              .join(F.broadcast(cand_ids), "chunk_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hits = fast = decoded = 0
+        for pdf in batches:
+            for blob, codec in zip(pdf["blob"], pdf["codec"]):
+                if codec == "dict":
+                    payload = bytes(blob)[4:]
+                    lo, hi = dictionary.prefix_range(payload, prefix)
+                    if lo <= hi:
+                        hits += filters.count_hits(filters.range_mask(
+                            dictionary.codes_vector(payload), "u32", lo, hi))
+                    fast += 1
+                else:
+                    s = pd.Series(chunk_codec.decode_column(bytes(blob)))
+                    hits += int(s.str.startswith(prefix).fillna(False).sum())
+                    decoded += 1
+        yield pd.DataFrame({"hits": [hits], "fast": [fast], "dec": [decoded]})
+
+    agg = (chunks.select("blob", "codec")
+           .mapInPandas(fn, "hits long, fast long, dec long")
+           .agg(F.sum("hits").alias("h"), F.sum("fast").alias("f"),
+                F.sum("dec").alias("d")).collect()[0])
+    return int(agg["h"] or 0), {
+        "total_chunks": total_chunks,
+        "scanned_chunks": scanned_chunks,
+        "pruned_chunks": total_chunks - scanned_chunks,
+        "dict_fast_chunks": int(agg["f"] or 0),
+        "decoded_fallback_chunks": int(agg["d"] or 0),
+    }
+
+
 def stored_schema(spark: SparkSession, out_dir: str) -> tuple[str, dict]:
     """(DDL string, decode dtypes) recovered from the store's own
     table_schema parquet — an encoded table is self-describing."""

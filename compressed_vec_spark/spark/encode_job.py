@@ -46,17 +46,21 @@ CHUNK_SCHEMA = (
     "part_id int, chunk_seq int, chunk_id string, column string, codec string, "
     "num_elements long, raw_bytes long, encoded_bytes long, sha256 string, "
     "min_val long, max_val long, sum_val long, null_count long, "
+    "min_str string, max_str string, "
     "encode_sec double, blob binary"
 )
 
 MANIFEST_COLS = ["part_id", "chunk_seq", "chunk_id", "column", "codec",
                  "num_elements", "raw_bytes", "encoded_bytes", "sha256",
-                 "min_val", "max_val", "sum_val", "null_count", "encode_sec"]
+                 "min_val", "max_val", "sum_val", "null_count",
+                 "min_str", "max_str", "encode_sec"]
 
 # Bumped whenever CHUNK_SCHEMA / MANIFEST_COLS change shape.  v2 added
-# sum_val + null_count.  Stores written before versioning existed have
-# no store_meta directory and read as None.
-STORE_FORMAT_VERSION = 2
+# sum_val + null_count; v3 added min_str/max_str (string-column chunk
+# stats enabling string-predicate chunk pruning over the store).
+# Stores written before versioning existed have no store_meta directory
+# and read as None.
+STORE_FORMAT_VERSION = 3
 
 
 def _store_version(spark: SparkSession, out_dir: str) -> int | None:
@@ -156,9 +160,27 @@ _CHUNK_PA_FIELDS = [
     ("column", "string"), ("codec", "string"), ("num_elements", "int64"),
     ("raw_bytes", "int64"), ("encoded_bytes", "int64"), ("sha256", "string"),
     ("min_val", "int64"), ("max_val", "int64"), ("sum_val", "int64"),
-    ("null_count", "int64"), ("encode_sec", "float64"),
+    ("null_count", "int64"), ("min_str", "string"), ("max_str", "string"),
+    ("encode_sec", "float64"),
     ("blob", "binary"),
 ]
+
+
+def _string_min_max(arr) -> tuple[str | None, str | None]:
+    """(min, max) of a pyarrow STRING array, nulls skipped — the chunk
+    stats that make string predicates prunable at the manifest level
+    (pyarrow's min_max compares UTF-8 bytewise, the same order Spark
+    and the sorted dictionary heap use).  Binary columns return (None,
+    None): their bytes need not be valid UTF-8 for the parquet string
+    manifest column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        return None, None
+    if arr.null_count == len(arr):
+        return None, None
+    mm = pc.min_max(arr)
+    return mm["min"].as_py(), mm["max"].as_py()
 
 
 def _encode_iter_arrow(columns: list[str], codec_overrides: dict[str, str],
@@ -187,6 +209,7 @@ def _encode_iter_arrow(columns: list[str], codec_overrides: dict[str, str],
                     codec, blob, _meta = chunk_codec.encode_column_arrow(
                         arr, codec_overrides.get(col))
                     mn = mx = sm = None
+                    mn_s, mx_s = _string_min_max(arr)
                     nulls = arr.null_count
                     raw = _raw_size_arrow(arr)
                 else:
@@ -194,6 +217,7 @@ def _encode_iter_arrow(columns: list[str], codec_overrides: dict[str, str],
                     codec, blob, _meta = chunk_codec.encode_column(
                         series, codec_overrides.get(col))
                     mn, mx, sm, nulls = chunk_stats_for(series)
+                    mn_s = mx_s = None
                     raw = _raw_size(series)
                 dt = time.perf_counter() - t0
                 rows.append({
@@ -205,6 +229,7 @@ def _encode_iter_arrow(columns: list[str], codec_overrides: dict[str, str],
                     "sha256": hashlib.sha256(blob).hexdigest(),
                     "min_val": mn, "max_val": mx,
                     "sum_val": sm, "null_count": nulls,
+                    "min_str": mn_s, "max_str": mx_s,
                     "encode_sec": dt, "blob": blob,
                 })
             seq += 1
@@ -243,6 +268,11 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
         # would corrupt the dataset for every reader
         ver = _store_version(spark, out_dir)
         if ver != STORE_FORMAT_VERSION:
+            # store_meta is written BEFORE the chunks, so any store this
+            # build started — even one that crashed mid-chunks, the exact
+            # scenario resume exists for — carries its version marker.
+            # A missing marker therefore means a pre-versioning build
+            # wrote (or was writing) this store: refuse to mix schemas.
             raise ValueError(
                 f"store at {out_dir} has format_version={ver}, this build "
                 f"writes v{STORE_FORMAT_VERSION}; rerun with resume=False "
@@ -264,12 +294,14 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
     if not write:
         return enc
 
-    # dynamic partition overwrite: a replayed partition REPLACES its
-    # directory instead of appending a duplicate — encode is
-    # deterministic, so replace is idempotent
-    (enc.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("part_id").parquet(chunks_path))
+    # version marker + schema go down BEFORE the long chunks write: a
+    # crash during the chunks stage (the scenario resume exists for)
+    # must leave a store whose format_version identifies it, or the next
+    # resume=True run would refuse it and force a full re-encode.  Both
+    # writes are tiny and overwrite-idempotent.
+    (spark.createDataFrame([(STORE_FORMAT_VERSION,)], "format_version int")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "store_meta")))
     # self-describing store: persist the source column types so readers
     # can rebuild the decoded view without being handed a DDL string
     # (written through Spark => works on any shared FS)
@@ -279,9 +311,12 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
     (spark.createDataFrame(schema_rows, "position int, name string, dtype string")
         .coalesce(1).write.mode("overwrite")
         .parquet(os.path.join(out_dir, "table_schema")))
-    (spark.createDataFrame([(STORE_FORMAT_VERSION,)], "format_version int")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "store_meta")))
+    # dynamic partition overwrite: a replayed partition REPLACES its
+    # directory instead of appending a duplicate — encode is
+    # deterministic, so replace is idempotent
+    (enc.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_id").parquet(chunks_path))
     # manifest derived from the written chunks (no double encode)
     written = spark.read.parquet(chunks_path)
     (written.select(*MANIFEST_COLS)

@@ -201,6 +201,50 @@ def _documents_store(spark: SparkSession, sf_dir: str) -> str:
     return _STORE_CACHE[key]
 
 
+def _documents_by_source_store(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached encoded store of documents RANGE-PARTITIONED AND
+    SORTED on source: each chunk covers a narrow [min_str, max_str]
+    slice, so string predicates prune chunks at the manifest level —
+    the string analog of the orders store's sorted numeric layout."""
+    key = (id(spark.sparkContext), sf_dir, "documents_by_source")
+    if key not in _STORE_CACHE:
+        from ..spark import encode_job
+        out = _scratch_dir(spark, "cvx_docsrc_")
+        df = (_read(spark, sf_dir, "documents")
+              .select("doc_id", "source", "n_chars")
+              .repartitionByRange(8, "source", "doc_id")
+              .sortWithinPartitions("source", "doc_id"))
+        encode_job.encode_table(spark, df, out, url_col=None, resume=False,
+                                codec_overrides={"source": "dict"})
+        _STORE_CACHE[key] = out
+    return _STORE_CACHE[key]
+
+
+def encoded_table_string_filter_count(spark, sf_dir) -> DataFrame:
+    """String predicates over the PERSISTED store — the missing half of
+    the reference's defining capability (filter compressed strings in
+    storage, reference README.md:77-78, src/filter.rs:112-139): manifest
+    [min_str, max_str] stats prune whole chunks, surviving dict chunks
+    answer equality via code_of + equals_mask and LIKE-prefix via
+    prefix_range + range_mask on the compressed u32 code vector — no
+    string is ever materialized on the fast path."""
+    from ..sources import encoded_table
+    out = _documents_by_source_store(spark, sf_dir)
+    eq_hits, st_eq = encoded_table.pruned_string_equals_count(
+        spark, out, "source", "src12")
+    pre_hits, st_pre = encoded_table.pruned_string_prefix_count(
+        spark, out, "source", "src1")
+    # the source-sorted layout must actually prune: with 8 range
+    # partitions over 20 source values most chunks exclude 'src12'
+    assert st_eq["pruned_chunks"] > 0, st_eq
+    assert st_eq["dict_fast_chunks"] == st_eq["scanned_chunks"], st_eq
+    assert st_pre["pruned_chunks"] >= 0, st_pre
+    return spark.createDataFrame(
+        pd.DataFrame({"eq_hits": [eq_hits], "prefix_hits": [pre_hits]})) \
+        .select(F.col("eq_hits").cast("long"),
+                F.col("prefix_hits").cast("long"))
+
+
 def _documents_dict_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The source column's dict chunks of the documents store."""
     out = _documents_store(spark, sf_dir)

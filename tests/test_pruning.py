@@ -108,3 +108,65 @@ def test_manifest_filter_is_pushed_down(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "min_val" in plan.split("PushedFilters")[1][:300]
+
+
+def test_pruned_string_equals_and_prefix(spark, tmp_path):
+    """String predicates over the persisted store: manifest
+    [min_str, max_str] pruning + equality/prefix on the compressed dict
+    code vector, never materializing strings on the fast path."""
+    out = str(tmp_path / "enc_str")
+    # 26 hosts aaa..zzz-ish, sorted => tight per-chunk string ranges
+    df = spark.range(0, 13000, 1, 8).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("host-"),
+                 F.lpad((F.col("id") / 500).cast("int").cast("string"),
+                        3, "0")).alias("host"))
+    df = df.repartitionByRange(8, "host", "k").sortWithinPartitions("host", "k")
+    encode_job.encode_table(spark, df, out, url_col=None,
+                            codec_overrides={"host": "dict"})
+
+    cnt, st = encoded_table.pruned_string_equals_count(
+        spark, out, "host", "host-007")
+    assert cnt == 500
+    assert st["pruned_chunks"] > 0
+    assert st["decoded_fallback_chunks"] == 0  # all dict fast path
+
+    # absent value inside some chunk's range: zero hits, cheap heap probe
+    cnt, st = encoded_table.pruned_string_equals_count(
+        spark, out, "host", "host-007x")
+    assert cnt == 0
+
+    # value outside every chunk's range: no chunk read at all
+    cnt, st = encoded_table.pruned_string_equals_count(
+        spark, out, "host", "zzz")
+    assert cnt == 0 and st["scanned_chunks"] == 0
+
+    cnt, st = encoded_table.pruned_string_prefix_count(
+        spark, out, "host", "host-01")
+    assert cnt == 5000  # host-010..host-019
+    assert st["pruned_chunks"] > 0
+    assert st["decoded_fallback_chunks"] == 0
+
+    cnt, st = encoded_table.pruned_string_prefix_count(
+        spark, out, "host", "nomatch")
+    assert cnt == 0 and st["scanned_chunks"] == 0
+
+
+def test_pruned_string_fallback_fsst_chunks(spark, tmp_path):
+    """Non-dict string chunks (fsst) still answer string predicates
+    correctly through the decode fallback, and the manifest stats are
+    codec-independent so pruning still applies."""
+    out = str(tmp_path / "enc_str_fsst")
+    df = spark.range(0, 4000, 1, 4).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("prefix the quick brown fox jumps "),
+                 F.lpad((F.col("id") / 1000).cast("int").cast("string"),
+                        2, "0")).alias("s"))
+    df = df.repartitionByRange(4, "s", "k").sortWithinPartitions("s", "k")
+    encode_job.encode_table(spark, df, out, url_col=None,
+                            codec_overrides={"s": "fsst"})
+    cnt, st = encoded_table.pruned_string_equals_count(
+        spark, out, "s", "prefix the quick brown fox jumps 02")
+    assert cnt == 1000
+    assert st["dict_fast_chunks"] == 0 and st["decoded_fallback_chunks"] > 0
+    assert st["pruned_chunks"] > 0
