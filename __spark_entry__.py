@@ -276,7 +276,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id "
             "WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5",
         "embedding_near_dup":
-            "SELECT a.vec_id AS v1, b.vec_id AS v2 FROM embeddings a, embeddings b "
+            # same deterministic twin augmentation as the Spark side:
+            # every 50th vec_id duplicated at exactly 2x (power of two
+            # => float32-exact), making the near-dup row non-vacuous
+            "WITH aug AS ("
+            "  SELECT vec_id, embedding FROM embeddings"
+            "  UNION ALL"
+            "  SELECT vec_id + 10000000, "
+            "         list_transform(embedding, x -> CAST(x * 2 AS REAL))"
+            "  FROM embeddings WHERE vec_id % 50 = 0) "
+            "SELECT a.vec_id AS v1, b.vec_id AS v2 FROM aug a, aug b "
             "WHERE a.vec_id < b.vec_id AND floor(list_cosine_similarity("
             "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000.0)"
             " >= 950000",
@@ -333,5 +342,5 @@ def oracle_sql() -> dict[str, str]:
         # the Spark side PARSES every payload (P6 PPM / RIFF WAVE); the
         # oracle re-derives counts from metadata + raw blob functions
         # over the same deterministic parquet (written by the query)
-        "media_inventory": q.MEDIA_INVENTORY_ORACLE,
+        "media_inventory": q.media_inventory_oracle(),
     }

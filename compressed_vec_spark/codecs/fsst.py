@@ -338,7 +338,10 @@ def _encode_words(data: np.ndarray,
         sizes[covered] = 0
         sizes += esc.view(np.uint8)
         esc_idx = np.flatnonzero(esc)
-    pos = np.empty(N + 1, dtype=np.int32)
+    # int64: with escapes the emitted stream can reach ~2N bytes, so an
+    # escape-heavy batch past ~1 GiB would silently overflow an int32
+    # cumsum and scatter to negative indices
+    pos = np.empty(N + 1, dtype=np.int64)
     pos[0] = 0
     np.cumsum(sizes, out=pos[1:])
     total = int(pos[-1])
@@ -579,7 +582,10 @@ def _encode_raw(data: np.ndarray, offsets: np.ndarray) -> bytes:
     if N > 1:
         sizes[1:] -= taken_mask.view(np.uint8)
     sizes += esc_mask.view(np.uint8)
-    pos = np.empty(N + 1, dtype=np.int32)  # output <= 2N < 2^31 per chunk
+    # output <= 2N; fail loudly (instead of corrupting via int32 wrap)
+    # on a >1 GiB chunk — chunks are Arrow-batch sized, far below this
+    assert 2 * N < (1 << 31), "chunk too large for int32 emit positions"
+    pos = np.empty(N + 1, dtype=np.int32)
     pos[0] = 0
     np.cumsum(sizes, out=pos[1:])
     total = int(pos[-1])

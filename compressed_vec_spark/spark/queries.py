@@ -305,6 +305,32 @@ def encoded_table_group_count(spark, sf_dir) -> DataFrame:
             .agg(F.sum("cnt").cast("long").alias("doc_count")))
 
 
+def exact_weighted_bincount(codes: np.ndarray, weights) -> np.ndarray:
+    """Exact int64 per-group sums of int64 weights: each weight splits
+    into hi/lo 32-bit halves (w == (w >> 32) * 2^32 + (w & 0xFFFFFFFF)
+    for arithmetic shift), two float64-weighted bincounts accumulate the
+    halves exactly (|half| < 2^32 and <= 2^21 rows/chunk keep every
+    partial under float64's 2^53 exact range), and the halves recombine
+    in int64 — the same exact-accumulation scheme as chunk_stats_for.
+    NaN weights count as 0 (SQL SUM null semantics).  Degrades nothing
+    and asserts nothing about the VALUES — only the row count, which
+    Arrow batch sizing already bounds far below the 2^21 limit."""
+    assert len(codes) < (1 << 21), "chunk too large for exact hi/lo sums"
+    if isinstance(weights, pd.Series):  # nullable Int64 from NULM decode
+        iv = weights.fillna(0).to_numpy(dtype=np.int64)
+    else:
+        w = np.asarray(weights)
+        if w.dtype.kind == "f":  # float carrier: NaN = SQL NULL = 0
+            iv = np.nan_to_num(w, copy=True).astype(np.int64)
+        else:  # integer input stays integer end to end — exact at 2^63
+            iv = w.astype(np.int64)
+    lo = (iv & 0xFFFFFFFF).astype(np.float64)
+    hi = (iv >> 32).astype(np.float64)
+    acc_lo = np.bincount(codes, weights=lo).astype(np.int64)
+    acc_hi = np.bincount(codes, weights=hi).astype(np.int64)
+    return acc_lo + (acc_hi << 32)
+
+
 def encoded_table_group_sum(spark, sf_dir) -> DataFrame:
     """GROUP BY dict-column + SUM(numeric) straight off the compressed
     store: one bincount over the u32 code vector weighted by the decoded
@@ -326,16 +352,9 @@ def encoded_table_group_sum(spark, sf_dir) -> DataFrame:
             for bs, bn in zip(pdf["blob_s"], pdf["blob_n"]):
                 payload = bytes(bs)[4:]
                 codes = dictionary.codes(payload).astype(np.int64)
-                nchars = np.asarray(chunk_codec.decode_column(bytes(bn)),
-                                    dtype=np.float64)
-                # SQL SUM semantics: NULL contributes 0 (a NaN here
-                # would otherwise int-cast to -2^63 silently)
-                np.nan_to_num(nchars, copy=False)
-                # float64-weighted bincount is exact below 2^53; per-doc
-                # n_chars < 2^32 and 65536 docs/chunk keep partials far
-                # under that
-                assert nchars.max(initial=0) < (1 << 32)
-                acc = np.bincount(codes, weights=nchars)
+                # exact for ANY int64 weights (hi/lo split), NULL adds 0
+                acc = exact_weighted_bincount(
+                    codes, chunk_codec.decode_column(bytes(bn)))
                 vals = dictionary.dictionary(payload)
                 for code in np.flatnonzero(acc):
                     if code > 0:  # 0 = null sentinel
@@ -851,14 +870,21 @@ def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
          frequency <= NGRAM_DF_CAP — natural-text stop-shingles
          ('the ', ' and') would otherwise be quadratic hot keys at
          scale; a df-cap bounds every join group to cap*(cap-1)/2 pairs,
-      2. the exact Jaccard is then computed over the FULL shingle sets
-         of the candidate docs only (both sides restricted via broadcast
-         of the small candidate id lists), so the reported pairs are the
-         same exact >= 0.5 pairs as the all-pairs oracle — a true pair
-         is only missed if EVERY shared shingle is hotter than the cap,
-         which a >= 0.5-Jaccard pair of real documents never is.
+      2. each candidate PAIR is verified with the vectorized exact
+         batch-Jaccard kernel (operators.dedup.batch_jaccard) over the
+         pair's two texts — the same verify stage MinHash uses.  Only
+         the (small) id-pair list is broadcast; the corpus text column
+         is scanned twice but never shuffled, and no join downstream of
+         candidate generation is keyed on a shingle — a stop-shingle
+         shared by every candidate doc can no longer make any join
+         group quadratic.  The reported pairs are the same exact
+         >= 0.5 pairs as the all-pairs oracle — a true pair is only
+         missed if EVERY shared shingle is hotter than the cap, which
+         a >= 0.5-Jaccard pair of real documents never is.
     """
+    import pyarrow as pa
     from .. import functions as cvf
+    from ..operators.dedup import batch_jaccard
     df = _read(spark, sf_dir, "documents").where(F.length("text") >= 5)
     sh = (df.select(F.col("doc_id"),
                     F.explode(F.array_distinct(
@@ -875,28 +901,24 @@ def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
                     F.col("b.doc_id").alias("d2"))
             .distinct())
 
-    # 2. exact full-set Jaccard over candidate docs only
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cd1 = cand.select(F.col("d1").alias("doc_id")).distinct()
-    cd2 = cand.select(F.col("d2").alias("doc_id")).distinct()
-    sh_a = sh.join(F.broadcast(cd1), "doc_id")
-    sh_b = sh.join(F.broadcast(cd2), "doc_id")
-    inter = (sh_a.alias("a").join(sh_b.alias("b"),
-                                  (F.col("a.s") == F.col("b.s"))
-                                  & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("d1"),
-                      F.col("b.doc_id").alias("d2"))
-             .agg(F.count("*").alias("c"))
-             .join(F.broadcast(cand), ["d1", "d2"]))
-    # sizes restricted to candidate docs before broadcasting (the full
-    # per-doc size table is corpus-sized at scale)
-    s1 = (sizes.join(F.broadcast(cd1), "doc_id")
-          .select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")))
-    s2 = (sizes.join(F.broadcast(cd2), "doc_id")
-          .select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")))
-    return (inter.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
-            .where(F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c")) >= 0.5)
-            .select("d1", "d2"))
+    # 2. exact per-pair Jaccard: texts attached by broadcasting the
+    # id-pair list into two corpus scans, scored batch-at-a-time
+    t1 = df.select(F.col("doc_id").alias("d1"), F.col("text").alias("t1"))
+    t2 = df.select(F.col("doc_id").alias("d2"), F.col("text").alias("t2"))
+    withtext = (t1.join(F.broadcast(cand), "d1")
+                .join(t2.join(F.broadcast(cand), "d2"), ["d1", "d2"]))
+
+    def verify_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            a1 = pa.array(pdf["t1"].fillna(""), type=pa.large_utf8())
+            a2 = pa.array(pdf["t2"].fillna(""), type=pa.large_utf8())
+            j = batch_jaccard(a1, a2, 5)
+            keep = j >= 0.5
+            yield pd.DataFrame({
+                "d1": pdf["d1"].to_numpy()[keep].astype(np.int64),
+                "d2": pdf["d2"].to_numpy()[keep].astype(np.int64)})
+
+    return withtext.mapInPandas(verify_fn, "d1 long, d2 long")
 
 
 def embedding_near_dup(spark, sf_dir) -> DataFrame:
@@ -904,9 +926,25 @@ def embedding_near_dup(spark, sf_dir) -> DataFrame:
     hyperplane-LSH candidate generation + exact JVM cosine verify
     (operators.similarity.cosine_near_dup_lsh).  No cross /
     broadcast-nested-loop join appears in the plan; the only large
-    shuffle keys on uniform (table, bucket)."""
+    shuffle keys on uniform (table, bucket).
+
+    The fixture's random embeddings have max pairwise cosine ~0.51, so
+    the corpus is augmented with DETERMINISTIC planted twins (every
+    50th vec_id scaled by exactly 2.0 — a power of two, so the float32
+    values are exact and the twin's direction is identical): the oracle
+    row is then non-vacuous (one true pair per planted twin), and the
+    LSH path must actually FIND them — a parallel twin lands in the
+    same hyperplane bucket in every table, so 100% recall is guaranteed
+    structurally, and the verify stage's exact cosine (=1.0) is far
+    from the 0.95 threshold on both engines."""
     from ..operators import similarity
-    df = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = (base.where(F.col("vec_id") % 50 == 0)
+             .select((F.col("vec_id") + 10000000).alias("vec_id"),
+                     F.expr("transform(embedding, x -> "
+                            "CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+                     .alias("embedding")))
+    df = base.unionByName(twins)
     return similarity.cosine_near_dup_lsh(df, "vec_id", "embedding",
                                           threshold_ppm=950000)
 
@@ -1002,8 +1040,24 @@ def quality_score(spark, sf_dir) -> DataFrame:
     )
 
 
-_MEDIA_ORACLE_DIR = "/tmp/cvx_media_oracle"
 MEDIA_ORACLE_ROWS = 300
+# bump when synthetic_media's generator or schema changes: the path is
+# keyed on (version, rows) so a changed generator can never silently
+# reuse a stale parquet written by an older build
+MEDIA_GEN_VERSION = 1
+
+
+def _media_oracle_dir() -> str:
+    """Deterministic scratch dir shared by the Spark query and the
+    DuckDB oracle SQL (which has no SparkSession): $CVX_SCRATCH_DIR if
+    set (a shared filesystem on a real cluster), else the system temp
+    dir.  Keyed on generator version + row count (never a bare
+    hard-coded path), and the query always rewrites it (300 rows is
+    cheap), so stale or concurrently-written files cannot diverge."""
+    import tempfile
+    base = os.environ.get("CVX_SCRATCH_DIR") or tempfile.gettempdir()
+    return os.path.join(
+        base, f"cvx_media_oracle_v{MEDIA_GEN_VERSION}_r{MEDIA_ORACLE_ROWS}")
 
 
 def media_inventory(spark, sf_dir) -> DataFrame:
@@ -1014,14 +1068,15 @@ def media_inventory(spark, sf_dir) -> DataFrame:
     parquet METADATA columns + its own sha256/octet_length over the
     payload blobs.  A parser drifting from the container contract (or a
     payload corrupted anywhere in the pipeline) breaks the hash match.
-    The media table is deterministic synthetic parquet written once at
-    a fixed path so both engines read identical bytes."""
+    The media table is deterministic synthetic parquet both engines
+    read from the same version-keyed scratch path; the write is
+    unconditional (mode=overwrite) so generator changes always take
+    effect."""
     import hashlib
     from ..operators import multimodal as mm
-    pq = os.path.join(_MEDIA_ORACLE_DIR, "media.parquet")
-    if not os.path.exists(pq):
-        mm.synthetic_media(spark, MEDIA_ORACLE_ROWS).write \
-            .mode("overwrite").parquet(pq)
+    pq = os.path.join(_media_oracle_dir(), "media.parquet")
+    mm.synthetic_media(spark, MEDIA_ORACLE_ROWS).write \
+        .mode("overwrite").parquet(pq)
     df = spark.read.parquet(pq)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1052,7 +1107,10 @@ def media_inventory(spark, sf_dir) -> DataFrame:
                  F.sum("samples").cast("long").alias("samples")))
 
 
-MEDIA_INVENTORY_ORACLE = f"""
+def media_inventory_oracle() -> str:
+    """Oracle SQL built at CALL time so it resolves the same
+    version-keyed scratch path as the Spark query."""
+    return f"""
 SELECT kind,
        CAST(count(*) AS BIGINT) AS cnt,
        CAST(sum(octet_length(payload)) AS BIGINT) AS payload_bytes,
@@ -1061,6 +1119,6 @@ SELECT kind,
             AS BIGINT) AS pixels,
        CAST(sum(CASE WHEN kind = 'audio' THEN duration_ms * 8 ELSE 0 END)
             AS BIGINT) AS samples
-FROM '{_MEDIA_ORACLE_DIR}/media.parquet/*.parquet'
+FROM '{_media_oracle_dir()}/media.parquet/*.parquet'
 GROUP BY kind
 """

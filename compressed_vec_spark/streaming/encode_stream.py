@@ -147,8 +147,16 @@ def sessionize(source: DataFrame, key_col: str, ts_col: str,
                 merged[-1][2] += iv[2]
             else:
                 merged.append(iv)
-        closed = [iv for iv in merged if iv[1] + gap_us <= wm_us]
-        still_open = [iv for iv in merged if iv[1] + gap_us > wm_us]
+        # STRICT close: our own late filter keeps ts >= wm_us, and an
+        # event with ts - iv[1] == gap_us extends the session, so a
+        # session is only provably complete once iv[1] + gap_us < wm_us.
+        # (Spark's internal stateful-op late filter is stricter — it
+        # drops ts <= wm before the UDF, verified empirically, under
+        # which <= close would also be safe — but strict close is
+        # correct under EITHER filter semantics at the cost of one
+        # extra batch of latency in the exact-equality corner.)
+        closed = [iv for iv in merged if iv[1] + gap_us < wm_us]
+        still_open = [iv for iv in merged if iv[1] + gap_us >= wm_us]
         if closed:
             yield pd.DataFrame(
                 [(key[0], f, l, c) for f, l, c in closed],

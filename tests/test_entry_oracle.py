@@ -84,6 +84,21 @@ def test_ngram_candidate_join_groups_bounded(spark):
     assert capped_max <= NGRAM_DF_CAP
 
 
+def test_ngram_no_shingle_join_after_candidates(spark):
+    """Stage 2 verifies candidate pairs with the broadcast batch-Jaccard
+    kernel, so NO join downstream of candidate generation is keyed on a
+    shingle: the only shingle-keyed exchanges in the whole plan are the
+    two candidate-generation joins (sh x rare, rare-self-join), 2 sides
+    each.  A stop-shingle shared by every candidate doc therefore cannot
+    create a quadratic join group anywhere."""
+    import re
+    df = entrymod.queries()["ngram_jaccard_pairs"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    markers = re.findall(r"hashpartitioning\(s#\d+", plan)
+    assert len(markers) <= 4, markers
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_entry_flagship(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

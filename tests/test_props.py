@@ -225,3 +225,36 @@ def test_prop_masked_sum_equals_u32(vals, needle):
     masks = filters.equals_mask(buf, "u32", needle)
     got = filters.masked_sum(buf, "u32", masks)
     assert got == int(needle) * int((v == needle).sum())
+
+
+@given(st.lists(st.tuples(st.integers(0, 20),
+                          st.integers(0, 1 << 62)),
+                min_size=1, max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_exact_weighted_bincount_2pow40_scale(pairs):
+    """Group sums stay EXACT for arbitrary int64-range weights (the r3
+    assert-crash at >= 2^32 is gone): hi/lo split accumulation vs
+    Python-int ground truth, including 2^40..2^62-scale values."""
+    import numpy as np
+    from compressed_vec_spark.spark.queries import exact_weighted_bincount
+    codes = np.array([p[0] for p in pairs], dtype=np.int64)
+    vals = np.array([p[1] for p in pairs], dtype=np.int64)
+    # keep the true per-group sums inside int64 (SQL overflow is the
+    # caller's decimal(38,0) concern, not this kernel's)
+    sums = {}
+    for c, v in pairs:
+        sums[c] = sums.get(c, 0) + v
+    if any(s > (1 << 63) - 1 for s in sums.values()):
+        return
+    acc = exact_weighted_bincount(codes, vals)
+    for c, s in sums.items():
+        assert int(acc[c]) == s, (c, s, int(acc[c]))
+
+
+def test_exact_weighted_bincount_nan_is_zero():
+    import numpy as np
+    from compressed_vec_spark.spark.queries import exact_weighted_bincount
+    codes = np.array([0, 0, 1], dtype=np.int64)
+    w = np.array([np.nan, 5.0, float(1 << 40)])
+    acc = exact_weighted_bincount(codes, w)
+    assert int(acc[0]) == 5 and int(acc[1]) == (1 << 40)

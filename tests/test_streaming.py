@@ -242,3 +242,77 @@ def test_sessionize_out_of_order_merge(spark, tmp_path):
         (base + pd.Timedelta("9min")).value // 1000)
     assert r["session_end_us"] == int(
         (base + pd.Timedelta("12min")).value // 1000)
+
+
+def test_sessionize_watermark_boundary_semantics(spark, tmp_path):
+    """Watermark-boundary semantics pin (ADVICE r3 off-by-one): Spark's
+    internal stateful-op late filter drops events with ts <= watermark
+    BEFORE the state function (verified here), so an event at exactly
+    ts == wm can never extend a stored session — and the strict close
+    (end + gap < wm) keeps a boundary session open one extra batch
+    instead of ever splitting it.  This test asserts (a) the boundary
+    event is dropped, (b) the t=0 session still closes exactly once
+    with its original bounds, (c) no spurious extra session appears."""
+    import glob
+    import shutil
+    import pandas as pd
+    src_dir = str(tmp_path / "sb_in")
+    os.makedirs(src_dir)
+
+    base = pd.Timestamp("2026-03-01 00:00:00")
+    gap = 600  # 10 min; watermark delay 30 min
+
+    def drop_file(df_rows: dict, name: str):
+        stage = str(tmp_path / ("sb_stage_" + name))
+        spark.createDataFrame(pd.DataFrame(df_rows)) \
+            .coalesce(1).write.parquet(stage)
+        p = glob.glob(stage + "/part-*.parquet")[0]
+        shutil.move(p, os.path.join(src_dir, name + ".parquet"))
+
+    def wait_batches(q, n, timeout=120):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            done = sum(p["numInputRows"] > 0 for p in q.recentProgress)
+            if done >= n:
+                return
+            time.sleep(2)
+
+    # batch 1: key 1 at t=0; key 99 at t=40min -> wm becomes exactly
+    # 10min (= 0 + gap) after this batch
+    drop_file({"user_id": [1, 99],
+               "ts": [base, base + pd.Timedelta("40min")]}, "f1")
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    sessions = encode_stream.sessionize(stream, "user_id", "ts",
+                                        gap_seconds=gap,
+                                        watermark="30 minutes")
+    q = (sessions.writeStream.format("memory").queryName("sb_out")
+         .option("checkpointLocation", str(tmp_path / "sb_ckpt"))
+         .outputMode("append").trigger(processingTime="1 seconds").start())
+    try:
+        wait_batches(q, 1)
+        # batch 2: boundary event at ts == wm == 10min, exactly gap
+        # after the stored session's end — Spark's late filter drops it
+        drop_file({"user_id": [1],
+                   "ts": [base + pd.Timedelta("10min")]}, "f2")
+        wait_batches(q, 2)
+        # batch 3: advance wm to 90min so everything still open closes
+        drop_file({"user_id": [99],
+                   "ts": [base + pd.Timedelta("2h")]}, "f3")
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM sb_out WHERE key = 1"
+                         ).first()["c"] >= 1:
+                break
+            time.sleep(2)
+        got = spark.sql("SELECT * FROM sb_out WHERE key = 1 "
+                        "ORDER BY session_start_us").collect()
+    finally:
+        q.stop()
+    # exactly ONE key-1 session, with its original [t0, t0] bounds: the
+    # dropped boundary event neither extended it, split it, nor seeded
+    # a spurious second session
+    assert len(got) == 1, got
+    assert got[0]["events"] == 1
+    assert got[0]["session_start_us"] == int(base.value // 1000)
+    assert got[0]["session_end_us"] == int(base.value // 1000)
