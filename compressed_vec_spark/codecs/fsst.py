@@ -43,6 +43,7 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import vector as vec
 
@@ -365,55 +366,60 @@ def _encode_words(data: np.ndarray,
     return head, out[:total], toffsets
 
 
+def _take_expand(data: np.ndarray, offsets: np.ndarray,
+                 rows: list[bytes], escape_byte: int) -> tuple:
+    """Variable-length symbol expansion as ONE Arrow take: per input
+    byte v, emit rows[v] (code -> its expansion, raw byte -> itself,
+    escape marker -> b"").  pc.take on a large_binary LUT does the
+    gather + ragged concat + size cumsum in a single C++ kernel pass —
+    5-7x the throughput of the (M, 9) numpy matrix-extraction
+    formulation this replaces.  Escaped literals (the byte after a
+    greedily-taken escape marker) index rows 256+v = the raw byte v.
+    Returns (output byte buffer, per-input-byte end offsets int64)."""
+    M = len(data)
+    lut = pa.array(rows + [bytes([v]) for v in range(256)],
+                   type=pa.large_binary())
+    zero_idx = np.flatnonzero(data == escape_byte)
+    if len(zero_idx):
+        seg_of = np.searchsorted(offsets, zero_idx, side="right")
+        markers = _greedy_nonoverlap(zero_idx, seg_of)
+        lit = markers + 1
+        lit = lit[lit < M]
+        idx = data.astype(np.int16)
+        idx[lit] += 256           # escaped literals emit themselves
+        taken = pc.take(lut, pa.array(idx))
+    else:
+        taken = pc.take(lut, pa.array(data))
+    bufs = taken.buffers()
+    pos = np.frombuffer(bufs[1], dtype=np.int64, count=M + 1)
+    return bufs[2], pos
+
+
 def _decode_words(blob: bytes) -> pa.Array:
     n_words = blob[2]
     p = 4
     wlens = np.frombuffer(blob, dtype=np.uint8, count=n_words,
                           offset=p).astype(np.int64)
     p += n_words
-    heap = np.frombuffer(blob, dtype=np.uint8, count=int(wlens.sum()), offset=p)
-    p += int(wlens.sum())
-    wtable = np.zeros((n_words, 8), dtype=np.uint8)
-    wtable[np.arange(8)[None, :] < wlens[:, None]] = heap
+    heap_len = int(wlens.sum())
+    heap = bytes(blob[p:p + heap_len])
+    p += heap_len
     inner = decode(bytes(blob[p:]))
     tdata, toffs = _string_buffers(inner)
-    M = len(tdata)
 
-    # LUT-driven expansion: per input byte, a size (word len + trailing
-    # space, 1 for raw, 0 for the escape marker) and a 9-byte expansion
-    # row (word + space, pre-baked per table entry) — two 256-entry LUT
-    # gathers + one (M, 9) row gather; no per-row-subset indexing
-    coderank = np.full(256, 255, dtype=np.uint8)
-    coderank[_WCODES[:n_words]] = np.arange(n_words, dtype=np.uint8)
-    sizelut = np.ones(256, dtype=np.int8)
-    sizelut[_WCODES[:n_words]] = (wlens + 1).astype(np.int8)
-    sizelut[_W_ESCAPE] = 0
-    wtable9 = np.zeros((max(n_words, 1), 9), dtype=np.uint8)
-    wtable9[:n_words, :8] = wtable
-    wtable9[np.arange(n_words), wlens] = 32  # trailing space baked in
-    rank = coderank[tdata]
-    sizes = sizelut[tdata]
-    zero_idx = np.flatnonzero(tdata == _W_ESCAPE)
-    if len(zero_idx):
-        seg_of = np.searchsorted(toffs, zero_idx, side="right")
-        markers = _greedy_nonoverlap(zero_idx, seg_of)
-        lit = markers + 1
-        lit = lit[lit < M]
-        rank[lit] = 255           # escaped literals are raw bytes
-        sizes[lit] = 1
-    emat = wtable9[np.minimum(rank, n_words - 1 if n_words else 0)]
-    raw_rows = rank == 255
-    emat[raw_rows, 0] = tdata[raw_rows]
-    valid = np.arange(9, dtype=np.int8)[None, :] < sizes[:, None]
-    outb = emat[valid]
-    pos = np.empty(M + 1, dtype=np.int64)
-    pos[0] = 0
-    np.cumsum(sizes, out=pos[1:])
+    # 256-entry expansion LUT: code byte -> word + trailing space, raw
+    # byte -> itself, escape marker -> empty (its literal follows)
+    rows = [bytes([v]) for v in range(256)]
+    rows[_W_ESCAPE] = b""
+    starts = np.concatenate(([0], np.cumsum(wlens))).astype(np.int64)
+    for r_i in range(n_words):
+        rows[int(_WCODES[r_i])] = heap[starts[r_i]:starts[r_i + 1]] + b" "
+    out_buf, pos = _take_expand(tdata, toffs, rows, _W_ESCAPE)
     str_offsets = pos[toffs]
     return pa.LargeBinaryArray.from_buffers(
         pa.large_binary(), len(toffs) - 1,
         [None, pa.py_buffer(str_offsets.astype(np.int64).tobytes()),
-         pa.py_buffer(outb.tobytes())])
+         out_buf])
 
 
 def zstd_codec(level: int):
@@ -647,53 +653,23 @@ def decode(blob: bytes) -> pa.Array:
 
     code_bounds = np.concatenate(([0], np.cumsum(code_lens)))
 
-    # resolve escapes (an escaped literal may itself be 0xFF: greedy parity)
-    esc_idx = np.flatnonzero(codes == ESCAPE)
-    seg_of = np.searchsorted(code_bounds, esc_idx, side="right")
-    esc = _greedy_nonoverlap(esc_idx, seg_of)
-
-    lit = esc + 1  # literal bytes following taken escape markers
-    lit = lit[lit < len(codes)]  # defensive: malformed trailing escape
-
-    sym_len = np.concatenate([np.ones(n_single, np.int32),
-                              np.full(n_pairs, 2, np.int32),
-                              np.zeros(256 - n_symbols, np.int32)])
-    sym_first = np.concatenate([singles, pairs[:, 0],
-                                np.zeros(256 - n_symbols, np.uint8)])
-    sym_second = np.concatenate([np.zeros(n_single, np.uint8), pairs[:, 1],
-                                 np.zeros(256 - n_symbols, np.uint8)])
-
-    # escape markers (code 255) get size 0 for free: sym_len[255] == 0;
-    # only the literals after them need the sparse size-1 fix-up
-    sizes = sym_len[codes]
-    if len(lit):
-        sizes[lit] = 1
-
-    # dense expansion: per code a [first, second] byte pair with a
-    # validity mask; row-major boolean extraction emits the bytes in
-    # code order — no output-position cumsum, no index-list scatters
-    n = len(codes)
-    pair_bytes = np.empty((n, 2), dtype=np.uint8)
-    pair_bytes[:, 0] = sym_first[codes]
-    pair_bytes[:, 1] = sym_second[codes]
-    if len(lit):
-        pair_bytes[lit, 0] = codes[lit]  # escaped literals emit themselves
-    valid = np.empty((n, 2), dtype=bool)
-    valid[:, 0] = sizes > 0
-    valid[:, 1] = sizes == 2
-    out = pair_bytes[valid]
-
-    # per-string byte offsets still come from the size cumsum (cheap);
-    # only the output-byte scatters were replaced by the extraction
-    pos = np.empty(n + 1, dtype=np.int32)
-    pos[0] = 0
-    np.cumsum(sizes, out=pos[1:])
+    # 256-entry expansion LUT: symbol code -> its 1 or 2 bytes, unused
+    # codes and the escape marker -> empty (the marker's literal
+    # follows; _take_expand resolves greedy escape parity — an escaped
+    # literal may itself be 0xFF — and emits it via the +256 raw rows)
+    rows = [b""] * 256
+    for c in range(n_single):
+        rows[c] = bytes([singles[c]])
+    pair_bytes = pairs.tobytes()
+    for c in range(n_pairs):
+        rows[n_single + c] = pair_bytes[2 * c:2 * c + 2]
+    out_buf, pos = _take_expand(codes, code_bounds, rows, ESCAPE)
     str_offsets = pos[code_bounds]
     binary = pa.LargeBinaryArray.from_buffers(
         pa.large_binary(), n_strings,
         [None,
          pa.py_buffer(str_offsets.astype(np.int64).tobytes()),
-         pa.py_buffer(out.tobytes())],
+         out_buf],
     )
     return binary
 
