@@ -245,6 +245,19 @@ def encoded_table_string_filter_count(spark, sf_dir) -> DataFrame:
                 F.col("prefix_hits").cast("long"))
 
 
+def encoded_table_filter_select(spark, sf_dir) -> DataFrame:
+    """Row-returning storage query: SELECT doc_id, n_chars WHERE
+    source = 'src12' with manifest string-stats chunk pruning, the
+    filter evaluated on compressed dict codes, and the projection
+    columns decoded only in surviving chunks (sources/encoded_table
+    pruned_filter_select) — predicate pushdown + column pruning over
+    this engine's own format."""
+    from ..sources import encoded_table
+    out = _documents_by_source_store(spark, sf_dir)
+    return encoded_table.pruned_filter_select(
+        spark, out, "source", "src12", ["doc_id", "n_chars"])
+
+
 def _documents_dict_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The source column's dict chunks of the documents store."""
     out = _documents_store(spark, sf_dir)

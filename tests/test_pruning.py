@@ -170,3 +170,28 @@ def test_pruned_string_fallback_fsst_chunks(spark, tmp_path):
     assert cnt == 1000
     assert st["dict_fast_chunks"] == 0 and st["decoded_fallback_chunks"] > 0
     assert st["pruned_chunks"] > 0
+
+
+def test_pruned_filter_select_rows(spark, tmp_path):
+    """Row-returning filtered read: predicate on compressed dict codes,
+    projection decoded only in surviving chunks, values exact."""
+    out = str(tmp_path / "enc_sel")
+    df = spark.range(0, 8000, 1, 4).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("h"), F.lpad((F.col("id") / 400).cast("int")
+                                    .cast("string"), 2, "0")).alias("host"),
+        (F.col("id") * 3).alias("v"))
+    df = df.repartitionByRange(4, "host", "k").sortWithinPartitions("host", "k")
+    encode_job.encode_table(spark, df, out, url_col=None,
+                            codec_overrides={"host": "dict"})
+    got = encoded_table.pruned_filter_select(
+        spark, out, "host", "h07", ["k", "v"]).toPandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert len(got) == 400
+    assert got["k"].tolist() == list(range(2800, 3200))
+    assert got["v"].tolist() == [3 * k for k in range(2800, 3200)]
+    # absent value: empty result, schema intact
+    empty = encoded_table.pruned_filter_select(
+        spark, out, "host", "zzz", ["k", "v"])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "v"]
