@@ -216,3 +216,18 @@ def test_fsst_deterministic_across_processes():
                            text=True, cwd="/root/repo", timeout=120).stdout
             for _ in range(2)}
     assert len(outs) == 1 and "" not in outs
+
+
+def test_fsst_take_expand_edges():
+    """Arrow-take LUT decode edges: empty array, all-empty strings
+    (take may return a None data buffer), escape-only payloads, NUL
+    bytes (the word-path escape byte), full byte alphabet."""
+    import pyarrow as pa
+    from compressed_vec_spark.codecs import fsst
+    for c in ([], [""], ["", "", ""], ["\xff\xff\xff"], ["\x00\x00"],
+              ["a b c " * 100, "", "word word "]):
+        arr = pa.array(c, type=pa.large_utf8())
+        assert fsst.decode_strings(fsst.encode(arr)).to_pylist() == c
+    b = [bytes([0, 255, 0, 32, 65, 66]) * 10, b"", bytes(range(256))]
+    arr = pa.array(b, type=pa.large_binary())
+    assert fsst.decode(fsst.encode(arr)).to_pylist() == b
