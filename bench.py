@@ -35,7 +35,8 @@ SCALING_ROWS = int(os.environ.get("CVX_BENCH_ROWS", "800000"))
 # plan skew (candidate generation is banded/df-capped).  The driver's
 # sf0.01 correctness gate still runs them.  embedding_near_dup is timed:
 # its hyperplane-LSH path is bounded on random embeddings.
-SKIP_TIMED = {"minhash_near_dup", "ngram_jaccard_pairs"}
+SKIP_TIMED = {"minhash_near_dup", "ngram_jaccard_pairs",
+              "near_dup_clusters"}
 
 
 def run_encode_bench_subprocess(cores: int, rows: int,

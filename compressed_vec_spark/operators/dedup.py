@@ -278,3 +278,77 @@ def simhash64(texts: pa.Array, k: int = 4) -> np.ndarray:
     for bit in range(64):
         out |= (sig[:, bit] > 0).astype(np.uint64) << np.uint64(bit)
     return out
+
+
+def connected_components(pairs: DataFrame, src: str = "d1",
+                         dst: str = "d2", max_iter: int = 30) -> DataFrame:
+    """Transitive duplicate-cluster resolution: (node, component) for
+    every node that appears in `pairs`, where component is the MINIMUM
+    node id reachable through the pair graph — the step a dedup
+    pipeline needs after pair finding (near-dup pairs are not an
+    equivalence relation; keep-one-per-cluster requires the transitive
+    closure).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — each
+    half-round is one groupBy(min) + one join, no per-node neighbor
+    lists are ever collected, so a hub node with 10^8 neighbors costs a
+    single min-aggregate, not a collect_set.  Converges in O(log^2 n)
+    rounds (2-4 in practice on dedup graphs); each round ends in a
+    `localCheckpoint` that truncates the lineage so the plan stays flat
+    across iterations (on a real cluster swap for
+    `spark.sparkContext.setCheckpointDir` + `checkpoint()` to survive
+    executor loss).
+
+    Fixed point: the edge set is a union of stars whose centers are the
+    component minima; (member -> center) plus (center -> center) is the
+    labeling."""
+    e = (pairs.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+         .where(F.col("x") != F.col("y"))
+         .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    sig_prev = None
+    for _ in range(max_iter):
+        # large-star: every node u sends its strictly-larger neighbors
+        # to min(N(u) + {u}) — breaks tall trees into wide ones
+        sym = (e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+               .unionAll(e.select(F.col("b").alias("u"),
+                                  F.col("a").alias("v"))))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m")))
+        ls = (sym.join(mins, "u").where(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("x"), F.col("m").alias("y")))
+        e1 = (ls.where(F.col("x") != F.col("y"))
+              .select(F.least("x", "y").alias("a"),
+                      F.greatest("x", "y").alias("b"))
+              .distinct())
+        # small-star: orient edges large->small; every node u points
+        # its smaller neighbors (and itself) at their minimum
+        ori = e1.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        mins2 = ori.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (ori.join(mins2, "u")
+              .select(F.col("v").alias("x"), F.col("m").alias("y"))
+              .unionAll(mins2.select(F.col("u").alias("x"),
+                                     F.col("m").alias("y"))))
+        e = (ss.where(F.col("x") != F.col("y"))
+             .select(F.least("x", "y").alias("a"),
+                     F.greatest("x", "y").alias("b"))
+             .distinct()
+             .localCheckpoint(eager=True))
+        # convergence: one aggregate over the (checkpointed) edge set
+        row = e.agg(F.count("*").alias("n"),
+                    F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0))
+                    .alias("h")).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == sig_prev or sig[0] == 0:
+            break
+        sig_prev = sig
+    else:
+        raise RuntimeError(f"connected_components: no convergence "
+                           f"in {max_iter} rounds")
+    # stars: a = center = component min; centers label themselves
+    return (e.select(F.col("b").alias("node"), F.col("a").alias("component"))
+            .unionAll(e.select(F.col("a").alias("node"),
+                               F.col("a").alias("component")))
+            .distinct())

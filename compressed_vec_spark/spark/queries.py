@@ -788,6 +788,27 @@ def minhash_near_dup(spark, sf_dir) -> DataFrame:
                                    n_hashes=128, rows_per_band=2, k=5)
 
 
+def near_dup_clusters(spark, sf_dir) -> DataFrame:
+    """Transitive duplicate clusters: MinHash+LSH verified pairs ->
+    alternating large-star/small-star connected components
+    (dedup.connected_components) -> (doc_id, cluster_rep, cluster_size)
+    for every clustered doc.  This is the step a real dedup pipeline
+    runs after pair finding — near-dup is not transitive, so
+    keep-one-per-cluster needs the closure, not the pairs.  The oracle
+    re-derives the exact pair set in SQL and resolves components with a
+    recursive min-label CTE."""
+    from ..operators import dedup
+    df = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(df, "doc_id", "text", threshold=0.7,
+                                    n_hashes=128, rows_per_band=2, k=5)
+    cc = dedup.connected_components(pairs, "d1", "d2")
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (cc.join(F.broadcast(sizes), "component")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("cluster_rep"),
+                    F.col("cluster_size")))
+
+
 def simhash_signatures_query(spark, sf_dir) -> DataFrame:
     """31-bit SimHash per document (dedup.simhash32) — the feature hash
     is a 4-byte windowed polynomial mod 2^31 chosen to be ANSI-SQL

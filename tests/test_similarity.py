@@ -216,3 +216,62 @@ def test_minhash_signature_jaccard_estimate():
     est_ab = (sigs[0] == sigs[1]).mean()
     est_ac = (sigs[0] == sigs[2]).mean()
     assert est_ab > 0.6 > est_ac
+
+
+# --- connected components (transitive dedup clusters) ------------------------
+
+def _uf_labels(edges):
+    """Reference min-label components via union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in list(parent)}
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    return {r["node"]: r["component"]
+            for r in dedup.connected_components(df).collect()}
+
+
+def test_cc_chain_matches_union_find(spark):
+    # a 60-link chain forces multiple large/small-star rounds
+    edges = [(i, i + 1) for i in range(60)]
+    assert _cc(spark, edges) == _uf_labels(edges)
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, 150, size=(120, 2)) if a != b]
+    assert _cc(spark, edges) == _uf_labels(edges)
+
+
+def test_cc_self_loops_and_duplicates_ignored(spark):
+    edges = [(5, 5), (1, 2), (2, 1), (1, 2), (7, 7)]
+    got = _cc(spark, edges)
+    assert got == {1: 1, 2: 1}  # 5 and 7 have no real pair
+
+
+def test_cc_empty(spark):
+    df = spark.createDataFrame([], "d1 long, d2 long")
+    assert dedup.connected_components(df).count() == 0
+
+
+def test_cc_component_is_min_reachable(spark):
+    # two components with hub shapes (star + triangle w/ pendant)
+    edges = [(10, 3), (10, 8), (10, 12),       # star rooted at 3
+             (20, 21), (21, 22), (22, 20), (22, 99)]  # triangle + pendant
+    got = _cc(spark, edges)
+    assert {got[3], got[8], got[10], got[12]} == {3}
+    assert {got[20], got[21], got[22], got[99]} == {20}
