@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q.stratified_sample,
         "minhash_near_dup": q.minhash_near_dup,
         "near_dup_clusters": q.near_dup_clusters,
+        "dedup_keep_best": q.dedup_keep_best,
         "events_windowed_stats": q.events_windowed_stats,
         "top_users_by_value": q.top_users_by_value,
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
@@ -287,6 +288,40 @@ def oracle_sql() -> dict[str, str]:
             "CAST(rep AS BIGINT) AS cluster_rep, "
             "CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size "
             "FROM labels",
+        "dedup_keep_best":
+            # same closure as near_dup_clusters, then keep the longest
+            # doc per cluster (ties: lowest doc_id)
+            "WITH RECURSIVE pos AS ("
+            "  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i"
+            "  FROM documents WHERE length(text) >= 5), "
+            "sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS s FROM pos), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS ("
+            "  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c"
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id"
+            "  GROUP BY 1, 2), "
+            "pairs AS ("
+            "  SELECT d1, d2 FROM inter "
+            "  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id "
+            "  WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.7), "
+            "edges AS ("
+            "  SELECT d1 AS u, d2 AS v FROM pairs "
+            "  UNION SELECT d2, d1 FROM pairs), "
+            "reach(node, r) AS ("
+            "  SELECT u, u FROM edges "
+            "  UNION "
+            "  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node), "
+            "labels AS (SELECT node, min(r) AS rep FROM reach GROUP BY node), "
+            "ranked AS ("
+            "  SELECT l.node, l.rep, "
+            "  row_number() OVER (PARTITION BY l.rep "
+            "                     ORDER BY d.n_chars DESC, l.node ASC) AS rn, "
+            "  count(*) OVER (PARTITION BY l.rep) AS sz "
+            "  FROM labels l JOIN documents d ON d.doc_id = l.node) "
+            "SELECT CAST(rep AS BIGINT) AS cluster_rep, "
+            "CAST(node AS BIGINT) AS kept_doc_id, "
+            "CAST(sz - 1 AS BIGINT) AS dropped "
+            "FROM ranked WHERE rn = 1",
         "events_windowed_stats":
             "SELECT date_trunc('hour', ts) AS hr, event_type, "
             "count(*) AS n_events, "

@@ -36,7 +36,7 @@ SCALING_ROWS = int(os.environ.get("CVX_BENCH_ROWS", "800000"))
 # sf0.01 correctness gate still runs them.  embedding_near_dup is timed:
 # its hyperplane-LSH path is bounded on random embeddings.
 SKIP_TIMED = {"minhash_near_dup", "ngram_jaccard_pairs",
-              "near_dup_clusters"}
+              "near_dup_clusters", "dedup_keep_best"}
 
 
 def run_encode_bench_subprocess(cores: int, rows: int,
@@ -205,7 +205,7 @@ def run_queries(cores: int) -> dict:
         # is measured separately in the scaling section)
         for warm in ("filter_equals_count", "encoded_table_pruned_count",
                      "encoded_table_group_count", "analytics_over_encoded",
-                     "encoded_table_string_filter_count"):
+                     "encoded_table_string_filter_count", "rle_range_count"):
             qs[warm](spark, SF_DIR) \
                 .write.format("noop").mode("overwrite").save()
         for name, fn in qs.items():

@@ -243,19 +243,23 @@ def simhash32(texts: pa.Array) -> np.ndarray:
         h += data[j:span + j].astype(np.uint64) * np.uint64(w)
     h %= np.uint64(_SH32_MOD)
     idx = np.repeat(offsets[:-1], n_sh) + _within_counts(n_sh)
-    h = h[idx] if span else np.zeros(int(n_sh.sum()), np.uint64)
+    h32 = (h[idx] if span else np.zeros(int(n_sh.sum()), np.uint64)) \
+        .astype(np.uint32)
     bounds = np.concatenate(([0], np.cumsum(n_sh)))
     n_docs = len(bounds) - 1
-    sig = np.zeros((n_docs, 31), dtype=np.int64)
     nonempty = np.diff(bounds) > 0
     starts_ne = bounds[:-1][nonempty]
-    if len(h) and len(starts_ne):
-        for bit in range(31):
-            bits = ((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
-            sig[nonempty, bit] = np.add.reduceat(bits, starts_ne)
     out = np.zeros(n_docs, dtype=np.int64)
-    for bit in range(31):
-        out |= (sig[:, bit] > 0).astype(np.int64) << bit
+    if len(h32) and len(starts_ne):
+        # per-bit +/-1 vote sum > 0  <=>  2 * (count of 1-bits) > count:
+        # one int32 reduceat of the raw bit per pass, no sign matrix
+        cnts = np.diff(bounds)[nonempty].astype(np.int64)
+        set_bits = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        for bit in range(31):
+            b = ((h32 >> np.uint32(bit)) & np.uint32(1)).astype(np.int32)
+            s = np.add.reduceat(b, starts_ne).astype(np.int64)
+            set_bits |= (2 * s > cnts).astype(np.int64) << bit
+        out[nonempty] = set_bits
     return out
 
 

@@ -809,6 +809,31 @@ def near_dup_clusters(spark, sf_dir) -> DataFrame:
                     F.col("cluster_size")))
 
 
+def dedup_keep_best(spark, sf_dir) -> DataFrame:
+    """Keep-one-per-cluster — the step that actually SHRINKS the
+    corpus: near-dup clusters (near_dup_clusters pipeline) -> keep the
+    longest doc per cluster (ties: lowest doc_id) -> emit
+    (cluster_rep, kept_doc_id, dropped).  At 100 TB the extra cost over
+    clustering is one broadcast join of the (tiny) cluster labels into
+    a metadata-only corpus scan plus one groupBy on cluster id."""
+    from ..operators import dedup
+    df = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(df, "doc_id", "text", threshold=0.7,
+                                    n_hashes=128, rows_per_band=2, k=5)
+    cc = dedup.connected_components(pairs, "d1", "d2")
+    meta = df.select(F.col("doc_id").alias("node"), "n_chars")
+    labeled = meta.join(F.broadcast(cc), "node")
+    best = (labeled.groupBy("component")
+            .agg(F.max(F.struct(F.col("n_chars"),
+                                (-F.col("node")).alias("neg_id")))
+                 .alias("b"),
+                 F.count("*").alias("sz"))
+            .select(F.col("component").alias("cluster_rep"),
+                    (-F.col("b.neg_id")).alias("kept_doc_id"),
+                    (F.col("sz") - 1).alias("dropped")))
+    return best
+
+
 def simhash_signatures_query(spark, sf_dir) -> DataFrame:
     """31-bit SimHash per document (dedup.simhash32) — the feature hash
     is a 4-byte windowed polynomial mod 2^31 chosen to be ANSI-SQL
