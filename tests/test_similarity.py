@@ -275,3 +275,35 @@ def test_cc_component_is_min_reachable(spark):
     got = _cc(spark, edges)
     assert {got[3], got[8], got[10], got[12]} == {3}
     assert {got[20], got[21], got[22], got[99]} == {20}
+
+
+def test_simhash32_matches_per_doc_reference():
+    # pins the vectorized kernel (uint32 lanes + reduceat vote identity)
+    # to a straightforward per-doc implementation, incl. non-ASCII and
+    # doc-length edges around the 4-byte window
+    from compressed_vec_spark.operators.dedup import _SH32_W, _SH32_MOD
+
+    def ref_one(t):
+        b = t.encode("utf-8", "surrogatepass")
+        if len(b) < 4:
+            return 0
+        votes = np.zeros(31, dtype=np.int64)
+        for i in range(len(b) - 3):
+            h = (b[i] * _SH32_W[0] + b[i + 1] * _SH32_W[1]
+                 + b[i + 2] * _SH32_W[2] + b[i + 3] * _SH32_W[3]) % _SH32_MOD
+            for bit in range(31):
+                votes[bit] += 1 if (h >> bit) & 1 else -1
+        out = 0
+        for bit in range(31):
+            if votes[bit] > 0:
+                out |= 1 << bit
+        return out
+
+    rng = np.random.default_rng(5)
+    docs = ["", "a", "abc", "abcd", "abcde", "éü世界",
+            "x" * 300, "the cat sat " * 40]
+    docs += ["".join(chr(rng.integers(32, 0x2ff)) for _ in range(int(n)))
+             for n in rng.integers(0, 120, 30)]
+    got = dedup.simhash32(pa.array(docs, type=pa.large_utf8()))
+    for i, d in enumerate(docs):
+        assert got[i] == ref_one(d), (i, repr(d[:40]))
