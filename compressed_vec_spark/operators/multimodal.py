@@ -1,13 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Image and audio are REAL end to end in this environment: payloads are
-real container formats (P6 PPM images, RIFF/WAVE PCM16 audio) written
-and parsed with numpy — decode, resize (stride subsample), feature
-extraction and windowed RMS all operate on actual pixel/sample data.
-Compressed formats (png/jpeg/opus) route through an import-gated PIL
-hook; VIDEO decode is the one declared stub (no pure-python codec
-exists — `frame_sample_plan` plans the seek points JVM-side and a real
-ffmpeg call would consume that plan).  Blobs ride the same
+Image, audio AND video are REAL end to end in this environment:
+payloads are real container formats (P6 PPM images, RIFF/WAVE PCM16
+audio, uncompressed RGB24 AVI video) written and parsed with numpy —
+decode, resize (stride subsample), feature extraction, windowed RMS and
+frame sampling all operate on actual pixel/sample data.
+Codec-compressed formats (png/jpeg/opus/h264) route through import-
+gated PIL / NotImplementedError hooks — those decoders need external
+libs (ffmpeg) absent here; the container walking, Spark plumbing,
+schema and batch shapes are identical either way.  Blobs ride the same
 `deflate`/`binary_fsst` chunk codecs as html.
 
 Schema conventions:
@@ -18,7 +19,6 @@ Schema conventions:
 
 from __future__ import annotations
 
-import hashlib
 import struct
 from typing import Iterator
 
@@ -95,18 +95,102 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, sr
 
 
+VIDEO_FPS = 4
+
+
+def encode_avi(frames: np.ndarray, fps: int = VIDEO_FPS) -> bytes:
+    """(N, H, W, 3) RGB uint8 -> uncompressed RGB24 AVI (RIFF 'AVI '):
+    LIST hdrl (avih + strl/strh/strf BITMAPINFOHEADER BI_RGB 24bpp) +
+    LIST movi of '00db' DIB frames — bottom-up, BGR, rows padded to 4
+    bytes, the genuine DIB conventions."""
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    # RGB -> BGR, top-down -> bottom-up, pad rows to stride
+    dib = np.zeros((n, h, stride), dtype=np.uint8)
+    dib[:, :, :w * 3] = frames[:, ::-1, :, ::-1].reshape(n, h, w * 3)
+    frame_bytes = dib.reshape(n, -1)
+    fsize = h * stride
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + tag + body
+
+    def chk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    avih = struct.pack("<10I", 1_000_000 // fps, fsize * fps, 0, 0x10,
+                       n, 0, 1, fsize, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, n, fsize, 0, 0)
+            + struct.pack("<4h", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chk(b"avih", avih)
+               + lst(b"strl", chk(b"strh", strh) + chk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chk(b"00db", f.tobytes())
+                                 for f in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
+    """Uncompressed RGB24 AVI -> ((N, H, W, 3) RGB uint8, fps) — a real
+    RIFF walker: strf/BITMAPINFOHEADER gives geometry (BI_RGB 24bpp
+    only), strh rate/scale gives fps, movi '00db' DIB frames are
+    un-padded, flipped bottom-up -> top-down and BGR -> RGB.
+    Codec-compressed video (h264 etc.) has no pure-python decoder and
+    raises NotImplementedError."""
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI ", "not AVI"
+    w = h = None
+    fps = VIDEO_FPS
+    raw_frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, fps
+        while pos + 8 <= end:
+            cid = payload[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + size)
+            elif cid == b"strh":
+                if payload[body:body + 4] == b"vids":
+                    scale, rate = struct.unpack_from("<II", payload, body + 20)
+                    fps = rate // max(scale, 1)
+            elif cid == b"strf":
+                (bisize, bw, bh, planes, bpp,
+                 compression) = struct.unpack_from("<IiiHHI", payload, body)
+                if compression != 0 or bpp != 24:
+                    raise NotImplementedError(
+                        f"only BI_RGB 24bpp AVI decodes natively "
+                        f"(got compression={compression}, bpp={bpp})")
+                w, h = bw, abs(bh)
+            elif cid == b"00db":
+                raw_frames.append(payload[body:body + size])
+            pos = body + size + (size & 1)
+
+    walk(12, len(payload))
+    assert w is not None and h is not None, "missing strf header"
+    stride = (w * 3 + 3) & ~3
+    n = len(raw_frames)
+    dib = np.frombuffer(b"".join(raw_frames), dtype=np.uint8) \
+        .reshape(n, h, stride)
+    return dib[:, ::-1, :w * 3].reshape(n, h, w, 3)[..., ::-1].copy(), fps
+
+
 def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic media table with REAL payload bytes: P6 PPM images
-    (gradient-pattern pixels) and RIFF/WAVE PCM16 audio (sine tones);
-    video payloads are tagged opaque bytes (decode is the declared
-    stub)."""
+    """Deterministic media table with REAL payload bytes for all three
+    kinds: P6 PPM images (gradient-pattern pixels), RIFF/WAVE PCM16
+    audio (sine tones), and uncompressed RGB24 AVI video (moving
+    gradient frames at VIDEO_FPS)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             kinds = np.array(["image", "audio", "video"])[ids % 3]
-            w = (ids % 48 + 16).astype(np.int32)
-            h = (ids % 32 + 12).astype(np.int32)
+            w = np.where(kinds == "video", ids % 24 + 8,
+                         ids % 48 + 16).astype(np.int32)
+            h = np.where(kinds == "video", ids % 16 + 8,
+                         ids % 32 + 12).astype(np.int32)
             sr = np.where(kinds == "audio", AUDIO_SR, 0).astype(np.int32)
             dur = np.where(kinds == "video", (ids % 30 + 1) * 1000,
                            np.where(kinds == "audio", (ids % 20 + 1) * 100,
@@ -127,16 +211,23 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                             * (10000 + int(i) % 20000)).astype(np.int16)
                     payloads.append(encode_wav(wave, AUDIO_SR))
                 else:
-                    payloads.append(
-                        b"FAKEv" + int(di).to_bytes(4, "little")
-                        + hashlib.sha256(int(i).to_bytes(8, "little")).digest() * 4)
+                    nf = int(di) * VIDEO_FPS // 1000
+                    yy, xx = np.mgrid[0:int(hi), 0:int(wi)]
+                    t = np.arange(nf)[:, None, None]
+                    frames = np.stack(
+                        [(xx + t * 2 + int(i)) % 256,
+                         (yy * 3 + t * 5 + int(i) * 7) % 256,
+                         (xx + yy + t + int(i) * 11) % 256],
+                        axis=-1).astype(np.uint8)
+                    payloads.append(encode_avi(frames, VIDEO_FPS))
             yield pd.DataFrame({
                 "media_id": ids, "kind": kinds, "payload": payloads,
-                "width": np.where(kinds == "image", w, 0).astype(np.int32),
-                "height": np.where(kinds == "image", h, 0).astype(np.int32),
+                "width": np.where(kinds == "audio", 0, w).astype(np.int32),
+                "height": np.where(kinds == "audio", 0, h).astype(np.int32),
                 "sample_rate": sr, "duration_ms": dur,
                 "codec": np.where(kinds == "image", "ppm",
-                                  np.where(kinds == "audio", "wav", "h264")),
+                                  np.where(kinds == "audio", "wav",
+                                           "rgb24avi")),
             })
 
     return spark.range(0, n, 1, max(spark.sparkContext.defaultParallelism, 2)) \
@@ -186,13 +277,45 @@ def image_features(df: DataFrame, max_side: int = 32) -> DataFrame:
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one output row per sampled timestamp
-    (posexplode of a JVM-side sequence — the expensive ffmpeg seek/decode
-    would consume this plan; no Python in the planning path)."""
+    (posexplode of a JVM-side sequence — no Python in the planning
+    path).  `video_frame_features` consumes the same sampling semantics
+    against real RGB24 AVI payloads; for codec-compressed video the
+    plan would drive an external ffmpeg seek/decode instead."""
     return (df.where(F.col("kind") == "video")
             .select("media_id", "duration_ms",
                     F.posexplode(F.sequence(
                         F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms)))
                     .alias("frame_idx", "ts_ms")))
+
+
+def video_frame_features(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling: decode the RGB24 AVI payload, take
+    the frame at each sampled timestamp (same cadence as
+    frame_sample_plan), emit per-frame mean RGB — Arrow-batched, only
+    video rows decoded, one output row per sampled frame."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, fps = decode_avi(bytes(payload))
+                dur_ms = len(frames) * 1000 // max(fps, 1)
+                for k, ts in enumerate(range(0, max(dur_ms, 1), every_ms)):
+                    fi = min(ts * fps // 1000, len(frames) - 1)
+                    if fi < 0:
+                        continue
+                    mean = frames[fi].reshape(-1, 3).mean(axis=0)
+                    rows.append((int(mid), k, ts,
+                                 float(mean[0]), float(mean[1]),
+                                 float(mean[2])))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "ts_ms", "r_mean", "g_mean",
+                "b_mean"])
+
+    return (df.where(F.col("kind") == "video")
+            .select("media_id", "payload")
+            .mapInPandas(fn, "media_id long, frame_idx int, ts_ms int, "
+                             "r_mean double, g_mean double, b_mean double"))
 
 
 def audio_window_stats(df: DataFrame, window_ms: int = 250) -> DataFrame:

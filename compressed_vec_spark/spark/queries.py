@@ -1103,7 +1103,7 @@ MEDIA_ORACLE_ROWS = 300
 # bump when synthetic_media's generator or schema changes: the path is
 # keyed on (version, rows) so a changed generator can never silently
 # reuse a stale parquet written by an older build
-MEDIA_GEN_VERSION = 1
+MEDIA_GEN_VERSION = 2  # v2: real RGB24 AVI video payloads
 
 
 def _media_oracle_dir() -> str:
@@ -1122,11 +1122,13 @@ def _media_oracle_dir() -> str:
 def media_inventory(spark, sf_dir) -> DataFrame:
     """Multimodal inventory under the oracle gate: the Spark side
     PARSES every payload with the real container parsers (P6 PPM
-    pixels, RIFF/WAVE samples — operators/multimodal.py) and aggregates
-    per kind; the DuckDB oracle re-derives the same numbers from the
-    parquet METADATA columns + its own sha256/octet_length over the
-    payload blobs.  A parser drifting from the container contract (or a
-    payload corrupted anywhere in the pipeline) breaks the hash match.
+    pixels, RIFF/WAVE samples, RGB24-AVI frames —
+    operators/multimodal.py) and aggregates per kind; the DuckDB oracle
+    re-derives the same numbers from the parquet METADATA columns + its
+    own sha256/octet_length over the payload blobs (video pixels =
+    duration_ms * VIDEO_FPS / 1000 frames x width x height).  A parser
+    drifting from the container contract (or a payload corrupted
+    anywhere in the pipeline) breaks the hash match.
     The media table is deterministic synthetic parquet both engines
     read from the same version-keyed scratch path; the write is
     unconditional (mode=overwrite) so generator changes always take
@@ -1151,6 +1153,11 @@ def media_inventory(spark, sf_dir) -> DataFrame:
                     s, sr = mm.decode_wav(b)
                     assert sr == mm.AUDIO_SR
                     samples = len(s)
+                elif kind == "video":
+                    frames, fps = mm.decode_avi(b)
+                    assert fps == mm.VIDEO_FPS
+                    px = int(frames.shape[0]) * int(frames.shape[1]) \
+                        * int(frames.shape[2])
                 rows.append((str(kind), len(b),
                              hashlib.sha256(b).hexdigest(), px, samples))
             yield pd.DataFrame(rows, columns=["kind", "nbytes", "sha",
@@ -1174,7 +1181,10 @@ SELECT kind,
        CAST(count(*) AS BIGINT) AS cnt,
        CAST(sum(octet_length(payload)) AS BIGINT) AS payload_bytes,
        CAST(count(DISTINCT payload) AS BIGINT) AS distinct_payloads,
-       CAST(sum(CASE WHEN kind = 'image' THEN width * height ELSE 0 END)
+       CAST(sum(CASE WHEN kind = 'image' THEN width * height
+                     WHEN kind = 'video'
+                       THEN (duration_ms * 4 // 1000) * width * height
+                     ELSE 0 END)
             AS BIGINT) AS pixels,
        CAST(sum(CASE WHEN kind = 'audio' THEN duration_ms * 8 ELSE 0 END)
             AS BIGINT) AS samples

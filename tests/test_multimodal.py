@@ -118,3 +118,73 @@ def test_media_payload_chunk_roundtrip(spark):
     assert codec == "deflate"
     out = chunk.decode_column(blob)
     assert list(out) == payloads.tolist()
+
+
+# --- real RGB24 AVI video (round 4) ------------------------------------------
+
+def test_avi_codec_roundtrip():
+    rng = np.random.default_rng(9)
+    for (n, h, w) in [(3, 5, 7), (1, 1, 1), (4, 16, 24), (2, 8, 6)]:
+        frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        dec, fps = mm.decode_avi(mm.encode_avi(frames, 4))
+        assert fps == 4
+        assert np.array_equal(dec, frames)
+
+
+def test_avi_dib_wire_conventions():
+    # asymmetric 2x2 frame pins bottom-up row order, BGR channel order
+    # and 4-byte row padding in the actual wire bytes
+    f = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+    f[0, 0, 0] = [255, 0, 0]     # top-left RED
+    f[0, 1, 1] = [0, 0, 255]     # bottom-right BLUE
+    blob = mm.encode_avi(f, 4)
+    frame = blob[blob.index(b"00db") + 8:][:16]
+    # stride = (2*3+3)&~3 = 8; first DIB row = BOTTOM image row,
+    # blue pixel stored B,G,R = (255,0,0)
+    assert frame[:8] == bytes([0, 0, 0, 255, 0, 0, 0, 0])
+    assert frame[8:16] == bytes([0, 0, 255, 0, 0, 0, 0, 0])
+
+
+def test_avi_compressed_rejected():
+    blob = bytearray(mm.encode_avi(np.zeros((1, 2, 2, 3), np.uint8), 4))
+    strf = blob.index(b"strf") + 8
+    blob[strf + 16:strf + 20] = (1).to_bytes(4, "little")  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        mm.decode_avi(bytes(blob))
+
+
+def test_synthetic_video_payloads_parse(spark):
+    df = mm.synthetic_media(spark, 30).where(F.col("kind") == "video")
+    rows = df.select("media_id", "payload", "width", "height",
+                     "duration_ms").collect()
+    assert rows
+    for r in rows:
+        frames, fps = mm.decode_avi(bytes(r["payload"]))
+        assert fps == mm.VIDEO_FPS
+        assert frames.shape[0] == r["duration_ms"] * mm.VIDEO_FPS // 1000
+        assert frames.shape[1] == r["height"]
+        assert frames.shape[2] == r["width"]
+        # the generator's moving gradient: frame t, channel 0 is
+        # (x + 2t + id) % 256 — check one probe pixel of frame 1
+        assert frames[1, 0, 0, 0] == (0 + 2 * 1 + r["media_id"]) % 256
+
+
+def test_video_frame_features_match_direct_decode(spark):
+    df = mm.synthetic_media(spark, 30)
+    feats = {(r["media_id"], r["frame_idx"]): r
+             for r in mm.video_frame_features(df, every_ms=1000).collect()}
+    assert feats
+    vids = df.where(F.col("kind") == "video") \
+             .select("media_id", "payload").collect()
+    checked = 0
+    for v in vids:
+        frames, fps = mm.decode_avi(bytes(v["payload"]))
+        dur_ms = len(frames) * 1000 // fps
+        for k, ts in enumerate(range(0, dur_ms, 1000)):
+            fi = min(ts * fps // 1000, len(frames) - 1)
+            exp = frames[fi].reshape(-1, 3).mean(axis=0)
+            row = feats[(v["media_id"], k)]
+            assert abs(row["r_mean"] - exp[0]) < 1e-9
+            assert abs(row["b_mean"] - exp[2]) < 1e-9
+            checked += 1
+    assert checked >= 10
