@@ -803,7 +803,9 @@ def near_dup_clusters(spark, sf_dir) -> DataFrame:
                                     n_hashes=128, rows_per_band=2, k=5)
     cc = dedup.connected_components(pairs, "d1", "d2")
     sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return (cc.join(F.broadcast(sizes), "component")
+    # no forced broadcast: at 100 TB the label set is proportional to
+    # the clustered corpus — AQE broadcasts when it actually fits
+    return (cc.join(sizes, "component")
             .select(F.col("node").alias("doc_id"),
                     F.col("component").alias("cluster_rep"),
                     F.col("cluster_size")))
@@ -814,15 +816,17 @@ def dedup_keep_best(spark, sf_dir) -> DataFrame:
     corpus: near-dup clusters (near_dup_clusters pipeline) -> keep the
     longest doc per cluster (ties: lowest doc_id) -> emit
     (cluster_rep, kept_doc_id, dropped).  At 100 TB the extra cost over
-    clustering is one broadcast join of the (tiny) cluster labels into
-    a metadata-only corpus scan plus one groupBy on cluster id."""
+    clustering is one join of the cluster labels against a
+    metadata-only corpus scan (labels are proportional to the clustered
+    subset — no forced broadcast hint, AQE broadcasts when they fit)
+    plus one groupBy on cluster id."""
     from ..operators import dedup
     df = _read(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_dups(df, "doc_id", "text", threshold=0.7,
                                     n_hashes=128, rows_per_band=2, k=5)
     cc = dedup.connected_components(pairs, "d1", "d2")
     meta = df.select(F.col("doc_id").alias("node"), "n_chars")
-    labeled = meta.join(F.broadcast(cc), "node")
+    labeled = meta.join(cc, "node")
     best = (labeled.groupBy("component")
             .agg(F.max(F.struct(F.col("n_chars"),
                                 (-F.col("node")).alias("neg_id")))
