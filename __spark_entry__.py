@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users_by_value": q.top_users_by_value,
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         "embedding_near_dup": q.embedding_near_dup,
+        "semantic_dedup_clusters": q.semantic_dedup_clusters,
         "simhash_signatures": q.simhash_signatures_query,
         "ann_cosine_topk": q.ann_cosine_topk,
         "ann_ivf_topk": q.ann_ivf_topk,
@@ -358,6 +359,33 @@ def oracle_sql() -> dict[str, str]:
             "WHERE a.vec_id < b.vec_id AND floor(list_cosine_similarity("
             "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000.0)"
             " >= 950000",
+        "semantic_dedup_clusters":
+            # exact cosine pair set (same as embedding_near_dup's
+            # oracle) -> recursive min-label closure, as in
+            # near_dup_clusters
+            "WITH RECURSIVE aug AS ("
+            "  SELECT vec_id, embedding FROM embeddings"
+            "  UNION ALL"
+            "  SELECT vec_id + 10000000, "
+            "         list_transform(embedding, x -> CAST(x * 2 AS REAL))"
+            "  FROM embeddings WHERE vec_id % 50 = 0), "
+            "pairs AS ("
+            "  SELECT a.vec_id AS v1, b.vec_id AS v2 FROM aug a, aug b "
+            "  WHERE a.vec_id < b.vec_id AND floor(list_cosine_similarity("
+            "  CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+            "  * 1000000.0) >= 950000), "
+            "edges AS ("
+            "  SELECT v1 AS u, v2 AS v FROM pairs "
+            "  UNION SELECT v2, v1 FROM pairs), "
+            "reach(node, r) AS ("
+            "  SELECT u, u FROM edges "
+            "  UNION "
+            "  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node), "
+            "labels AS (SELECT node, min(r) AS rep FROM reach GROUP BY node) "
+            "SELECT CAST(node AS BIGINT) AS vec_id, "
+            "CAST(rep AS BIGINT) AS cluster_rep, "
+            "CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size "
+            "FROM labels",
         "ann_cosine_topk":
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
             "SELECT vec_id FROM embeddings, q WHERE vec_id <> 0 "

@@ -36,7 +36,8 @@ SCALING_ROWS = int(os.environ.get("CVX_BENCH_ROWS", "800000"))
 # sf0.01 correctness gate still runs them.  embedding_near_dup is timed:
 # its hyperplane-LSH path is bounded on random embeddings.
 SKIP_TIMED = {"minhash_near_dup", "ngram_jaccard_pairs",
-              "near_dup_clusters", "dedup_keep_best"}
+              "near_dup_clusters", "dedup_keep_best",
+              "semantic_dedup_clusters"}
 
 
 def run_encode_bench_subprocess(cores: int, rows: int,

@@ -1012,6 +1012,31 @@ def embedding_near_dup(spark, sf_dir) -> DataFrame:
                                           threshold_ppm=950000)
 
 
+def semantic_dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Semantic (embedding-space) dedup clusters — the SemDeDup-style
+    pipeline step: hyperplane-LSH cosine pairs (same plan as
+    embedding_near_dup, >= 0.95 cosine, planted deterministic twins) ->
+    large-star/small-star connected components -> (vec_id, cluster_rep,
+    cluster_size).  Same closure operator as text near-dup clusters;
+    only the pair-finding modality differs."""
+    from ..operators import dedup, similarity
+    base = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = (base.where(F.col("vec_id") % 50 == 0)
+             .select((F.col("vec_id") + 10000000).alias("vec_id"),
+                     F.expr("transform(embedding, x -> "
+                            "CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+                     .alias("embedding")))
+    df = base.unionByName(twins)
+    pairs = similarity.cosine_near_dup_lsh(df, "vec_id", "embedding",
+                                           threshold_ppm=950000)
+    cc = dedup.connected_components(pairs, "v1", "v2")
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (cc.join(sizes, "component")
+            .select(F.col("node").alias("vec_id"),
+                    F.col("component").alias("cluster_rep"),
+                    F.col("cluster_size")))
+
+
 def exact_dedup(spark, sf_dir) -> DataFrame:
     """Exact dedup via hash-groupBy (map-side partial agg, one shuffle
     of (hash, count) pairs only)."""
