@@ -264,7 +264,7 @@ def main() -> None:
     # a single pair can take 10+ minutes, and an unbounded retry hunt
     # would outlive any caller's patience — report what we have instead
     t_pairs = time.perf_counter()
-    pair_budget = float(os.environ.get("CVX_BENCH_PAIR_BUDGET_SEC", "1400"))
+    pair_budget = float(os.environ.get("CVX_BENCH_PAIR_BUDGET_SEC", "2000"))
     attempts = 0
     while attempts < max_pairs:
         attempts += 1
@@ -355,7 +355,7 @@ def main() -> None:
     # attempts so a contended pair loop can't cap it (round-3 carry-over:
     # the driver artifact had never caught a quiet encode window)
     quiet_run = None
-    q_budget = float(os.environ.get("CVX_QUIET_ENC_BUDGET_SEC", "420"))
+    q_budget = float(os.environ.get("CVX_QUIET_ENC_BUDGET_SEC", "540"))
     t_q = time.perf_counter()
     attempts = 0
     while time.perf_counter() - t_q < q_budget and attempts < 4:
