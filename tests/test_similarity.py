@@ -307,3 +307,21 @@ def test_simhash32_matches_per_doc_reference():
     got = dedup.simhash32(pa.array(docs, type=pa.large_utf8()))
     for i, d in enumerate(docs):
         assert got[i] == ref_one(d), (i, repr(d[:40]))
+
+
+def test_cc_plan_stays_flat_and_shuffle_only(spark):
+    # the closure must never degrade to a cartesian/BNLJ, and the
+    # per-iteration localCheckpoint must truncate lineage so the final
+    # plan does not grow with iteration count (a 60-link chain needs
+    # several rounds; an unbounded plan would show every round's joins)
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    out = dedup.connected_components(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # flat lineage: the plan reads from the checkpointed edge scan, not
+    # a tower of per-round joins
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+        + plan.count("BroadcastHashJoin") == 0, plan
+    assert len(plan.splitlines()) < 40, len(plan.splitlines())
