@@ -228,7 +228,11 @@ def _tokenize(data: np.ndarray, offsets: np.ndarray):
     start_mask[starts_in] = ~isp[starts_in]
     tok_start = np.flatnonzero(start_mask)
     sp_idx = np.flatnonzero(isp)
-    nxt_sp = np.searchsorted(sp_idx, tok_start)
+    # index of the first space at-or-after each token start = count of
+    # spaces strictly before it (token starts are non-space): one
+    # sequential cumsum pass + gather beats a per-token binary search
+    cdt = np.int32 if N < (1 << 31) else np.int64
+    nxt_sp = np.cumsum(isp, dtype=cdt)[tok_start]
     e_sp = np.where(nxt_sp < len(sp_idx),
                     sp_idx[np.minimum(nxt_sp, len(sp_idx) - 1)], N)
     # containing string's end (tokens are sorted, so this searchsorted
@@ -262,6 +266,28 @@ def _token_keys(data: np.ndarray, tok_start: np.ndarray,
     ok = ((v - np.uint64(0x0101010101010101)) & ~v
           & np.uint64(0x8080808080808080)) == 0
     return keys, ok
+
+
+_HASH_C = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _match_words(words: np.ndarray, keys: np.ndarray):
+    """Exact match of token keys against the (<= 160-entry) sorted word
+    set: one multiplicative-hash probe per key (multiply + shift +
+    128 KiB-table gather + compare) instead of a branchy 8-probe binary
+    search — measured ~1.6x faster at web-text key counts.  For matched
+    keys the returned index equals np.searchsorted(words, key) exactly
+    (words is sorted-unique).  A build-time slot collision (two words
+    hashing alike, expectancy ~0.2 per chunk at 16 bits) deterministically
+    drops the earlier word from MATCHING only — it stays in the header
+    heap, its code is simply never emitted, so decode is unaffected."""
+    h = ((words * _HASH_C) >> np.uint64(48)).astype(np.int64)
+    tbl = np.full(1 << 16, -1, dtype=np.int16)
+    tbl[h] = np.arange(len(words), dtype=np.int16)
+    cand = tbl[((keys * _HASH_C) >> np.uint64(48)).astype(np.int64)]
+    safe = np.maximum(cand, 0)
+    matched = (cand >= 0) & (words[safe] == keys)
+    return safe, matched
 
 
 def _select_words(keys: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -303,8 +329,7 @@ def _encode_words(data: np.ndarray,
     words = _select_words(keys, el_len)
     if len(words) == 0:
         return None
-    rank = np.searchsorted(words, keys)
-    matched = words[np.minimum(rank, len(words) - 1)] == keys
+    rank, matched = _match_words(words, keys)
     m_start, m_len = el_start[matched], el_len[matched]
     # profitability: bytes saved by matches vs (sampled) escape
     # overhead — the escape count only steers this heuristic, so a
@@ -314,15 +339,17 @@ def _encode_words(data: np.ndarray,
     if int(m_len.sum()) - esc_est < max(N // 20, 16):
         return None
 
-    # matched covered regions are disjoint, so plain scatters into two
-    # arrays replace the (slow, buffered) np.add.at delta build
-    inc = np.zeros(N + 1, dtype=np.int8)
-    dec = np.zeros(N + 1, dtype=np.int8)
-    inc[m_start + 1] = 1
-    dec[m_start + m_len + 1] = 1
+    # matched covered regions are disjoint AND separated by >= 1 byte
+    # (the eligibility space), so inc slots (m_start+1) can never land
+    # on another match's dec slot (m_start+m_len+1): two plain scatters
+    # into ONE delta array replace the (slow, buffered) np.add.at build
+    # without the second N-sized alloc + subtract pass
+    d = np.zeros(N + 1, dtype=np.int8)
+    d[m_start + m_len + 1] = -1
+    d[m_start + 1] = 1
     # nesting depth is exactly 0/1, so an int8 running sum suffices
     # (4x less cumsum write traffic than int32)
-    run = np.cumsum(inc[:N] - dec[:N], dtype=np.int8)  # 1 inside a span
+    run = np.cumsum(d[:N], dtype=np.int8)  # 1 inside a span
     # pure-printable chunks (byte range proves no code-space bytes —
     # two SIMD reductions) skip the whole escape machinery, and the
     # running sum IS 1-sizes directly (covered spans never contain a
@@ -339,10 +366,10 @@ def _encode_words(data: np.ndarray,
         sizes[covered] = 0
         sizes += esc.view(np.uint8)
         esc_idx = np.flatnonzero(esc)
-    # int64: with escapes the emitted stream can reach ~2N bytes, so an
-    # escape-heavy batch past ~1 GiB would silently overflow an int32
-    # cumsum and scatter to negative indices
-    pos = np.empty(N + 1, dtype=np.int64)
+    # with escapes the emitted stream can reach ~2N bytes: int32 (half
+    # the cumsum write traffic) while that provably fits, int64 for the
+    # rare >1 GiB batch — never a silent overflow either way
+    pos = np.empty(N + 1, dtype=np.int32 if 2 * N < (1 << 31) else np.int64)
     pos[0] = 0
     np.cumsum(sizes, out=pos[1:])
     total = int(pos[-1])
