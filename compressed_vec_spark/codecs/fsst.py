@@ -251,16 +251,29 @@ def _token_keys(data: np.ndarray, tok_start: np.ndarray,
     (tokens are <= 8 bytes, so keys are collision-free).  Tokens
     CONTAINING 0x00 are flagged invalid — zero is the pad value, so
     their keys would be ambiguous ("a\\x00" == "a")."""
-    pad = 8 + (-len(data)) % 8  # uint64 view needs a multiple of 8
-    padded = np.concatenate([data, np.zeros(pad, np.uint8)])
-    # overlapping unaligned 8-byte little-endian loads: one gather per
-    # token instead of an (n_tokens, 8) index-matrix gather + matvec
-    wide = np.lib.stride_tricks.as_strided(
-        padded.view(np.uint64), shape=(len(data) + 1,), strides=(1,))
+    N = len(data)
+    keys = np.empty(len(tok_start), dtype=np.uint64)
+    # overlapping unaligned 8-byte little-endian loads DIRECTLY off the
+    # input buffer: one gather per token instead of an (n_tokens, 8)
+    # index-matrix gather + matvec — and no full-size padded copy; the
+    # handful of starts within 8 bytes of the end read a tiny padded tail
+    cut = int(np.searchsorted(tok_start, N - 7))  # starts <= N-8: in-bounds
+    if cut:
+        wide = np.lib.stride_tricks.as_strided(
+            data[:(N // 8) * 8].view(np.uint64),
+            shape=(N - 7,), strides=(1,))
+        keys[:cut] = wide[tok_start[:cut]]
+    if cut < len(tok_start):
+        t0 = max(N - 16, 0)
+        tail = np.concatenate([data[t0:], np.zeros(16, np.uint8)])
+        twide = np.lib.stride_tricks.as_strided(
+            tail[:(len(tail) // 8) * 8].view(np.uint64),
+            shape=(len(tail) - 7,), strides=(1,))
+        keys[cut:] = twide[tok_start[cut:] - t0]
     lmask = np.zeros(9, dtype=np.uint64)
     lmask[1:] = (~np.uint64(0)) >> (np.uint64(64) - np.uint64(8) * np.arange(1, 9, dtype=np.uint64))
     m = lmask[tok_len]
-    keys = wide[tok_start] & m
+    keys &= m
     # zero byte inside the token <=> zero byte in (key | ~mask)
     v = keys | ~m
     ok = ((v - np.uint64(0x0101010101010101)) & ~v
