@@ -174,20 +174,32 @@ def unpack_groups(data: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.nd
 
     full = mask == 0xFF
     # FAST PATH: all-8-nonzero groups per distinct width, fixed-shape
-    for w in np.unique(num_nib[full]):
-        idx = np.nonzero(full & (num_nib == w))[0]
+    widths = np.unique(num_nib[full])
+    uniform = len(widths) == 1 and bool(full.all())
+    for w in widths:
+        # uniform chunk (every group full at one width — the dense
+        # case): the groups ARE the output rows, so skip the nonzero
+        # index build and the fancy-index scatter at the end
+        idx = slice(None) if uniform else np.nonzero(full & (num_nib == w))[0]
         w = int(w)
+        g_w = G if uniform else len(idx)
         src = offs[idx][:, None] + 2 + np.arange(4 * w)
         block = data[src]                            # (Gw, 4w)
-        nibs = np.empty((len(idx), 8 * w), dtype=np.uint8)
+        nibs = np.empty((g_w, 8 * w), dtype=np.uint8)
         nibs[:, 0::2] = block & 0xF
         nibs[:, 1::2] = block >> 4
         # accumulate one nibble column at a time: no (G, 8, w) uint64
         # temp, ~2x less memory traffic than a broadcast+sum reduction
-        vals = np.zeros((len(idx), 8), dtype=np.uint64)
+        vals = np.zeros((g_w, 8), dtype=np.uint64)
         for j in range(w):
             vals |= nibs[:, j::w].astype(np.uint64) << _U64(4 * j)
-        out[idx] = vals << (_U64(4) * tz_nib[idx].astype(np.uint64))[:, None]
+        tz = tz_nib[idx]
+        if tz.any():
+            vals <<= (_U64(4) * tz.astype(np.uint64))[:, None]
+        if uniform:
+            out = vals
+        else:
+            out[idx] = vals
 
     part = nzg & ~full
     if part.any():

@@ -202,24 +202,27 @@ def walk_sections(body: np.ndarray, num_sections: int, elem_width: int) -> np.nd
     """Return byte offsets (incl. end) of each section in a vector body.
 
     Sequential by nature (sizes are data-dependent) but the per-section
-    work is a scalar header peek — ~n/256 iterations per chunk.
-    (reference FixedSectIterator, src/section.rs:850-877)
+    work is a scalar header peek — ~n/256 iterations per chunk.  The
+    walk runs over a `bytes` copy of the body: python bytes indexing is
+    ~20x cheaper per peek than numpy scalar indexing, and the one-time
+    copy is linear.  (reference FixedSectIterator, src/section.rs:850-877)
     """
     offs = np.empty(num_sections + 1, dtype=np.int64)
+    bv = body.tobytes()
     off = 0
     for s in range(num_sections):
         offs[s] = off
-        t = body[off]
-        if t == SECT_NULL:
+        t = bv[off]
+        if t == SECT_NP_MED:
+            off += 3 + bv[off + 1] + (bv[off + 2] << 8)
+        elif t == SECT_DELTA_NP_MED:
+            off += DELTA_HEADER_SIZE + bv[off + 1] + (bv[off + 2] << 8)
+        elif t == SECT_NULL:
             off += 1
         elif t == SECT_CONST:
             off += 1 + elem_width
-        elif t == SECT_NP_MED:
-            off += 3 + int(body[off + 1]) + (int(body[off + 2]) << 8)
-        elif t == SECT_DELTA_NP_MED:
-            off += DELTA_HEADER_SIZE + int(body[off + 1]) + (int(body[off + 2]) << 8)
         elif t == SECT_XOR_NP_MED:
-            off += int(body[off + 1]) + (int(body[off + 2]) << 8)
+            off += bv[off + 1] + (bv[off + 2] << 8)
         else:
             raise ValueError(f"invalid section type {t} at offset {off}")
     offs[num_sections] = off
