@@ -180,3 +180,37 @@ def test_many_groups_at_once():
     for g in range(0, G, 37):
         single, ssz = npk.pack_groups(vals[g:g + 1])
         assert bytes(single) == bytes(out[offs[g]:offs[g] + sizes[g]])
+
+
+def test_uniform_chunk_fast_path():
+    """Every group full at one width — the scatter-free uniform path.
+
+    Three variants: plain low nibbles, trailing-zero nibbles (uniform
+    tz so the shift branch runs), and the widest uniform width (16
+    nibbles, where the mask must not truncate).
+    """
+    rng = np.random.default_rng(9)
+    G = 200
+    for vals in [
+        rng.integers(1, 16, (G, 8)).astype(np.uint64),            # w=1
+        (rng.integers(1, 16, (G, 8)).astype(np.uint64) << np.uint64(8)),  # tz=2
+        rng.integers(1 << 60, 1 << 63, (G, 8)).astype(np.uint64),  # w=16
+    ]:
+        out, sizes = npk.pack_groups(vals)
+        offs = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        decoded, sizes2 = npk.unpack_groups(out, offs)
+        assert (sizes == sizes2).all()
+        assert (decoded == vals).all()
+
+
+def test_uniform_width_with_one_partial_group():
+    """A single non-full group must force the scattered (non-uniform)
+    path and land in the right output row."""
+    rng = np.random.default_rng(10)
+    G = 50
+    vals = rng.integers(1, 16, (G, 8)).astype(np.uint64)
+    vals[17, 3] = 0  # one partial group among uniform-width full groups
+    out, sizes = npk.pack_groups(vals)
+    offs = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    decoded, _ = npk.unpack_groups(out, offs)
+    assert (decoded == vals).all()
