@@ -252,15 +252,16 @@ def unpack_u64(data: np.ndarray, num_values: int) -> np.ndarray:
     data = np.ascontiguousarray(data, dtype=np.uint8)
     ngroups = (num_values + 7) // 8
     offs = np.empty(ngroups, dtype=np.int64)
+    bv = data.tobytes()   # python bytes peeks are ~20x cheaper than numpy
     off = 0
     for g in range(ngroups):
         offs[g] = off
-        m = data[off]
+        m = bv[off]
         if m == 0:
             off += 1
         else:
-            nn = (int(data[off + 1]) >> 4) + 1
-            off += 2 + (nn * 4 * int(_POPCOUNT8[m]) + 7) // 8
+            nn = (bv[off + 1] >> 4) + 1
+            off += 2 + (nn * 4 * m.bit_count() + 7) // 8
     vals, _ = unpack_groups(data, offs)
     return vals.ravel()[:num_values]
 
