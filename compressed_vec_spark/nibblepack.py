@@ -183,8 +183,13 @@ def unpack_groups(data: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.nd
         idx = slice(None) if uniform else np.nonzero(full & (num_nib == w))[0]
         w = int(w)
         g_w = G if uniform else len(idx)
-        src = offs[idx][:, None] + 2 + np.arange(4 * w)
-        block = data[src]                            # (Gw, 4w)
+        # per-byte-column gathers: a 1D int64 index per payload byte is
+        # ~2x faster than one 2D fancy-index whose index matrix alone
+        # is 8x the gathered data
+        base = offs[idx] + 2
+        block = np.empty((g_w, 4 * w), dtype=np.uint8)
+        for b in range(4 * w):
+            block[:, b] = data[base + b]
         nibs = np.empty((g_w, 8 * w), dtype=np.uint8)
         nibs[:, 0::2] = block & 0xF
         nibs[:, 1::2] = block >> 4
