@@ -7,6 +7,9 @@ meaningless.  Prints one JSON line per column plus a whole-row summary.
 
 Usage:
   python scripts/kernel_bench.py [--wait-quiet SECONDS] [--rows N]
+  python scripts/kernel_bench.py --filters [--wait-quiet SECONDS]
+      # the filter-over-compressed table (the reference's own bench
+      # shapes, benches/bench.rs:172-244) instead of the codec table
 """
 
 from __future__ import annotations
@@ -42,6 +45,73 @@ def wait_quiet(budget_sec: float, threshold: float = 0.30) -> float:
     return p
 
 
+def filters_main(wait: float) -> None:
+    """Single-core filter-over-compressed workloads, 1M elements each —
+    the shapes of the reference's published bench table (BASELINE.md)."""
+    from compressed_vec_spark import vector as vec
+    from compressed_vec_spark.operators import filters as flt
+
+    n = 1_000_000
+    rng = np.random.default_rng(42)
+    dense = ((np.arange(n) % 4) + 1).astype(np.uint64)
+    clustered = np.zeros(n, dtype=np.uint64)
+    clustered[:n // 100] = rng.integers(1, 1000, n // 100)
+    f32 = np.where(rng.random(n) < 0.6,
+                   rng.random(n).astype(np.float32), np.float32(0))
+
+    cases = {
+        "u32_dense_eq": (dense, "u32", 3),
+        "u32_rand16_eq": (rng.integers(0, 2**16, n).astype(np.uint64),
+                          "u32", 12345),
+        "u64_sorted_delta_eq": (np.sort(rng.integers(0, 2**40, n)
+                                        .astype(np.uint64)), "u64", None),
+        "u64_sparse95_eq": (np.where(rng.random(n) < 0.95, 0,
+                                     rng.integers(1, 2**32, n))
+                            .astype(np.uint64), "u64", 0),
+        "u32_sparse99_clustered_eq": (clustered, "u32", 500),
+        "f32_xor_60pct_eq": (f32, "f32", float(f32[f32 != 0][0])),
+    }
+    p = wait_quiet(wait) if wait else probe()
+    out = {"probe_sec": round(p, 3), "elements": n, "melem_s": {}}
+    for name, (vals, kind, pv) in cases.items():
+        buf = vec.encode_vector(vals, kind=kind)
+        if pv is None:
+            pv = int(vals[n // 2])
+        flt.count_hits(flt.equals_mask(buf, kind, pv))
+        best = 1e9
+        for _ in range(5):
+            t0 = time.perf_counter()
+            flt.count_hits(flt.equals_mask(buf, kind, pv))
+            best = min(best, time.perf_counter() - t0)
+        out["melem_s"][name] = round(n / best / 1e6, 1)
+
+    # range with Delta-header section skip
+    svals = np.sort(rng.integers(0, 2**40, n).astype(np.uint64))
+    buf = vec.encode_vector(svals, kind="u64")
+    lo, hi = int(svals[n // 4]), int(svals[n // 2])
+    flt.count_hits(flt.range_mask(buf, "u64", lo, hi))
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        flt.count_hits(flt.range_mask(buf, "u64", lo, hi))
+        best = min(best, time.perf_counter() - t0)
+    out["melem_s"]["u64_range_section_skip"] = round(n / best / 1e6, 1)
+
+    # two-vector AND, sparse filtered first (reference README.md:25)
+    b1 = vec.encode_vector(clustered, "u32")
+    b2 = vec.encode_vector(dense, "u32")
+    preds = [(b1, "u32", [500]), (b2, "u32", [3])]
+    flt.count_hits(flt.multi_vector_and(preds))
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        flt.count_hits(flt.multi_vector_and(preds))
+        best = min(best, time.perf_counter() - t0)
+    out["melem_s"]["and_sparse_first"] = round(n / best / 1e6, 1)
+    out["probe_after_sec"] = round(probe(), 3)
+    print(json.dumps(out))
+
+
 def main() -> None:
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -56,6 +126,9 @@ def main() -> None:
         wait = float(args[args.index("--wait-quiet") + 1])
     if "--rows" in args:
         rows = int(args[args.index("--rows") + 1])
+    if "--filters" in args:
+        filters_main(wait)
+        return
 
     spark = get_spark("cvx-kernel-bench", cores=8)
     pdf = webtable.webpages(spark, rows, partitions=8).toPandas()
