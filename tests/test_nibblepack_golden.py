@@ -214,3 +214,24 @@ def test_uniform_width_with_one_partial_group():
     offs = np.concatenate(([0], np.cumsum(sizes)[:-1]))
     decoded, _ = npk.unpack_groups(out, offs)
     assert (decoded == vals).all()
+
+
+def test_class_explosion_uses_ragged_fallback():
+    """>48 distinct (popcount, width) classes among partial groups must
+    route through the ragged fallback and still decode exactly."""
+    rng = np.random.default_rng(11)
+    G = 600
+    vals = np.zeros((G, 8), dtype=np.uint64)
+    for g in range(G):
+        w = 1 + (g % 16)                       # every width 1..16
+        pc = 1 + (g // 16) % 7                 # every popcount 1..7
+        lanes = rng.choice(8, pc, replace=False)
+        lo = np.uint64(1) << np.uint64(4 * (w - 1))
+        hi = (np.uint64(1) << np.uint64(min(4 * w, 63))) - np.uint64(1)
+        vals[g, lanes] = rng.integers(int(lo), int(max(hi, lo + np.uint64(1))),
+                                      pc, dtype=np.uint64)
+    out, sizes = npk.pack_groups(vals)
+    offs = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    decoded, sizes2 = npk.unpack_groups(out, offs)
+    assert (sizes == sizes2).all()
+    assert (decoded == vals).all()
