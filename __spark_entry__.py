@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal: real container parsers cross-checked against the
         # metadata columns by the oracle
         "media_inventory": q.media_inventory,
+        # url canonicalization dedup (web-corpus first pass); JVM
+        # regexp built-ins, oracle re-derives in SQL
+        "url_canonical_dedup": q.url_canonical_dedup,
     }
 
 
@@ -440,4 +443,5 @@ def oracle_sql() -> dict[str, str]:
         # oracle re-derives counts from metadata + raw blob functions
         # over the same deterministic parquet (written by the query)
         "media_inventory": q.media_inventory_oracle(),
+        "url_canonical_dedup": q.url_canonical_dedup_oracle(),
     }

@@ -1220,3 +1220,86 @@ SELECT kind,
 FROM '{_media_oracle_dir()}/media.parquet/*.parquet'
 GROUP BY kind
 """
+
+
+URL_ORACLE_ROWS = 600
+# bump when the messy-url generator changes; the scratch path is keyed
+# on (version, rows) and the write is unconditional, so a stale parquet
+# can never silently satisfy the gate
+URL_GEN_VERSION = 1
+
+
+def _url_oracle_dir() -> str:
+    import tempfile
+    base = os.environ.get("CVX_SCRATCH_DIR") or tempfile.gettempdir()
+    return os.path.join(
+        base, f"cvx_url_oracle_v{URL_GEN_VERSION}_r{URL_ORACLE_ROWS}")
+
+
+def _messy_urls() -> pd.DataFrame:
+    """Deterministic Common-Crawl-shaped URL mess: every canonical page
+    appears as 4 surface variants (scheme, www, case, query, fragment,
+    trailing slash) — index arithmetic only, no RNG."""
+    rows = []
+    n_canon = URL_ORACLE_ROWS // 4
+    for i in range(URL_ORACLE_ROWS):
+        b = i % n_canon
+        host = f"site{b % 25}.example.com"
+        path = f"/a{b}/b{b % 7}"
+        v = i // n_canon
+        if v == 0:
+            url = f"https://{host}{path}"
+        elif v == 1:
+            url = f"http://www.{host}{path}/"
+        elif v == 2:
+            url = f"https://{host.upper()}{path}?utm_source=feed&ref=rss"
+        else:
+            url = f"https://{host}{path}/#section2"
+        rows.append((i, url))
+    return pd.DataFrame(rows, columns=["page_id", "url"])
+
+
+def url_canonical_dedup(spark, sf_dir) -> DataFrame:
+    """URL canonicalization dedup — the first pass of every web-corpus
+    pipeline: strip fragment and query string, fold http->https and
+    www., lowercase the host (never the path), drop trailing slashes,
+    then group.  Returns (canon_url, n_variants) for groups with >= 2
+    surface forms.  All transforms are JVM regexp built-ins (zero
+    Python rows); the oracle re-derives the same canonicalization in
+    DuckDB SQL over the same deterministic parquet."""
+    pq = os.path.join(_url_oracle_dir(), "urls.parquet")
+    spark.createDataFrame(_messy_urls()).coalesce(1).write \
+        .mode("overwrite").parquet(pq)
+    df = spark.read.parquet(pq)
+    c = F.regexp_replace("url", "#.*", "")
+    c = F.regexp_replace(c, r"\?.*", "")
+    c = F.regexp_replace(c, "^http://", "https://")
+    c = F.regexp_replace(c, r"^https://www\.", "https://")
+    host = F.lower(F.regexp_extract(c, "^https://([^/]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract(c, "^https://[^/]+(/.*)?", 1), "/+$", "")
+    canon = F.concat(F.lit("https://"), host, path)
+    return (df.select(canon.alias("canon_url"))
+            .groupBy("canon_url")
+            .agg(F.count("*").cast("long").alias("n_variants"))
+            .where(F.col("n_variants") >= 2))
+
+
+def url_canonical_dedup_oracle() -> str:
+    """Oracle SQL built at call time so it resolves the same
+    version-keyed scratch path as the Spark query."""
+    return f"""
+WITH c AS (
+  SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             url, '#.*', ''), '\\?.*', ''),
+             '^http://', 'https://'), '^https://www\\.', 'https://') AS u
+  FROM '{_url_oracle_dir()}/urls.parquet/*.parquet'
+), k AS (
+  SELECT 'https://' || lower(regexp_extract(u, '^https://([^/]+)', 1))
+         || regexp_replace(regexp_extract(u, '^https://[^/]+(/.*)?', 1),
+                           '/+$', '') AS canon_url
+  FROM c
+)
+SELECT canon_url, CAST(count(*) AS BIGINT) AS n_variants
+FROM k GROUP BY canon_url HAVING count(*) >= 2
+"""

@@ -109,3 +109,31 @@ def test_entry_flagship(spark):
     assert by_col["text"]["codec"] == "fsst"
     # text must actually compress
     assert by_col["text"]["ratio"] > 1.2
+
+
+def test_url_canonicalization_edges(spark):
+    """Host case folds, path case survives, query/fragment/www/scheme/
+    trailing slashes all normalize to one canonical form."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from compressed_vec_spark.spark import queries as q
+
+    variants = [
+        "https://site0.example.com/A0/b0",
+        "http://www.site0.example.com/A0/b0/",
+        "https://SITE0.EXAMPLE.COM/A0/b0?utm_source=feed",
+        "https://site0.example.com/A0/b0/#frag",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"page_id": range(4),
+                                             "url": variants}))
+    c = F.regexp_replace("url", "#.*", "")
+    c = F.regexp_replace(c, r"\?.*", "")
+    c = F.regexp_replace(c, "^http://", "https://")
+    c = F.regexp_replace(c, r"^https://www\.", "https://")
+    host = F.lower(F.regexp_extract(c, "^https://([^/]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract(c, "^https://[^/]+(/.*)?", 1), "/+$", "")
+    canon = F.concat(F.lit("https://"), host, path)
+    got = {r[0] for r in df.select(canon).collect()}
+    # one canonical form; path case 'A0' preserved, host lowered
+    assert got == {"https://site0.example.com/A0/b0"}
