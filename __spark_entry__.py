@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # url canonicalization dedup (web-corpus first pass); JVM
         # regexp built-ins, oracle re-derives in SQL
         "url_canonical_dedup": q.url_canonical_dedup,
+        # PII scrubbing pass: byte-exact scrubbed text vs the oracle
+        "pii_scrub": q.pii_scrub,
     }
 
 
@@ -444,4 +446,5 @@ def oracle_sql() -> dict[str, str]:
         # over the same deterministic parquet (written by the query)
         "media_inventory": q.media_inventory_oracle(),
         "url_canonical_dedup": q.url_canonical_dedup_oracle(),
+        "pii_scrub": q.pii_scrub_oracle(),
     }

@@ -1303,3 +1303,60 @@ WITH c AS (
 SELECT canon_url, CAST(count(*) AS BIGINT) AS n_variants
 FROM k GROUP BY canon_url HAVING count(*) >= 2
 """
+
+
+PII_ORACLE_ROWS = 300
+PII_GEN_VERSION = 1
+
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): character
+# classes, bounded repetition, \b word boundaries only
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def _pii_oracle_dir() -> str:
+    import tempfile
+    base = os.environ.get("CVX_SCRATCH_DIR") or tempfile.gettempdir()
+    return os.path.join(
+        base, f"cvx_pii_oracle_v{PII_GEN_VERSION}_r{PII_ORACLE_ROWS}")
+
+
+def _pii_docs() -> pd.DataFrame:
+    """Deterministic docs, 2/3 carrying planted emails+phones (index
+    arithmetic only, no RNG)."""
+    rows = []
+    for i in range(PII_ORACLE_ROWS):
+        if i % 3 == 0:
+            text = f"doc {i} has no contact info, just words w{i % 11}."
+        else:
+            text = (f"doc {i}: reach user{i}@mail{i % 7}.org or "
+                    f"backup.{i}@sub.example.co, call "
+                    f"555-{100 + i % 900:03d}-{1000 + i:04d} today.")
+        rows.append((i, text))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def pii_scrub(spark, sf_dir) -> DataFrame:
+    """PII scrubbing pass — redact emails and NANP-style phone numbers
+    to typed placeholders, returning every doc's scrubbed text.  All
+    JVM `regexp_replace` (replace-all), zero Python rows; the oracle
+    applies the same two regexes in DuckDB (RE2, 'g' flag) and the
+    scrubbed text must match byte-for-byte."""
+    pq = os.path.join(_pii_oracle_dir(), "docs.parquet")
+    spark.createDataFrame(_pii_docs()).coalesce(1).write \
+        .mode("overwrite").parquet(pq)
+    df = spark.read.parquet(pq)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>")
+    return df.select("doc_id", scrubbed.alias("scrubbed"))
+
+
+def pii_scrub_oracle() -> str:
+    return f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text,
+           '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM '{_pii_oracle_dir()}/docs.parquet/*.parquet'
+"""
