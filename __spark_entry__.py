@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q.url_canonical_dedup,
         # PII scrubbing pass: byte-exact scrubbed text vs the oracle
         "pii_scrub": q.pii_scrub,
+        # Gopher-rules quality signal: within-doc token repetition
+        "repetition_ratio": q.repetition_ratio,
     }
 
 
@@ -447,4 +449,12 @@ def oracle_sql() -> dict[str, str]:
         "media_inventory": q.media_inventory_oracle(),
         "url_canonical_dedup": q.url_canonical_dedup_oracle(),
         "pii_scrub": q.pii_scrub_oracle(),
+        "repetition_ratio":
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct, "
+            "CAST((count(*) - count(DISTINCT tok)) * 1000000 "
+            "// count(*) AS BIGINT) AS dup_ppm "
+            "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+            "      FROM documents WHERE text IS NOT NULL) "
+            "GROUP BY doc_id",
     }

@@ -1360,3 +1360,23 @@ SELECT doc_id,
            '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
 FROM '{_pii_oracle_dir()}/docs.parquet/*.parquet'
 """
+
+
+def repetition_ratio(spark, sf_dir) -> DataFrame:
+    """Within-doc token-repetition ratio (the Gopher-rules quality
+    signal: heavily repetitive docs are boilerplate/spam).  One explode
+    + one groupBy — map-side combine keeps the shuffle at
+    (doc, distinct-token) granularity; the ratio is exact integer ppm
+    so both engines agree bit-for-bit."""
+    df = (_read(spark, sf_dir, "documents")
+          .where(F.col("text").isNotNull())
+          .select("doc_id", F.explode(F.split("text", " ")).alias("tok")))
+    agg = df.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.count_distinct("tok").cast("long").alias("n_distinct"))
+    # integer `div`, not float `/`: DuckDB's `//` is exact integer
+    # floor division and float rounding could differ at the boundary
+    dup_ppm = F.expr(
+        "(n_tokens - n_distinct) * 1000000L div n_tokens").cast("long")
+    return agg.select("doc_id", "n_tokens", "n_distinct",
+                      dup_ppm.alias("dup_ppm"))
