@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q.pii_scrub,
         # Gopher-rules quality signal: within-doc token repetition
         "repetition_ratio": q.repetition_ratio,
+        # corpus-frequency boilerplate line removal, byte-exact
+        "boilerplate_removal": q.boilerplate_removal,
     }
 
 
@@ -449,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         "media_inventory": q.media_inventory_oracle(),
         "url_canonical_dedup": q.url_canonical_dedup_oracle(),
         "pii_scrub": q.pii_scrub_oracle(),
+        "boilerplate_removal": q.boilerplate_removal_oracle(),
         "repetition_ratio":
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct, "

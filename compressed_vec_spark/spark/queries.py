@@ -1380,3 +1380,78 @@ def repetition_ratio(spark, sf_dir) -> DataFrame:
         "(n_tokens - n_distinct) * 1000000L div n_tokens").cast("long")
     return agg.select("doc_id", "n_tokens", "n_distinct",
                       dup_ppm.alias("dup_ppm"))
+
+
+BOILER_ORACLE_ROWS = 200
+BOILER_GEN_VERSION = 1
+BOILER_DF_THRESHOLD = 5   # a line in >= 5 distinct docs is boilerplate
+
+
+def _boiler_oracle_dir() -> str:
+    import tempfile
+    base = os.environ.get("CVX_SCRATCH_DIR") or tempfile.gettempdir()
+    return os.path.join(
+        base, f"cvx_boiler_oracle_v{BOILER_GEN_VERSION}_r{BOILER_ORACLE_ROWS}")
+
+
+def _boiler_docs() -> pd.DataFrame:
+    """Deterministic multi-line docs: shared nav/footer lines (each in
+    ~20 docs) around unique body lines."""
+    rows = []
+    for i in range(BOILER_ORACLE_ROWS):
+        site = i % 10
+        lines = [f"welcome to site s{site}",
+                 f"body {i} first line w{i % 13}",
+                 f"body {i} second line w{i % 17}",
+                 f"copyright site s{site}"]
+        rows.append((i, "\n".join(lines)))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def boilerplate_removal(spark, sf_dir) -> DataFrame:
+    """Corpus-frequency boilerplate removal — drop every line that
+    appears in >= threshold distinct docs (nav bars, footers), keeping
+    the remaining lines in original order.  The frequent-line set is
+    tiny BY CONSTRUCTION (high doc-frequency means few distinct
+    templates), so it rides a broadcast cross-join and the per-doc
+    rebuild is one JVM `filter` lambda over the split array — no
+    explode/re-sort shuffle of the corpus text.  The oracle re-derives
+    the same cleaned text in DuckDB (list_filter over the same
+    frequent-line list); cleaned docs must match byte-for-byte."""
+    pq = os.path.join(_boiler_oracle_dir(), "docs.parquet")
+    spark.createDataFrame(_boiler_docs()).coalesce(1).write \
+        .mode("overwrite").parquet(pq)
+    df = spark.read.parquet(pq)
+    lines = df.select("doc_id",
+                      F.explode(F.array_distinct(F.split("text", "\n")))
+                      .alias("line"))
+    freq = (lines.groupBy("line").agg(F.count("*").alias("df"))
+            .where(F.col("df") >= BOILER_DF_THRESHOLD)
+            .agg(F.collect_list("line").alias("freq_lines")))
+    cleaned = F.expr(
+        "array_join(filter(split(text, '\n'), "
+        "x -> NOT array_contains(freq_lines, x)), '\n')")
+    return (df.crossJoin(F.broadcast(freq))
+            .select("doc_id", cleaned.alias("cleaned")))
+
+
+def boilerplate_removal_oracle() -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text
+  FROM '{_boiler_oracle_dir()}/docs.parquet/*.parquet'
+), freq AS (
+  SELECT line FROM (
+    SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS line
+    FROM docs
+  ) GROUP BY line HAVING count(*) >= {BOILER_DF_THRESHOLD}
+), fl AS (
+  SELECT coalesce(list(line), []) AS freq_lines FROM freq
+)
+SELECT doc_id,
+       array_to_string(
+         list_filter(string_split(text, chr(10)),
+                     x -> NOT list_contains(freq_lines, x)),
+         chr(10)) AS cleaned
+FROM docs, fl
+"""
