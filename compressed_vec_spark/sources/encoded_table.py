@@ -272,6 +272,68 @@ def pruned_string_prefix_count(spark: SparkSession, out_dir: str,
     }
 
 
+def pruned_string_range_count(spark: SparkSession, out_dir: str,
+                              column: str, lo: str, hi: str) -> tuple[int, dict]:
+    """count(column BETWEEN lo AND hi) over the persisted store — the
+    third string predicate shape (equality and LIKE-prefix above), and
+    the one BI tools emit for string dimensions.  Layers:
+
+      1. manifest prune: a chunk can hold a match only if its
+         [min_str, max_str] interval intersects [lo, hi]
+         (max_str >= lo AND min_str <= hi) — never read otherwise;
+      2. surviving dict chunks map [lo, hi] to an inclusive CODE range
+         on the lexicographically-sorted dictionary (`code_range`,
+         order-preserving codes) and scan the compressed u32 code
+         vector with `range_mask` — Null/Const/Delta sections are
+         skipped from their headers, strings never materialize;
+      3. non-dict string chunks (fsst/deflate) decode and compare.
+    """
+    from ..codecs import chunk as chunk_codec
+    from ..codecs import dictionary
+
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    total_chunks = manifest.where(F.col("column") == column).count()
+    candidates = manifest.where(
+        (F.col("column") == column)
+        & (F.col("max_str") >= lo) & (F.col("min_str") <= hi))
+    scanned_chunks = candidates.count()
+    cand_ids = candidates.select("chunk_id")
+
+    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
+              .where(F.col("column") == column)
+              .join(F.broadcast(cand_ids), "chunk_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hits = fast = decoded = 0
+        for pdf in batches:
+            for blob, codec in zip(pdf["blob"], pdf["codec"]):
+                if codec == "dict":
+                    payload = bytes(blob)[4:]
+                    c_lo, c_hi = dictionary.code_range(payload, lo, hi)
+                    if c_lo <= c_hi:
+                        hits += filters.count_hits(filters.range_mask(
+                            dictionary.codes_vector(payload), "u32",
+                            c_lo, c_hi))
+                    fast += 1
+                else:
+                    s = pd.Series(chunk_codec.decode_column(bytes(blob)))
+                    hits += int(((s >= lo) & (s <= hi)).fillna(False).sum())
+                    decoded += 1
+        yield pd.DataFrame({"hits": [hits], "fast": [fast], "dec": [decoded]})
+
+    agg = (chunks.select("blob", "codec")
+           .mapInPandas(fn, "hits long, fast long, dec long")
+           .agg(F.sum("hits").alias("h"), F.sum("fast").alias("f"),
+                F.sum("dec").alias("d")).collect()[0])
+    return int(agg["h"] or 0), {
+        "total_chunks": total_chunks,
+        "scanned_chunks": scanned_chunks,
+        "pruned_chunks": total_chunks - scanned_chunks,
+        "dict_fast_chunks": int(agg["f"] or 0),
+        "decoded_fallback_chunks": int(agg["d"] or 0),
+    }
+
+
 def pruned_filter_select(spark: SparkSession, out_dir: str,
                          filter_col: str, value: str,
                          project_cols: list[str]) -> DataFrame:

@@ -245,6 +245,27 @@ def encoded_table_string_filter_count(spark, sf_dir) -> DataFrame:
                 F.col("prefix_hits").cast("long"))
 
 
+def encoded_table_string_range_count(spark, sf_dir) -> DataFrame:
+    """String BETWEEN over the PERSISTED store — the third string
+    predicate shape (equality / prefix / range): manifest
+    [min_str, max_str] interval-intersection pruning, then the range
+    mapped to an inclusive CODE range on the sorted dictionary
+    (order-preserving codes, `code_range`) and scanned on the
+    compressed u32 vector with `range_mask`'s header-only section
+    skipping (reference EqualsSink src/filter.rs:112-139 generalized
+    to ranges at the storage layer)."""
+    from ..sources import encoded_table
+    out = _documents_by_source_store(spark, sf_dir)
+    hits, st = encoded_table.pruned_string_range_count(
+        spark, out, "source", "src12", "src17")
+    # the source-sorted layout must prune chunks outside [src12, src17]
+    assert st["pruned_chunks"] > 0, st
+    assert st["dict_fast_chunks"] == st["scanned_chunks"], st
+    return spark.createDataFrame(
+        pd.DataFrame({"range_hits": [hits]})) \
+        .select(F.col("range_hits").cast("long"))
+
+
 def encoded_table_filter_select(spark, sf_dir) -> DataFrame:
     """Row-returning storage query: SELECT doc_id, n_chars WHERE
     source = 'src12' with manifest string-stats chunk pruning, the

@@ -151,6 +151,24 @@ def test_pruned_string_equals_and_prefix(spark, tmp_path):
         spark, out, "host", "nomatch")
     assert cnt == 0 and st["scanned_chunks"] == 0
 
+    # BETWEEN over the store: code_range on the sorted dictionary +
+    # range_mask on the compressed codes
+    cnt, st = encoded_table.pruned_string_range_count(
+        spark, out, "host", "host-003", "host-005")
+    assert cnt == 1500  # host-003, host-004, host-005
+    assert st["pruned_chunks"] > 0
+    assert st["decoded_fallback_chunks"] == 0
+
+    # bounds that are not dictionary members still bracket correctly
+    cnt, st = encoded_table.pruned_string_range_count(
+        spark, out, "host", "host-003a", "host-005a")
+    assert cnt == 1000  # host-004, host-005
+
+    # disjoint range: pruned to zero chunk reads
+    cnt, st = encoded_table.pruned_string_range_count(
+        spark, out, "host", "zz-a", "zz-b")
+    assert cnt == 0 and st["scanned_chunks"] == 0
+
 
 def test_pruned_string_fallback_fsst_chunks(spark, tmp_path):
     """Non-dict string chunks (fsst) still answer string predicates
