@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q.repetition_ratio,
         # corpus-frequency boilerplate line removal, byte-exact
         "boilerplate_removal": q.boilerplate_removal,
+        # benchmark decontamination: 13-gram overlap vs the eval set
+        "decontaminate_ngram_overlap": q.decontaminate_ngram_overlap,
     }
 
 
@@ -457,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_dedup": q.url_canonical_dedup_oracle(),
         "pii_scrub": q.pii_scrub_oracle(),
         "boilerplate_removal": q.boilerplate_removal_oracle(),
+        "decontaminate_ngram_overlap": q.decontaminate_ngram_overlap_oracle(),
         "repetition_ratio":
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct, "

@@ -1403,6 +1403,61 @@ def repetition_ratio(spark, sf_dir) -> DataFrame:
                       dup_ppm.alias("dup_ppm"))
 
 
+DECONTAM_N = 13          # n-gram width (Lee et al. / GPT-3 appendix use 13)
+DECONTAM_EVAL_MOD = 37   # doc_id % 37 == 0 docs donate an eval-set gram
+
+
+def decontaminate_ngram_overlap(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination — flag training docs sharing any
+    13-gram with the eval set, the standard pre-training hygiene pass
+    (GPT-3 appendix C / Lee et al. 2022).  The eval set here is derived
+    deterministically (one 13-gram from every doc_id % 37 == 0 doc) so
+    both engines construct it identically; in production it would be a
+    broadcast side table of benchmark n-grams.  Scale shape: the eval
+    gram set is tiny and BROADCAST; doc 13-grams are generated
+    per-partition with JVM `transform`/`slice` (never materialized as a
+    corpus-wide shuffle of text) and hash-joined in place; the per-doc
+    hit count is a partial-aggregated groupBy on doc_id.  Returns
+    (doc_id, n_contaminated) for contaminated docs only — the removal
+    list."""
+    n = DECONTAM_N
+    docs = (_read(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", F.split("text", " ").alias("toks")))
+    eval_grams = (docs.where((F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+                             & (F.size("toks") >= n + 3))
+                  .select(F.array_join(F.slice("toks", 4, n), " ")
+                          .alias("gram"))
+                  .distinct())
+    doc_grams = (docs.where(F.size("toks") >= n)
+                 .select("doc_id", F.explode(F.expr(
+                     f"transform(sequence(1, size(toks)-{n - 1}), "
+                     f"i -> array_join(slice(toks, i, {n}), ' '))"))
+                     .alias("gram")))
+    return (doc_grams.join(F.broadcast(eval_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_contaminated")))
+
+
+def decontaminate_ngram_overlap_oracle() -> str:
+    n = DECONTAM_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+), ev AS (
+  SELECT DISTINCT array_to_string(t[4:{4 + n - 1}], ' ') AS gram
+  FROM toks WHERE doc_id % {DECONTAM_EVAL_MOD} = 0 AND len(t) >= {n + 3}
+), dg AS (
+  SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - {n - 2})) AS u(i)
+  WHERE len(t) >= {n}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+FROM dg JOIN ev USING (gram) GROUP BY doc_id
+"""
+
+
 BOILER_ORACLE_ROWS = 200
 BOILER_GEN_VERSION = 1
 BOILER_DF_THRESHOLD = 5   # a line in >= 5 distinct docs is boilerplate

@@ -137,3 +137,30 @@ def test_url_canonicalization_edges(spark):
     got = {r[0] for r in df.select(canon).collect()}
     # one canonical form; path case 'A0' preserved, host lowered
     assert got == {"https://site0.example.com/A0/b0"}
+
+
+def test_decontaminate_flags_planted_and_exact_counts(spark, tmp_path):
+    """A doc sharing a 13-gram with an eval doc is flagged with the
+    exact occurrence count; clean docs are absent."""
+    import pandas as pd
+    from compressed_vec_spark.spark import queries as q
+
+    toks = [f"w{i}" for i in range(20)]
+    eval_doc = " ".join(toks)                      # doc_id 0: eval donor
+    # contaminated doc embeds eval tokens 4..16 (the donated gram) twice
+    gram = " ".join(toks[3:16])
+    contaminated = "x1 " + gram + " x2 x3 " + gram
+    clean = " ".join(f"z{i}" for i in range(30))
+    pdf = pd.DataFrame({
+        "doc_id": [0, 5, 6],
+        "text": [eval_doc, contaminated, clean],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": [len(eval_doc), len(contaminated), len(clean)],
+    })
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: r["n_contaminated"]
+           for r in q.decontaminate_ngram_overlap(spark, sf).collect()}
+    assert got[5] == 2          # both embedded copies counted
+    assert got[0] >= 1          # the donor matches its own gram
+    assert 6 not in got         # clean doc untouched
