@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": q.boilerplate_removal,
         # benchmark decontamination: 13-gram overlap vs the eval set
         "decontaminate_ngram_overlap": q.decontaminate_ngram_overlap,
+        # C4-style line-level cleaning, byte-exact cleaned pages
+        "c4_line_filter": q.c4_line_filter,
     }
 
 
@@ -460,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": q.pii_scrub_oracle(),
         "boilerplate_removal": q.boilerplate_removal_oracle(),
         "decontaminate_ngram_overlap": q.decontaminate_ngram_overlap_oracle(),
+        "c4_line_filter": q.c4_line_filter_oracle(),
         "repetition_ratio":
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct, "

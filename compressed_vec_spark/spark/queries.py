@@ -1403,6 +1403,95 @@ def repetition_ratio(spark, sf_dir) -> DataFrame:
                       dup_ppm.alias("dup_ppm"))
 
 
+C4_ORACLE_ROWS = 240
+C4_GEN_VERSION = 1
+C4_MIN_WORDS = 5      # C4: drop lines with fewer than 5 words
+C4_MIN_LINES = 3      # C4: drop pages with fewer than 3 kept sentences
+
+
+def _c4_oracle_dir() -> str:
+    import tempfile
+    base = os.environ.get("CVX_SCRATCH_DIR") or tempfile.gettempdir()
+    return os.path.join(
+        base, f"cvx_c4_oracle_v{C4_GEN_VERSION}_r{C4_ORACLE_ROWS}")
+
+
+def _c4_docs() -> pd.DataFrame:
+    """Deterministic web-page-shaped docs mixing C4-keepable sentences
+    with every class of droppable line (short, unterminated nav,
+    javascript notices, lorem-ipsum filler, code braces).  Every 10th
+    doc has only one good line, exercising the <3-kept page drop."""
+    rows = []
+    for i in range(C4_ORACLE_ROWS):
+        lines = [
+            f"This is paragraph {i} about topic t{i % 7} with several words.",
+            f"Short line {i}.",
+            "home | about | contact",
+            f"Please enable JavaScript to view doc {i} content.",
+            f"Lorem ipsum dolor sit amet doc {i} filler text.",
+            f"function f{i}() {{ return {i}; }}",
+        ]
+        if i % 10 != 0:
+            lines += [
+                f"Another valid sentence number {i} appears right here.",
+                f"Document {i} closes with a final complete sentence!",
+            ]
+        rows.append((i, "\n".join(lines)))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def c4_line_filter(spark, sf_dir) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep
+    only lines that end in terminal punctuation, have >= 5 words, and
+    contain no 'javascript' notice, no 'lorem ipsum', and no curly
+    brace; then drop pages left with < 3 kept lines.  The whole pass is
+    one JVM `filter` lambda over the split line array — no explode, no
+    shuffle, a pure map over the corpus (the cheapest possible shape at
+    100 TB).  Byte-exact cleaned text vs the DuckDB oracle's
+    list_filter over the same deterministic parquet."""
+    pq = os.path.join(_c4_oracle_dir(), "docs.parquet")
+    spark.createDataFrame(_c4_docs()).coalesce(1).write \
+        .mode("overwrite").parquet(pq)
+    df = spark.read.parquet(pq)
+    kept = F.expr(
+        "filter(split(text, '\n'), x -> "
+        "x rlike '[.!?\"]$' AND size(split(x, ' ')) >= "
+        f"{C4_MIN_WORDS} "
+        "AND NOT contains(lower(x), 'javascript') "
+        "AND NOT contains(lower(x), 'lorem ipsum') "
+        "AND NOT contains(x, '{'))").alias("kept")
+    total = F.size(F.split("text", "\n"))
+    out = df.select("doc_id", kept, total.alias("total"))
+    return (out.where(F.size("kept") >= C4_MIN_LINES)
+            .select("doc_id",
+                    F.array_join("kept", "\n").alias("cleaned"),
+                    F.size("kept").cast("long").alias("kept_lines"),
+                    (F.col("total") - F.size("kept")).cast("long")
+                    .alias("dropped_lines")))
+
+
+def c4_line_filter_oracle() -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM '{_c4_oracle_dir()}/docs.parquet/*.parquet'
+), k AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x ->
+           regexp_matches(x, '[.!?"]$')
+           AND len(string_split(x, ' ')) >= {C4_MIN_WORDS}
+           AND NOT contains(lower(x), 'javascript')
+           AND NOT contains(lower(x), 'lorem ipsum')
+           AND NOT contains(x, '{{')) AS kept,
+         len(string_split(text, chr(10))) AS total
+  FROM docs
+)
+SELECT doc_id, array_to_string(kept, chr(10)) AS cleaned,
+       CAST(len(kept) AS BIGINT) AS kept_lines,
+       CAST(total - len(kept) AS BIGINT) AS dropped_lines
+FROM k WHERE len(kept) >= {C4_MIN_LINES}
+"""
+
+
 DECONTAM_N = 13          # n-gram width (Lee et al. / GPT-3 appendix use 13)
 DECONTAM_EVAL_MOD = 37   # doc_id % 37 == 0 docs donate an eval-set gram
 

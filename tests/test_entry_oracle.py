@@ -164,3 +164,20 @@ def test_decontaminate_flags_planted_and_exact_counts(spark, tmp_path):
     assert got[5] == 2          # both embedded copies counted
     assert got[0] >= 1          # the donor matches its own gram
     assert 6 not in got         # clean doc untouched
+
+
+def test_c4_line_filter_edge_classes(spark):
+    """Each droppable class goes, each keepable line stays byte-exact,
+    and pages left with < 3 kept lines are dropped entirely."""
+    from compressed_vec_spark.spark import queries as q
+
+    rows = {r["doc_id"]: r for r in q.c4_line_filter(spark, "").collect()}
+    # doc 1 keeps exactly its three good sentences, in order
+    assert rows[1]["cleaned"] == (
+        "This is paragraph 1 about topic t1 with several words.\n"
+        "Another valid sentence number 1 appears right here.\n"
+        "Document 1 closes with a final complete sentence!")
+    assert rows[1]["kept_lines"] == 3 and rows[1]["dropped_lines"] == 5
+    # every 10th doc has one good line -> dropped by the page rule
+    assert 0 not in rows and 10 not in rows
+    assert len(rows) == q.C4_ORACLE_ROWS - q.C4_ORACLE_ROWS // 10
