@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram_overlap": q.decontaminate_ngram_overlap,
         # C4-style line-level cleaning, byte-exact cleaned pages
         "c4_line_filter": q.c4_line_filter,
+        # Gopher quality rules as exact integer signals + pass flag
+        "gopher_quality_flags": q.gopher_quality_flags,
     }
 
 
@@ -463,6 +465,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_removal": q.boilerplate_removal_oracle(),
         "decontaminate_ngram_overlap": q.decontaminate_ngram_overlap_oracle(),
         "c4_line_filter": q.c4_line_filter_oracle(),
+        "gopher_quality_flags": q.gopher_quality_flags_oracle(),
         "repetition_ratio":
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct, "

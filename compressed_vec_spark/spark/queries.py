@@ -1403,6 +1403,86 @@ def repetition_ratio(spark, sf_dir) -> DataFrame:
                       dup_ppm.alias("dup_ppm"))
 
 
+# Gopher quality-rule thresholds (Rae et al. 2021 table A1).  Word-count
+# bounds are scaled to this corpus's 10-99-token docs so the flag is
+# non-vacuous at test SFs; production uses (50, 100000).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL_MILLI = 3000     # mean word length in [3, 10] chars
+GOPHER_MAX_MWL_MILLI = 10000
+GOPHER_MIN_STOPWORDS = 2        # >= 2 distinct stop words present
+GOPHER_MIN_ALPHA_PPM = 800_000  # >= 80% of words contain a letter
+_GOPHER_STOPS = ("the", "a", "of", "to", "in", "and")
+
+
+def gopher_quality_flags(spark, sf_dir) -> DataFrame:
+    """The Gopher document-quality rule set as exact integer signals:
+    word count, mean word length (milli-chars), distinct-stopword hits,
+    alphabetic-word fraction (ppm), and the combined pass flag.  Every
+    signal is a JVM higher-order function over the split token array
+    (aggregate / array_intersect / filter) — no explode, no shuffle, a
+    pure map over the corpus; ratios are integer `div` so both engines
+    agree bit-for-bit."""
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+    df = (_read(spark, sf_dir, "documents")
+          .where(F.col("text").isNotNull())
+          .select("doc_id", F.split("text", " ").alias("toks")))
+    s = df.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
+        .alias("charsum"),
+        F.expr(f"size(array_intersect(array_distinct(toks), "
+               f"array({stops})))").cast("long").alias("stopword_hits"),
+        F.expr("size(filter(toks, x -> x rlike '[a-zA-Z]'))")
+        .cast("long").alias("alphacnt"))
+    mwl = F.expr("charsum * 1000L div n_words")
+    appm = F.expr("alphacnt * 1000000L div n_words")
+    passes = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (mwl >= GOPHER_MIN_MWL_MILLI) & (mwl <= GOPHER_MAX_MWL_MILLI)
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORDS)
+        & (appm >= GOPHER_MIN_ALPHA_PPM))
+    return s.select(
+        "doc_id", "n_words",
+        mwl.cast("long").alias("mean_word_len_milli"),
+        "stopword_hits",
+        appm.cast("long").alias("alpha_word_ppm"),
+        passes.cast("long").alias("passes"))
+
+
+def gopher_quality_flags_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+         AS BIGINT) AS charsum,
+    CAST(len(list_intersect(list_distinct(toks), [{stops}]))
+         AS BIGINT) AS stopword_hits,
+    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+         AS BIGINT) AS alphacnt
+  FROM t
+)
+SELECT doc_id, n_words,
+  charsum * 1000 // n_words AS mean_word_len_milli,
+  stopword_hits,
+  alphacnt * 1000000 // n_words AS alpha_word_ppm,
+  CAST(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND charsum * 1000 // n_words
+            BETWEEN {GOPHER_MIN_MWL_MILLI} AND {GOPHER_MAX_MWL_MILLI}
+        AND stopword_hits >= {GOPHER_MIN_STOPWORDS}
+        AND alphacnt * 1000000 // n_words >= {GOPHER_MIN_ALPHA_PPM}
+       THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM s
+"""
+
+
 C4_ORACLE_ROWS = 240
 C4_GEN_VERSION = 1
 C4_MIN_WORDS = 5      # C4: drop lines with fewer than 5 words

@@ -181,3 +181,25 @@ def test_c4_line_filter_edge_classes(spark):
     # every 10th doc has one good line -> dropped by the page rule
     assert 0 not in rows and 10 not in rows
     assert len(rows) == q.C4_ORACLE_ROWS - q.C4_ORACLE_ROWS // 10
+
+
+def test_gopher_quality_flags_exact_arithmetic(spark, tmp_path):
+    """Hand-computed signals for one crafted doc: integer div, distinct
+    stopword counting, alpha fraction, and the combined flag."""
+    import pandas as pd
+    from compressed_vec_spark.spark import queries as q
+
+    # 24 words: 20x 'word' (4 chars) + the a the 42
+    text = " ".join(["word"] * 20 + ["the", "a", "the", "42"])
+    pdf = pd.DataFrame({"doc_id": [1], "text": [text], "lang": ["en"],
+                        "source": ["s"], "n_chars": [len(text)]})
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    r = q.gopher_quality_flags(spark, sf).collect()[0]
+    assert r["n_words"] == 24
+    # charsum = 20*4 + 3+1+3+2 = 89 -> 89000 div 24 = 3708
+    assert r["mean_word_len_milli"] == 3708
+    assert r["stopword_hits"] == 2          # {'the', 'a'}, distinct
+    # 23 of 24 tokens contain a letter -> 958333 ppm
+    assert r["alpha_word_ppm"] == 958333
+    assert r["passes"] == 1
