@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q.near_dup_clusters,
         "dedup_keep_best": q.dedup_keep_best,
         "events_windowed_stats": q.events_windowed_stats,
+        # as-of join: click -> latest prior view per user, one shuffle
+        "events_asof_join": q.events_asof_join,
         "top_users_by_value": q.top_users_by_value,
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         "embedding_near_dup": q.embedding_near_dup,
@@ -466,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram_overlap": q.decontaminate_ngram_overlap_oracle(),
         "c4_line_filter": q.c4_line_filter_oracle(),
         "gopher_quality_flags": q.gopher_quality_flags_oracle(),
+        "events_asof_join": q.events_asof_join_oracle(),
         "repetition_ratio":
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct, "

@@ -1403,6 +1403,53 @@ def repetition_ratio(spark, sf_dir) -> DataFrame:
                       dup_ppm.alias("dup_ppm"))
 
 
+def events_asof_join(spark, sf_dir) -> DataFrame:
+    """AS-OF join — each click matched to the same user's latest view
+    at or before it (attribution, the canonical time-series join Spark
+    lacks as a built-in).  Implemented the scalable way: tag both
+    sides, UNION, and carry the last view forward with a running
+    `last(ignorenulls)` window over (user, ts) — ONE hash shuffle on
+    user_id and a linear sorted scan, instead of a per-row range join
+    (quadratic in events-per-user) or a per-key lookup table.  Same-ts
+    view+click pairs order the view first (is_click sorts after), so
+    'at or before' is inclusive, matching the oracle's native
+    ASOF JOIN `c.ts >= v.ts`."""
+    from pyspark.sql import Window
+
+    ev = (_read(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("view", "click"))
+          .select("event_id", "ts", "user_id",
+                  (F.col("event_type") == "click").cast("int")
+                  .alias("is_click")))
+    view_ref = F.when(F.col("is_click") == 0,
+                      F.struct("ts", "event_id"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "is_click", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = ev.withColumn("prior_view",
+                            F.last(view_ref, ignorenulls=True).over(w))
+    return (carried
+            .where((F.col("is_click") == 1)
+                   & F.col("prior_view").isNotNull())
+            .select(F.col("event_id").alias("click_id"),
+                    "user_id",
+                    F.col("prior_view.event_id").alias("prior_view_id"),
+                    # timestampdiff is wall-clock on TIMESTAMP_NTZ —
+                    # no session-timezone dependence
+                    F.expr("timestampdiff(MICROSECOND, prior_view.ts, ts)")
+                    .cast("long").alias("gap_us")))
+
+
+def events_asof_join_oracle() -> str:
+    return """
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+     v AS (SELECT * FROM events WHERE event_type = 'view')
+SELECT c.event_id AS click_id, c.user_id, v.event_id AS prior_view_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
 # Gopher quality-rule thresholds (Rae et al. 2021 table A1).  Word-count
 # bounds are scaled to this corpus's 10-99-token docs so the flag is
 # non-vacuous at test SFs; production uses (50, 100000).

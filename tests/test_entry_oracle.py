@@ -203,3 +203,34 @@ def test_gopher_quality_flags_exact_arithmetic(spark, tmp_path):
     # 23 of 24 tokens contain a letter -> 958333 ppm
     assert r["alpha_word_ppm"] == 958333
     assert r["passes"] == 1
+
+
+def test_events_asof_join_semantics(spark, tmp_path):
+    """Inclusive same-ts match, latest-prior selection, per-user
+    isolation, and unmatched clicks dropped."""
+    import datetime as dt
+    import pandas as pd
+    from compressed_vec_spark.spark import queries as q
+
+    t0 = dt.datetime(2024, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # user 1: view@0, view@10, click@10 (same-ts -> inclusive),
+        # click@25 (latest prior = view@10)
+        (0, t0, 1, "view"), (1, t0 + 10 * us, 1, "view"),
+        (2, t0 + 10 * us, 1, "click"), (3, t0 + 25 * us, 1, "click"),
+        # user 2: click with NO prior view -> dropped; later view+click
+        (4, t0 + 5 * us, 2, "click"), (5, t0 + 6 * us, 2, "view"),
+        (6, t0 + 9 * us, 2, "click"),
+        # other event types must be invisible to the join
+        (7, t0 + 7 * us, 2, "error"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/events.parquet")
+    got = {r["click_id"]: (r["prior_view_id"], r["gap_us"])
+           for r in q.events_asof_join(spark, sf).collect()}
+    assert got == {2: (1, 0), 3: (1, 15), 6: (5, 3)}
