@@ -38,6 +38,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_table_string_filter_count": q.encoded_table_string_filter_count,
         "encoded_table_string_range_count":
             q.encoded_table_string_range_count,
+        "encoded_table_float_range_count":
+            q.encoded_table_float_range_count,
         "encoded_table_filter_select": q.encoded_table_filter_select,
         "encoded_table_sum_pushdown": q.encoded_table_sum_pushdown,
         "encoded_table_group_count": q.encoded_table_group_count,
@@ -143,6 +145,9 @@ def oracle_sql() -> dict[str, str]:
         "encoded_table_string_range_count":
             "SELECT CAST(count(CASE WHEN source BETWEEN 'src12' AND 'src17'"
             " THEN 1 END) AS BIGINT) AS range_hits FROM documents",
+        "encoded_table_float_range_count":
+            "SELECT CAST(count(CASE WHEN value BETWEEN 10.0 AND 20.0"
+            " THEN 1 END) AS BIGINT) AS range_hits FROM events",
         "encoded_table_filter_select":
             "SELECT doc_id, n_chars FROM documents WHERE source = 'src12'",
         "encoded_table_sum_pushdown":

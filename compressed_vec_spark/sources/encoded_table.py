@@ -61,6 +61,65 @@ def chunk_stats_for(series: pd.Series) \
     return int(v.min()), int(v.max()), total, nulls
 
 
+def float_chunk_stats(series: pd.Series) -> tuple[float | None, float | None]:
+    """(min, max) for FLOAT chunks, (None, None) otherwise — the
+    manifest stats that make float range predicates prunable at the
+    chunk level.  Nulls and NaN payloads are excluded (SQL comparison
+    semantics: NaN matches no range predicate, so it cannot tighten or
+    poison the bounds)."""
+    if series.dtype.kind != "f":
+        return None, None
+    v = series.dropna().to_numpy(dtype=np.float64)
+    v = v[~np.isnan(v)]
+    if not len(v):
+        return None, None
+    return float(v.min()), float(v.max())
+
+
+def pruned_float_range_count(spark: SparkSession, out_dir: str,
+                             column: str, lo: float, hi: float) \
+        -> tuple[int, dict]:
+    """count(column BETWEEN lo AND hi) for a FLOAT column over the
+    persisted store: manifest [min_f64, max_f64] interval-intersection
+    pruning (a chunk whose range misses [lo, hi] is never read), then
+    surviving chunks decode and compare.  XOR-packed float sections
+    carry no per-section min/max (the XOR chain is order-dependent), so
+    unlike the int path there is no second, section-level skip — the
+    chunk-level prune is the whole win, which is why the store sorts on
+    the column when float range queries matter."""
+    from ..codecs import chunk as chunk_codec
+
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    total_chunks = manifest.where(F.col("column") == column).count()
+    candidates = manifest.where(
+        (F.col("column") == column)
+        & (F.col("max_f64") >= lo) & (F.col("min_f64") <= hi))
+    scanned_chunks = candidates.count()
+    cand_ids = candidates.select("chunk_id")
+
+    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
+              .where(F.col("column") == column)
+              .join(F.broadcast(cand_ids), "chunk_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hits = 0
+        for pdf in batches:
+            for blob in pdf["blob"]:
+                v = np.asarray(chunk_codec.decode_column(bytes(blob)),
+                               dtype=np.float64)
+                # NaN (decoded nulls or payload NaN) compares False
+                hits += int(((v >= lo) & (v <= hi)).sum())
+        yield pd.DataFrame({"hits": [hits]})
+
+    agg = (chunks.select("blob").mapInPandas(fn, "hits long")
+           .agg(F.sum("hits").alias("h")).collect()[0])
+    return int(agg["h"] or 0), {
+        "total_chunks": total_chunks,
+        "scanned_chunks": scanned_chunks,
+        "pruned_chunks": total_chunks - scanned_chunks,
+    }
+
+
 def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
                         value: int) -> tuple[int, dict]:
     """count(column == value) over an encoded table, decoding ONLY the

@@ -266,6 +266,42 @@ def encoded_table_string_range_count(spark, sf_dir) -> DataFrame:
         .select(F.col("range_hits").cast("long"))
 
 
+def _events_by_value_store(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached encoded store of events (event_id, value)
+    range-partitioned AND sorted on value, so each chunk covers a
+    narrow [min_f64, max_f64] slice — the float analog of the
+    source-sorted documents store."""
+    key = (id(spark.sparkContext), sf_dir, "events_by_value")
+    if key not in _STORE_CACHE:
+        from ..spark import encode_job
+        out = _scratch_dir(spark, "cvx_evval_")
+        df = (_read(spark, sf_dir, "events")
+              .select("event_id", "value")
+              .repartitionByRange(8, "value", "event_id")
+              .sortWithinPartitions("value", "event_id"))
+        encode_job.encode_table(spark, df, out, url_col=None, resume=False)
+        _STORE_CACHE[key] = out
+    return _STORE_CACHE[key]
+
+
+def encoded_table_float_range_count(spark, sf_dir) -> DataFrame:
+    """Float range predicate over the PERSISTED store: manifest
+    [min_f64, max_f64] chunk stats (store format v4) prune chunks whose
+    value range misses [10, 20]; only surviving XOR-packed chunks are
+    decoded and compared.  Completes the predicate-pushdown family over
+    the store's own format: int (range/equality/IN), string
+    (equality/prefix/range), and now float range."""
+    from ..sources import encoded_table
+    out = _events_by_value_store(spark, sf_dir)
+    hits, st = encoded_table.pruned_float_range_count(
+        spark, out, "value", 10.0, 20.0)
+    # the value-sorted layout must prune chunks outside [10, 20]
+    assert st["pruned_chunks"] > 0, st
+    return spark.createDataFrame(
+        pd.DataFrame({"range_hits": [hits]})) \
+        .select(F.col("range_hits").cast("long"))
+
+
 def encoded_table_filter_select(spark, sf_dir) -> DataFrame:
     """Row-returning storage query: SELECT doc_id, n_chars WHERE
     source = 'src12' with manifest string-stats chunk pruning, the

@@ -170,6 +170,35 @@ def test_pruned_string_equals_and_prefix(spark, tmp_path):
     assert cnt == 0 and st["scanned_chunks"] == 0
 
 
+def test_pruned_float_range_count(spark, tmp_path):
+    """Float range over the store: manifest [min_f64, max_f64] pruning
+    on a value-sorted layout; nulls and NaN payloads match nothing and
+    never poison the chunk stats."""
+    import pandas as pd
+
+    out = str(tmp_path / "enc_f64")
+    pdf = pd.DataFrame({"k": range(8000)})
+    pdf["v"] = pdf["k"].astype(float) / 10.0     # 0.0 .. 799.9
+    pdf.loc[pdf.index % 100 == 7, "v"] = None    # nulls ride NULM
+    pdf.loc[pdf.index % 100 == 13, "v"] = float("nan")
+    df = (spark.createDataFrame(pdf)
+          .repartitionByRange(8, "v", "k").sortWithinPartitions("v", "k"))
+    encode_job.encode_table(spark, df, out, url_col=None)
+
+    # [100.0, 150.0] covers k in 1000..1500 minus the null/NaN slots
+    expect = sum(1 for k in range(1000, 1501)
+                 if k % 100 != 7 and k % 100 != 13)
+    cnt, st = encoded_table.pruned_float_range_count(
+        spark, out, "v", 100.0, 150.0)
+    assert cnt == expect
+    assert st["pruned_chunks"] > 0
+
+    # range beyond every chunk's stats: zero reads
+    cnt, st = encoded_table.pruned_float_range_count(
+        spark, out, "v", 5000.0, 6000.0)
+    assert cnt == 0 and st["scanned_chunks"] == 0
+
+
 def test_pruned_string_fallback_fsst_chunks(spark, tmp_path):
     """Non-dict string chunks (fsst) still answer string predicates
     correctly through the decode fallback, and the manifest stats are
