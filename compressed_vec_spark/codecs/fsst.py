@@ -217,32 +217,28 @@ _POW256 = (np.uint64(1) << (np.uint64(8) * np.arange(8, dtype=np.uint64)))
 
 
 def _tokenize(data: np.ndarray, offsets: np.ndarray):
-    """Token segmentation on spaces, never crossing string boundaries.
-    Returns (tok_start, tok_len, eligible) where eligible tokens are
-    1..8 bytes long and followed by a space in the same string."""
-    N = len(data)
-    isp = data == 32
-    start_mask = ~isp
-    start_mask[1:] &= isp[:-1]
-    starts_in = offsets[:-1][offsets[:-1] < N]
-    start_mask[starts_in] = ~isp[starts_in]
-    tok_start = np.flatnonzero(start_mask)
-    sp_idx = np.flatnonzero(isp)
-    # index of the first space at-or-after each token start = count of
-    # spaces strictly before it (token starts are non-space): one
-    # sequential cumsum pass + gather beats a per-token binary search
-    cdt = np.int32 if N < (1 << 31) else np.int64
-    nxt_sp = np.cumsum(isp, dtype=cdt)[tok_start]
-    e_sp = np.where(nxt_sp < len(sp_idx),
-                    sp_idx[np.minimum(nxt_sp, len(sp_idx) - 1)], N)
-    # containing string's end (tokens are sorted, so this searchsorted
-    # is a merge over n_strings boundaries)
-    e_str = offsets[np.searchsorted(offsets, tok_start, side="right")]
-    tok_end = np.minimum(e_sp, e_str)
-    tok_len = tok_end - tok_start
-    # eligible: <= 8 bytes and the next byte is a space INSIDE the string
-    eligible = (tok_len <= 8) & (e_sp < e_str)
-    return tok_start, tok_len, eligible
+    """Eligible-token segmentation on spaces, never crossing string
+    boundaries.  Returns (tok_start, tok_len) of the tokens that are
+    1..8 bytes long and FOLLOWED by a space in the same string — the
+    only tokens the word pass can ever encode (the trailing space is
+    part of the symbol).  Derivation runs on the space positions alone:
+    a space at s terminates the token starting at
+    max(previous_space + 1, containing_string_start), so no token-start
+    mask, no N-length cumsum, and no full-N flatnonzero beyond the one
+    space scan — the spans between consecutive spaces ARE the tokens."""
+    sp = np.flatnonzero(data == 32)
+    if not len(sp):
+        return sp, sp
+    prev = np.empty_like(sp)
+    prev[0] = -1
+    prev[1:] = sp[:-1]
+    # start of the string containing each space (offsets[0] == 0, so
+    # searchsorted(side='right') - 1 indexes that string's begin)
+    str_start = offsets[np.searchsorted(offsets, sp, side="right") - 1]
+    start = np.maximum(prev + 1, str_start)
+    ln = sp - start
+    keep = (ln >= 1) & (ln <= 8)
+    return start[keep], ln[keep]
 
 
 def _token_keys(data: np.ndarray, tok_start: np.ndarray,
@@ -331,10 +327,9 @@ def _encode_words(data: np.ndarray,
     sp_frac = float((data[::max(N // SAMPLE_BYTES, 1)] == 32).mean())
     if sp_frac < 0.03:
         return None
-    tok_start, tok_len, eligible = _tokenize(data, offsets)
-    if not eligible.any():
+    el_start, el_len = _tokenize(data, offsets)
+    if not len(el_start):
         return None
-    el_start, el_len = tok_start[eligible], tok_len[eligible]
     keys, key_ok = _token_keys(data, el_start, el_len)
     el_start, el_len, keys = el_start[key_ok], el_len[key_ok], keys[key_ok]
     if len(keys) == 0:
