@@ -234,3 +234,24 @@ def test_events_asof_join_semantics(spark, tmp_path):
     got = {r["click_id"]: (r["prior_view_id"], r["gap_us"])
            for r in q.events_asof_join(spark, sf).collect()}
     assert got == {2: (1, 0), 3: (1, 15), 6: (5, 3)}
+
+
+def test_new_query_plans_are_scale_shaped(spark):
+    """The session's new operators keep their promised physical
+    shapes: the as-of join is a single window (no join operator at
+    all), decontamination joins doc grams against a BROADCAST eval
+    set, and neither plan contains a cartesian/BNLJ."""
+    from compressed_vec_spark import plans
+    from compressed_vec_spark.spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    asof = plans.physical_plan(q.events_asof_join(spark, sf))
+    assert "Window" in asof
+    for bad in ("SortMergeJoin", "BroadcastHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in asof, asof
+
+    dec = plans.physical_plan(q.decontaminate_ngram_overlap(spark, sf))
+    assert "BroadcastHashJoin" in dec, dec
+    assert "CartesianProduct" not in dec
+    assert "BroadcastNestedLoopJoin" not in dec
