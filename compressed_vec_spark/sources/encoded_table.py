@@ -89,35 +89,15 @@ def pruned_float_range_count(spark: SparkSession, out_dir: str,
     the column when float range queries matter."""
     from ..codecs import chunk as chunk_codec
 
-    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
-    total_chunks = manifest.where(F.col("column") == column).count()
-    candidates = manifest.where(
-        (F.col("column") == column)
-        & (F.col("max_f64") >= lo) & (F.col("min_f64") <= hi))
-    scanned_chunks = candidates.count()
-    cand_ids = candidates.select("chunk_id")
+    def kernel(blob: bytes, codec: str) -> tuple[int, bool]:
+        v = np.asarray(chunk_codec.decode_column(blob), dtype=np.float64)
+        # NaN (decoded nulls or payload NaN) compares False
+        return int(((v >= lo) & (v <= hi)).sum()), False
 
-    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
-              .where(F.col("column") == column)
-              .join(F.broadcast(cand_ids), "chunk_id"))
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        hits = 0
-        for pdf in batches:
-            for blob in pdf["blob"]:
-                v = np.asarray(chunk_codec.decode_column(bytes(blob)),
-                               dtype=np.float64)
-                # NaN (decoded nulls or payload NaN) compares False
-                hits += int(((v >= lo) & (v <= hi)).sum())
-        yield pd.DataFrame({"hits": [hits]})
-
-    agg = (chunks.select("blob").mapInPandas(fn, "hits long")
-           .agg(F.sum("hits").alias("h")).collect()[0])
-    return int(agg["h"] or 0), {
-        "total_chunks": total_chunks,
-        "scanned_chunks": scanned_chunks,
-        "pruned_chunks": total_chunks - scanned_chunks,
-    }
+    return _pruned_count_scan(
+        spark, out_dir, column,
+        (F.col("max_f64") >= lo) & (F.col("min_f64") <= hi), kernel,
+        track_fallback=False)
 
 
 def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
@@ -211,6 +191,69 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
     }
 
 
+def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
+                       manifest_pred, chunk_fn,
+                       track_fallback: bool = True) -> tuple[int, dict]:
+    """Shared skeleton of every chunk-pruned count over the store:
+    manifest-stat prune -> broadcast surviving chunk ids -> per-chunk
+    kernel inside mapInPandas -> one-row aggregate.  `chunk_fn(blob,
+    codec) -> (hits, used_fast_path)` supplies the predicate-specific
+    kernel; everything else (the prune accounting, the join shape, the
+    stats dict) is identical across predicate shapes by construction."""
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    total_chunks = manifest.where(F.col("column") == column).count()
+    candidates = manifest.where((F.col("column") == column) & manifest_pred)
+    scanned_chunks = candidates.count()
+    cand_ids = candidates.select("chunk_id")
+
+    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
+              .where(F.col("column") == column)
+              .join(F.broadcast(cand_ids), "chunk_id"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hits = fast = decoded = 0
+        for pdf in batches:
+            for blob, codec in zip(pdf["blob"], pdf["codec"]):
+                h, was_fast = chunk_fn(bytes(blob), codec)
+                hits += h
+                if was_fast:
+                    fast += 1
+                else:
+                    decoded += 1
+        yield pd.DataFrame({"hits": [hits], "fast": [fast], "dec": [decoded]})
+
+    agg = (chunks.select("blob", "codec")
+           .mapInPandas(fn, "hits long, fast long, dec long")
+           .agg(F.sum("hits").alias("h"), F.sum("fast").alias("f"),
+                F.sum("dec").alias("d")).collect()[0])
+    stats = {
+        "total_chunks": total_chunks,
+        "scanned_chunks": scanned_chunks,
+        "pruned_chunks": total_chunks - scanned_chunks,
+    }
+    if track_fallback:
+        stats["dict_fast_chunks"] = int(agg["f"] or 0)
+        stats["decoded_fallback_chunks"] = int(agg["d"] or 0)
+    return int(agg["h"] or 0), stats
+
+
+def _decoded_strings(blob: bytes) -> pd.Series:
+    """Fallback decode of a non-dict string chunk to a non-null Series.
+    Values are str for utf8-coded chunks (fsst) and bytes for
+    binary-coded ones (binary_fsst / deflate, or overrides)."""
+    from ..codecs import chunk as chunk_codec
+    return pd.Series(chunk_codec.decode_column(blob)).dropna()
+
+
+def _align_bounds(s: pd.Series, *bounds: str) -> tuple:
+    """Encode str bounds to UTF-8 when the chunk decoded to bytes —
+    UTF-8 bytewise order equals code-point order, so every comparison
+    agrees with the str form (a mixed comparison would raise)."""
+    if len(s) and isinstance(s.iloc[0], bytes):
+        return tuple(b.encode("utf-8") for b in bounds)
+    return bounds
+
+
 def pruned_string_equals_count(spark: SparkSession, out_dir: str,
                                column: str, value: str) -> tuple[int, dict]:
     """count(column == value) for a STRING column over the persisted
@@ -228,49 +271,23 @@ def pruned_string_equals_count(spark: SparkSession, out_dir: str,
       3. non-dict string chunks (fsst/deflate) fall back to a full
          decode + compare, counted in the stats.
     """
-    from ..codecs import chunk as chunk_codec
     from ..codecs import dictionary
 
-    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
-    total_chunks = manifest.where(F.col("column") == column).count()
-    candidates = manifest.where(
-        (F.col("column") == column)
-        & (F.col("min_str") <= value) & (F.col("max_str") >= value))
-    scanned_chunks = candidates.count()
-    cand_ids = candidates.select("chunk_id")
+    def kernel(blob: bytes, codec: str) -> tuple[int, bool]:
+        if codec == "dict":  # dict stores nulls natively: no NULM
+            payload = blob[4:]
+            code = dictionary.code_of(payload, value)
+            if not code:
+                return 0, True
+            return filters.count_hits(filters.equals_mask(
+                dictionary.codes_vector(payload), "u32", code)), True
+        s = _decoded_strings(blob)
+        v, = _align_bounds(s, value)
+        return int((s == v).sum()), False
 
-    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
-              .where(F.col("column") == column)
-              .join(F.broadcast(cand_ids), "chunk_id"))
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        hits = fast = decoded = 0
-        for pdf in batches:
-            for blob, codec in zip(pdf["blob"], pdf["codec"]):
-                if codec == "dict":  # dict stores nulls natively: no NULM
-                    payload = bytes(blob)[4:]
-                    code = dictionary.code_of(payload, value)
-                    if code:
-                        hits += filters.count_hits(filters.equals_mask(
-                            dictionary.codes_vector(payload), "u32", code))
-                    fast += 1
-                else:
-                    s = pd.Series(chunk_codec.decode_column(bytes(blob)))
-                    hits += int((s == value).sum())
-                    decoded += 1
-        yield pd.DataFrame({"hits": [hits], "fast": [fast], "dec": [decoded]})
-
-    agg = (chunks.select("blob", "codec")
-           .mapInPandas(fn, "hits long, fast long, dec long")
-           .agg(F.sum("hits").alias("h"), F.sum("fast").alias("f"),
-                F.sum("dec").alias("d")).collect()[0])
-    return int(agg["h"] or 0), {
-        "total_chunks": total_chunks,
-        "scanned_chunks": scanned_chunks,
-        "pruned_chunks": total_chunks - scanned_chunks,
-        "dict_fast_chunks": int(agg["f"] or 0),
-        "decoded_fallback_chunks": int(agg["d"] or 0),
-    }
+    return _pruned_count_scan(
+        spark, out_dir, column,
+        (F.col("min_str") <= value) & (F.col("max_str") >= value), kernel)
 
 
 def pruned_string_prefix_count(spark: SparkSession, out_dir: str,
@@ -284,51 +301,26 @@ def pruned_string_prefix_count(spark: SparkSession, out_dir: str,
     (`prefix_range`) and scan the compressed code vector with
     `range_mask` (Null/Const/Delta sections skipped from headers);
     non-dict chunks decode and compare."""
-    from ..codecs import chunk as chunk_codec
     from ..codecs import dictionary
 
     L = len(prefix)
-    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
-    total_chunks = manifest.where(F.col("column") == column).count()
-    candidates = manifest.where(
-        (F.col("column") == column)
-        & (F.substring(F.col("min_str"), 1, L) <= prefix)
-        & (F.substring(F.col("max_str"), 1, L) >= prefix))
-    scanned_chunks = candidates.count()
-    cand_ids = candidates.select("chunk_id")
 
-    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
-              .where(F.col("column") == column)
-              .join(F.broadcast(cand_ids), "chunk_id"))
+    def kernel(blob: bytes, codec: str) -> tuple[int, bool]:
+        if codec == "dict":
+            payload = blob[4:]
+            lo, hi = dictionary.prefix_range(payload, prefix)
+            if lo > hi:
+                return 0, True
+            return filters.count_hits(filters.range_mask(
+                dictionary.codes_vector(payload), "u32", lo, hi)), True
+        s = _decoded_strings(blob)
+        p, = _align_bounds(s, prefix)
+        return int(sum(1 for x in s if x.startswith(p))), False
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        hits = fast = decoded = 0
-        for pdf in batches:
-            for blob, codec in zip(pdf["blob"], pdf["codec"]):
-                if codec == "dict":
-                    payload = bytes(blob)[4:]
-                    lo, hi = dictionary.prefix_range(payload, prefix)
-                    if lo <= hi:
-                        hits += filters.count_hits(filters.range_mask(
-                            dictionary.codes_vector(payload), "u32", lo, hi))
-                    fast += 1
-                else:
-                    s = pd.Series(chunk_codec.decode_column(bytes(blob)))
-                    hits += int(s.str.startswith(prefix).fillna(False).sum())
-                    decoded += 1
-        yield pd.DataFrame({"hits": [hits], "fast": [fast], "dec": [decoded]})
-
-    agg = (chunks.select("blob", "codec")
-           .mapInPandas(fn, "hits long, fast long, dec long")
-           .agg(F.sum("hits").alias("h"), F.sum("fast").alias("f"),
-                F.sum("dec").alias("d")).collect()[0])
-    return int(agg["h"] or 0), {
-        "total_chunks": total_chunks,
-        "scanned_chunks": scanned_chunks,
-        "pruned_chunks": total_chunks - scanned_chunks,
-        "dict_fast_chunks": int(agg["f"] or 0),
-        "decoded_fallback_chunks": int(agg["d"] or 0),
-    }
+    return _pruned_count_scan(
+        spark, out_dir, column,
+        (F.substring(F.col("min_str"), 1, L) <= prefix)
+        & (F.substring(F.col("max_str"), 1, L) >= prefix), kernel)
 
 
 def pruned_string_range_count(spark: SparkSession, out_dir: str,
@@ -347,50 +339,23 @@ def pruned_string_range_count(spark: SparkSession, out_dir: str,
          skipped from their headers, strings never materialize;
       3. non-dict string chunks (fsst/deflate) decode and compare.
     """
-    from ..codecs import chunk as chunk_codec
     from ..codecs import dictionary
 
-    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
-    total_chunks = manifest.where(F.col("column") == column).count()
-    candidates = manifest.where(
-        (F.col("column") == column)
-        & (F.col("max_str") >= lo) & (F.col("min_str") <= hi))
-    scanned_chunks = candidates.count()
-    cand_ids = candidates.select("chunk_id")
+    def kernel(blob: bytes, codec: str) -> tuple[int, bool]:
+        if codec == "dict":
+            payload = blob[4:]
+            c_lo, c_hi = dictionary.code_range(payload, lo, hi)
+            if c_lo > c_hi:
+                return 0, True
+            return filters.count_hits(filters.range_mask(
+                dictionary.codes_vector(payload), "u32", c_lo, c_hi)), True
+        s = _decoded_strings(blob)
+        lo_v, hi_v = _align_bounds(s, lo, hi)
+        return int(((s >= lo_v) & (s <= hi_v)).sum()), False
 
-    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
-              .where(F.col("column") == column)
-              .join(F.broadcast(cand_ids), "chunk_id"))
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        hits = fast = decoded = 0
-        for pdf in batches:
-            for blob, codec in zip(pdf["blob"], pdf["codec"]):
-                if codec == "dict":
-                    payload = bytes(blob)[4:]
-                    c_lo, c_hi = dictionary.code_range(payload, lo, hi)
-                    if c_lo <= c_hi:
-                        hits += filters.count_hits(filters.range_mask(
-                            dictionary.codes_vector(payload), "u32",
-                            c_lo, c_hi))
-                    fast += 1
-                else:
-                    s = pd.Series(chunk_codec.decode_column(bytes(blob)))
-                    hits += int(((s >= lo) & (s <= hi)).fillna(False).sum())
-                    decoded += 1
-        yield pd.DataFrame({"hits": [hits], "fast": [fast], "dec": [decoded]})
-
-    agg = (chunks.select("blob", "codec")
-           .mapInPandas(fn, "hits long, fast long, dec long")
-           .agg(F.sum("hits").alias("h"), F.sum("fast").alias("f"),
-                F.sum("dec").alias("d")).collect()[0])
-    return int(agg["h"] or 0), {
-        "total_chunks": total_chunks,
-        "scanned_chunks": scanned_chunks,
-        "pruned_chunks": total_chunks - scanned_chunks,
-        "dict_fast_chunks": int(agg["f"] or 0),
-        "decoded_fallback_chunks": int(agg["d"] or 0),
-    }
+    return _pruned_count_scan(
+        spark, out_dir, column,
+        (F.col("max_str") >= lo) & (F.col("min_str") <= hi), kernel)
 
 
 def pruned_filter_select(spark: SparkSession, out_dir: str,

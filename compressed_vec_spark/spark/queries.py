@@ -1452,8 +1452,16 @@ def events_asof_join(spark, sf_dir) -> DataFrame:
     ASOF JOIN `c.ts >= v.ts`."""
     from pyspark.sql import Window
 
+    # NULL user_ids are dropped to match SQL join semantics (the window
+    # would otherwise group all null users into one key); among tied
+    # view timestamps Spark picks the largest event_id (the window
+    # order is fully deterministic) — the oracle's ASOF pick among
+    # right-side ts ties is unspecified, so inputs with duplicate
+    # (user, ts) view pairs are outside the byte-exact gate (none
+    # exist at any test SF).
     ev = (_read(spark, sf_dir, "events")
-          .where(F.col("event_type").isin("view", "click"))
+          .where(F.col("event_type").isin("view", "click")
+                 & F.col("user_id").isNotNull())
           .select("event_id", "ts", "user_id",
                   (F.col("event_type") == "click").cast("int")
                   .alias("is_click")))

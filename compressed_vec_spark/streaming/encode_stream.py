@@ -30,6 +30,29 @@ def start_encode_stream(spark: SparkSession, source: DataFrame, out_dir: str,
     chunks_path = os.path.join(out_dir, "chunks")
     manifest_path = os.path.join(out_dir, "manifest")
 
+    # same guard as the batch resume path: appending this build's chunk
+    # schema onto a store written by a different format version would
+    # mix manifest schemas (parquet infers from one sampled footer —
+    # readers would nondeterministically miss the new stats columns).
+    # A fresh dir gets the version marker BEFORE the first batch, so a
+    # crash mid-stream leaves an identifiable store, like batch encode.
+    ver = encode_job._store_version(spark, out_dir)
+    if ver is not None and ver != encode_job.STORE_FORMAT_VERSION:
+        raise ValueError(
+            f"stream target {out_dir} has store format v{ver}; this build "
+            f"writes v{encode_job.STORE_FORMAT_VERSION} — appending would "
+            "mix manifest schemas. Use a new output dir (or re-encode).")
+    if ver is None:
+        if encode_job._fs_exists(spark, chunks_path):
+            raise ValueError(
+                f"stream target {out_dir} has chunks but no store_meta "
+                "(pre-versioning store); appending would mix manifest "
+                "schemas. Use a new output dir.")
+        (spark.createDataFrame([(encode_job.STORE_FORMAT_VERSION,)],
+                               "format_version int")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "store_meta")))
+
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return

@@ -218,6 +218,39 @@ def test_pruned_string_fallback_fsst_chunks(spark, tmp_path):
     assert st["dict_fast_chunks"] == 0 and st["decoded_fallback_chunks"] > 0
     assert st["pruned_chunks"] > 0
 
+    # string range through the same str-decoding fallback
+    cnt, st = encoded_table.pruned_string_range_count(
+        spark, out, "s", "prefix the quick brown fox jumps 01",
+        "prefix the quick brown fox jumps 02")
+    assert cnt == 2000 and st["decoded_fallback_chunks"] > 0
+
+
+def test_pruned_string_predicates_bytes_chunks(spark, tmp_path):
+    """A string column forced to a binary codec (deflate) decodes to
+    BYTES values; every string predicate's fallback must align its str
+    bounds to UTF-8 bytes instead of raising (or silently counting 0)
+    on the mixed comparison."""
+    out = str(tmp_path / "enc_str_bytes")
+    df = spark.range(0, 3000, 1, 4).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("val-"),
+                 F.lpad((F.col("id") / 1000).cast("int").cast("string"),
+                        2, "0")).alias("s"))
+    df = df.repartitionByRange(4, "s", "k").sortWithinPartitions("s", "k")
+    encode_job.encode_table(spark, df, out, url_col=None,
+                            codec_overrides={"s": "deflate"})
+
+    cnt, st = encoded_table.pruned_string_equals_count(
+        spark, out, "s", "val-01")
+    assert cnt == 1000 and st["decoded_fallback_chunks"] > 0
+
+    cnt, _ = encoded_table.pruned_string_prefix_count(spark, out, "s", "val-0")
+    assert cnt == 3000
+
+    cnt, _ = encoded_table.pruned_string_range_count(
+        spark, out, "s", "val-00", "val-01")
+    assert cnt == 2000
+
 
 def test_pruned_filter_select_rows(spark, tmp_path):
     """Row-returning filtered read: predicate on compressed dict codes,

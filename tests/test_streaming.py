@@ -67,6 +67,30 @@ def test_stream_encode_file_source(spark, tmp_path):
     assert all(v == 0 for v in res["mismatches"].values()), res
 
 
+def test_stream_rejects_foreign_format_version(spark, tmp_path):
+    """The streaming append path refuses a store written by a different
+    format version (or a pre-versioning store with chunks present) —
+    the same mixed-manifest-schema guard the batch resume path has."""
+    import pytest
+
+    out_dir = str(tmp_path / "stream_v_out")
+    (spark.createDataFrame([(1,)], "format_version int")
+        .write.parquet(os.path.join(out_dir, "store_meta")))
+    src_dir = str(tmp_path / "in_v")
+    os.makedirs(src_dir)
+    stream = (spark.readStream.schema(webtable.SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    with pytest.raises(ValueError, match="format v1"):
+        encode_stream.start_encode_stream(spark, stream, out_dir)
+
+    # pre-versioning store: chunks exist, no store_meta
+    out_dir2 = str(tmp_path / "stream_pre_out")
+    webtable.webpages(spark, 10, partitions=1).write.parquet(
+        os.path.join(out_dir2, "chunks"))
+    with pytest.raises(ValueError, match="no store_meta"):
+        encode_stream.start_encode_stream(spark, stream, out_dir2)
+
+
 def test_windowed_stats_plan(spark):
     stream = (spark.readStream.format("rate").option("rowsPerSecond", "10").load()
               .select(F.col("timestamp").alias("warc_ts"),
