@@ -1,0 +1,156 @@
+"""Store compaction: merge runs of adjacent small chunks into
+target-sized ones — the maintenance pass every chunked store needs at
+scale (streaming ingest and fine-grained encode partitions both leave
+many tiny chunks, and per-chunk overheads — manifest rows, codec
+headers, dictionary heaps, task scheduling — are amortized by chunk
+size).  The reference is a single-process library and has no storage
+layer at all (SURVEY.md §2.1 "file formats / connectors: none"); this
+is the Spark-scale completion of its vector format, alongside
+encode/decode/resume/versioning/pruning.
+
+Design:
+  * The merge PLAN comes from the manifest alone (num_elements per
+    (part_id, chunk_seq) — all columns of a row group share it); the
+    plan is tiny and broadcast.
+  * Groups with a single member PASS THROUGH byte-identical — an
+    already-large chunk is never decoded, so compacting a mostly-good
+    store touches only the tail of small chunks.
+  * Multi-member groups decode in chunk_seq order, concatenate, and
+    re-encode through the SAME stats-driven codec selection as the
+    original encode (a merged chunk may legitimately pick a different
+    codec — e.g. dict over more values, or RLE once runs get long
+    enough); all manifest stats are recomputed from the merged values.
+  * Parts stay independent (they are the parallelism and resume unit),
+    so compaction never moves rows across parts and the (part_id,
+    new_seq) order preserves row order exactly.
+  * Output is a NEW store directory (same format version) — swap-in is
+    an atomic rename at the catalog level, and the source store stays
+    readable throughout, like Iceberg's rewrite_data_files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+from typing import Iterator  # noqa: F401  (mapInPandas signatures)
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..codecs import chunk as chunk_codec
+from ..sources.encoded_table import chunk_stats_for, float_chunk_stats
+from . import encode_job
+
+
+def _plan_groups(plan_pdf: pd.DataFrame, target_elements: int) -> pd.DataFrame:
+    """Assign each (part_id, chunk_seq) a new_seq: walk seqs in order,
+    closing a group once it holds >= target_elements."""
+    rows = []
+    for part_id, grp in plan_pdf.groupby("part_id"):
+        acc = seq = 0
+        for r in grp.sort_values("chunk_seq").itertuples():
+            if acc >= target_elements:
+                seq += 1
+                acc = 0
+            rows.append((int(part_id), int(r.chunk_seq), int(seq)))
+            acc += int(r.num_elements)
+    return pd.DataFrame(rows, columns=["part_id", "chunk_seq", "new_seq"])
+
+
+def _string_series_min_max(s: pd.Series) -> tuple[str | None, str | None]:
+    """Manifest [min_str, max_str] for a decoded object column: set for
+    str values (UTF-8 bytewise == code-point order), None for bytes
+    payloads (need not be valid UTF-8 for a parquet string column) —
+    the same policy as encode's _string_min_max on arrow arrays."""
+    if s.dtype != object:
+        return None, None
+    v = s.dropna()
+    if not len(v) or not isinstance(v.iloc[0], str):
+        return None, None
+    return str(v.min()), str(v.max())
+
+
+def compact_store(spark: SparkSession, src_dir: str, dst_dir: str,
+                  target_elements: int = 65536) -> dict:
+    """Compact src_dir into dst_dir (a new store, same format version).
+    Returns {'chunks_before', 'chunks_after', 'merged_groups',
+    'passthrough_chunks'} per the executed plan."""
+    ver = encode_job._store_version(spark, src_dir)
+    if ver != encode_job.STORE_FORMAT_VERSION:
+        raise ValueError(
+            f"compact_store: {src_dir} has store format v{ver}; this build "
+            f"handles v{encode_job.STORE_FORMAT_VERSION} only")
+    from ..sources.encoded_table import stored_schema
+    _, dtypes = stored_schema(spark, src_dir)
+
+    manifest = spark.read.parquet(os.path.join(src_dir, "manifest"))
+    plan_pdf = (manifest.select("part_id", "chunk_seq", "num_elements")
+                .distinct().toPandas())
+    mapping_pdf = _plan_groups(plan_pdf, target_elements)
+    mapping = spark.createDataFrame(
+        mapping_pdf, "part_id int, chunk_seq int, new_seq int")
+
+    chunks = spark.read.parquet(os.path.join(src_dir, "chunks"))
+    joined = chunks.join(F.broadcast(mapping), ["part_id", "chunk_seq"])
+    out_cols = [f.split()[0] for f in encode_job.CHUNK_SCHEMA.split(", ")]
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        part_id, nseq, col = int(key[0]), int(key[1]), str(key[2])
+        pdf = pdf.sort_values("chunk_seq")
+        chunk_id = f"p{part_id:05d}-c{nseq:05d}"
+        if len(pdf) == 1:
+            row = {c: pdf.iloc[0][c] for c in out_cols}
+            row["chunk_seq"] = nseq
+            row["chunk_id"] = chunk_id
+            return pd.DataFrame([row])[out_cols]
+        dt = dtypes.get(col)
+        series = pd.concat(
+            [pd.Series(chunk_codec.decode_column(bytes(b), dt))
+             for b in pdf["blob"]], ignore_index=True)
+        t0 = time.perf_counter()
+        codec, blob, _ = chunk_codec.encode_column(series)
+        dt_sec = time.perf_counter() - t0
+        mn, mx, sm, nulls = chunk_stats_for(series)
+        mn_f, mx_f = float_chunk_stats(series)
+        mn_s, mx_s = _string_series_min_max(series)
+        if series.dtype == object:
+            nulls = int(series.isna().sum())
+        row = {
+            "part_id": part_id, "chunk_seq": nseq, "chunk_id": chunk_id,
+            "column": col, "codec": codec, "num_elements": len(series),
+            "raw_bytes": encode_job._raw_size(series),
+            "encoded_bytes": len(blob),
+            "sha256": hashlib.sha256(blob).hexdigest(),
+            "min_val": mn, "max_val": mx, "sum_val": sm,
+            "null_count": nulls, "min_str": mn_s, "max_str": mx_s,
+            "min_f64": mn_f, "max_f64": mx_f,
+            "encode_sec": dt_sec, "blob": blob,
+        }
+        return pd.DataFrame([row])[out_cols]
+
+    out = (joined.groupBy("part_id", "new_seq", "column")
+           .applyInPandas(merge, encode_job.CHUNK_SCHEMA))
+
+    (spark.createDataFrame([(encode_job.STORE_FORMAT_VERSION,)],
+                           "format_version int")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(dst_dir, "store_meta")))
+    (spark.read.parquet(os.path.join(src_dir, "table_schema"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(dst_dir, "table_schema")))
+    (out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_id").parquet(os.path.join(dst_dir, "chunks")))
+    written = spark.read.parquet(os.path.join(dst_dir, "chunks"))
+    (written.select(*encode_job.MANIFEST_COLS)
+        .write.mode("overwrite").parquet(os.path.join(dst_dir, "manifest")))
+
+    sizes = mapping_pdf.groupby(["part_id", "new_seq"]).size()
+    return {
+        "chunks_before": int(len(mapping_pdf)),
+        "chunks_after": int(len(sizes)),
+        "merged_groups": int((sizes > 1).sum()),
+        "passthrough_chunks": int((sizes == 1).sum()),
+    }

@@ -1,0 +1,116 @@
+"""Store compaction: merge plans, passthrough identity, decode
+equality, recomputed stats, and prune behavior on the compacted copy."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from compressed_vec_spark.sources import encoded_table
+from compressed_vec_spark.spark import compact_job, decode_job, encode_job
+from compressed_vec_spark.spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    # small arrow batches => many small chunks to compact
+    s = get_spark("cvx-test-compact", cores=4, chunk_rows=500)
+    yield s
+    s.stop()
+
+
+def _mixed_df(spark, n=4000):
+    pdf = pd.DataFrame({"k": range(n)})
+    pdf["host"] = ["h%02d" % (k // 200) for k in range(n)]
+    pdf["v"] = pdf["k"].astype(float) / 4.0
+    pdf.loc[pdf.index % 50 == 3, "v"] = None
+    return (spark.createDataFrame(pdf)
+            .repartitionByRange(4, "k").sortWithinPartitions("k"))
+
+
+def test_plan_groups_shapes():
+    plan = pd.DataFrame({
+        "part_id": [0] * 4 + [1] * 2,
+        "chunk_seq": [0, 1, 2, 3, 0, 1],
+        "num_elements": [500, 500, 500, 500, 2000, 100],
+    })
+    m = compact_job._plan_groups(plan, target_elements=1000)
+    got = {(r.part_id, r.chunk_seq): r.new_seq for r in m.itertuples()}
+    # part 0: 500+500 close a group, next 500+500 the second
+    assert got[(0, 0)] == 0 and got[(0, 1)] == 0
+    assert got[(0, 2)] == 1 and got[(0, 3)] == 1
+    # part 1: the 2000-chunk already meets the target alone; the 100
+    # tail starts a new group (parts never merge across the boundary)
+    assert got[(1, 0)] == 0 and got[(1, 1)] == 1
+
+
+def test_compact_store_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    encode_job.encode_table(spark, _mixed_df(spark), src, url_col=None,
+                            codec_overrides={"host": "dict"})
+
+    stats = compact_job.compact_store(spark, src, dst,
+                                      target_elements=1000)
+    assert stats["chunks_after"] < stats["chunks_before"]
+    assert stats["merged_groups"] > 0
+
+    # same format version, fewer manifest rows, same total elements
+    assert encode_job._store_version(spark, dst) == \
+        encode_job.STORE_FORMAT_VERSION
+    src_m = spark.read.parquet(os.path.join(src, "manifest"))
+    dst_m = spark.read.parquet(os.path.join(dst, "manifest"))
+    for col in ("k", "host", "v"):
+        s_n = src_m.where(F.col("column") == col) \
+            .agg(F.sum("num_elements")).collect()[0][0]
+        d_n = dst_m.where(F.col("column") == col) \
+            .agg(F.sum("num_elements")).collect()[0][0]
+        assert s_n == d_n
+    assert dst_m.count() < src_m.count()
+
+    # decoded rows identical (order-insensitive compare on key)
+    ddl, _ = encoded_table.stored_schema(spark, dst)
+    src_rows = decode_job.decode_chunks(
+        spark.read.parquet(os.path.join(src, "chunks")), ddl) \
+        .toPandas().sort_values("k").reset_index(drop=True)
+    dst_rows = decode_job.decode_chunks(
+        spark.read.parquet(os.path.join(dst, "chunks")), ddl) \
+        .toPandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(src_rows, dst_rows)
+
+    # recomputed stats still answer pruned queries exactly
+    cnt, st = encoded_table.pruned_range_count(spark, dst, "k", 100, 300)
+    assert cnt == 201
+    cnt, _ = encoded_table.pruned_string_equals_count(
+        spark, dst, "host", "h05")
+    assert cnt == 200
+    expect = sum(1 for k in range(400, 801) if k % 50 != 3)
+    cnt, _ = encoded_table.pruned_float_range_count(
+        spark, dst, "v", 100.0, 200.0)
+    assert cnt == expect
+
+
+def test_compact_passthrough_is_byte_identical(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    dst = str(tmp_path / "dst2")
+    encode_job.encode_table(spark, _mixed_df(spark), src, url_col=None)
+    # target below every chunk size => every group is single-member
+    stats = compact_job.compact_store(spark, src, dst, target_elements=1)
+    assert stats["merged_groups"] == 0
+    assert stats["passthrough_chunks"] == stats["chunks_before"]
+    src_sha = {r["chunk_id"] + "|" + r["column"]: r["sha256"]
+               for r in spark.read.parquet(os.path.join(src, "manifest"))
+               .collect()}
+    dst_sha = {r["chunk_id"] + "|" + r["column"]: r["sha256"]
+               for r in spark.read.parquet(os.path.join(dst, "manifest"))
+               .collect()}
+    assert src_sha == dst_sha  # blobs untouched, ids stable
+
+
+def test_compact_rejects_foreign_version(spark, tmp_path):
+    src = str(tmp_path / "src3")
+    (spark.createDataFrame([(1,)], "format_version int")
+        .write.parquet(os.path.join(src, "store_meta")))
+    with pytest.raises(ValueError, match="format v1"):
+        compact_job.compact_store(spark, src, str(tmp_path / "dst3"))
