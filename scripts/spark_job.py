@@ -52,6 +52,13 @@ def main(argv: list[str] | None = None) -> int:
     agg.add_argument("--hi", type=int, required=True)
     agg.add_argument("--sum-col", required=True)
 
+    cmp_ = sub.add_parser(
+        "compact", help="merge runs of adjacent small chunks into "
+                        "target-sized ones (new store dir, same format)")
+    cmp_.add_argument("--input", required=True, help="source store dir")
+    cmp_.add_argument("--output", required=True, help="compacted store dir")
+    cmp_.add_argument("--target-elements", type=int, default=65536)
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -91,6 +98,12 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.encoded, args.filter_col, args.lo, args.hi,
             args.sum_col)
         print(json.dumps({"sum": total, **stats}))
+    elif args.cmd == "compact":
+        from compressed_vec_spark.spark import compact_job
+        stats = compact_job.compact_store(
+            spark, args.input, args.output,
+            target_elements=args.target_elements)
+        print(json.dumps(stats))
     return 0
 
 
