@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_table_float_range_count":
             q.encoded_table_float_range_count,
         "encoded_table_filter_select": q.encoded_table_filter_select,
+        "encoded_table_range_select": q.encoded_table_range_select,
         "encoded_table_sum_pushdown": q.encoded_table_sum_pushdown,
         "encoded_table_group_count": q.encoded_table_group_count,
         "encoded_table_distinct_pushdown": q.encoded_table_distinct_pushdown,
@@ -150,6 +151,9 @@ def oracle_sql() -> dict[str, str]:
             " THEN 1 END) AS BIGINT) AS range_hits FROM events",
         "encoded_table_filter_select":
             "SELECT doc_id, n_chars FROM documents WHERE source = 'src12'",
+        "encoded_table_range_select":
+            "SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_orderkey BETWEEN 1000 AND 3000",
         "encoded_table_sum_pushdown":
             "SELECT CAST(sum(o_custkey) AS BIGINT) AS sum_custkey "
             "FROM orders WHERE o_orderkey BETWEEN 1000 AND 20000",

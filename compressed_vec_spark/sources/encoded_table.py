@@ -358,34 +358,22 @@ def pruned_string_range_count(spark: SparkSession, out_dir: str,
         (F.col("max_str") >= lo) & (F.col("min_str") <= hi), kernel)
 
 
-def pruned_filter_select(spark: SparkSession, out_dir: str,
-                         filter_col: str, value: str,
-                         project_cols: list[str]) -> DataFrame:
-    """SELECT project_cols WHERE filter_col == value over the persisted
-    store, returning decoded ROWS — the drop-in query shape a user
-    migrating a SQL workload runs constantly.  Pushdown layers:
-
-      1. manifest [min_str, max_str] prunes chunks before any blob read
-         (only the filter column's stats are consulted);
-      2. a surviving chunk's filter mask comes from the compressed dict
-         code vector (code_of + equality on u32 codes; decode fallback
-         for non-dict chunks);
-      3. projection columns decode ONLY in surviving chunks, and only
-         the masked rows ship out of the task — column pruning and
-         predicate pushdown meet at the chunk level, like Parquet
-         row-group skipping but over this engine's own format.
-
-    Scale shape: one broadcast of candidate chunk ids, one chunk_id
-    join to pair the filter blob with its projection blobs, no shuffle
-    of decoded rows beyond the matching output."""
+def _pruned_select(spark: SparkSession, out_dir: str, filter_col: str,
+                   manifest_pred, mask_fn,
+                   project_cols: list[str]) -> DataFrame:
+    """Shared skeleton of every row-returning filtered read over the
+    store: manifest-stat prune -> broadcast candidate chunk ids ->
+    chunk_id join pairing the filter blob with its projection blobs ->
+    per-chunk `mask_fn(blob, codec) -> bool ndarray | None` -> only
+    masked rows decoded for the projection and shipped out of the task.
+    Column pruning and predicate pushdown meet at the chunk level, like
+    Parquet row-group skipping but over this engine's own format."""
     from ..codecs import chunk as chunk_codec
-    from ..codecs import dictionary
 
     _, dtypes = stored_schema(spark, out_dir)
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
     candidates = manifest.where(
-        (F.col("column") == filter_col)
-        & (F.col("min_str") <= value) & (F.col("max_str") >= value))
+        (F.col("column") == filter_col) & manifest_pred)
     cand_ids = candidates.select("chunk_id")
 
     chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
@@ -406,16 +394,8 @@ def pruned_filter_select(spark: SparkSession, out_dir: str,
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                if row.f_codec == "dict":
-                    payload = bytes(row.f_blob)[4:]
-                    code = dictionary.code_of(payload, value)
-                    if not code:
-                        continue
-                    mask = dictionary.codes(payload) == np.uint64(code)
-                else:
-                    s = pd.Series(chunk_codec.decode_column(bytes(row.f_blob)))
-                    mask = (s == value).fillna(False).to_numpy(dtype=bool)
-                if not mask.any():
+                mask = mask_fn(bytes(row.f_blob), row.f_codec)
+                if mask is None or not mask.any():
                     continue
                 cols = {}
                 for i, c in enumerate(project_cols):
@@ -428,6 +408,70 @@ def pruned_filter_select(spark: SparkSession, out_dir: str,
                 yield pd.DataFrame(cols)
 
     return paired.mapInPandas(fn, out_schema)
+
+
+def pruned_filter_select(spark: SparkSession, out_dir: str,
+                         filter_col: str, value: str,
+                         project_cols: list[str]) -> DataFrame:
+    """SELECT project_cols WHERE filter_col == value over the persisted
+    store, returning decoded ROWS — the drop-in query shape a user
+    migrating a SQL workload runs constantly.  Pushdown layers:
+
+      1. manifest [min_str, max_str] prunes chunks before any blob read
+         (only the filter column's stats are consulted);
+      2. a surviving chunk's filter mask comes from the compressed dict
+         code vector (code_of + equality on u32 codes; decode fallback
+         for non-dict chunks, str- or bytes-valued);
+      3. projection columns decode ONLY in surviving chunks, and only
+         the masked rows ship out of the task.
+
+    Scale shape: one broadcast of candidate chunk ids, one chunk_id
+    join to pair the filter blob with its projection blobs, no shuffle
+    of decoded rows beyond the matching output."""
+    from ..codecs import dictionary
+
+    def mask_fn(blob: bytes, codec: str):
+        if codec == "dict":
+            payload = blob[4:]
+            code = dictionary.code_of(payload, value)
+            if not code:
+                return None
+            return dictionary.codes(payload) == np.uint64(code)
+        s = pd.Series(chunk_codec_module().decode_column(blob))
+        v, = _align_bounds(s.dropna(), value)
+        return (s == v).fillna(False).to_numpy(dtype=bool)
+
+    return _pruned_select(
+        spark, out_dir, filter_col,
+        (F.col("min_str") <= value) & (F.col("max_str") >= value),
+        mask_fn, project_cols)
+
+
+def pruned_range_select(spark: SparkSession, out_dir: str,
+                        filter_col: str, lo, hi,
+                        project_cols: list[str]) -> DataFrame:
+    """SELECT project_cols WHERE filter_col BETWEEN lo AND hi for a
+    NUMERIC filter column — the numeric sibling of
+    `pruned_filter_select`: manifest [min_val, max_val] interval
+    pruning, the range evaluated on the decoded filter vector of
+    surviving chunks only, projections decoded only where the mask
+    passes.  lo/hi are int for int/timestamp-µs columns."""
+
+    def mask_fn(blob: bytes, codec: str):
+        s = pd.Series(chunk_codec_module().decode_column(blob))
+        return ((s >= lo) & (s <= hi)).fillna(False).to_numpy(dtype=bool)
+
+    return _pruned_select(
+        spark, out_dir, filter_col,
+        (F.col("max_val") >= lo) & (F.col("min_val") <= hi),
+        mask_fn, project_cols)
+
+
+def chunk_codec_module():
+    """Late import shared by the mask closures (avoids a circular
+    import at module load; the closures run on executors)."""
+    from ..codecs import chunk as chunk_codec
+    return chunk_codec
 
 
 def stored_schema(spark: SparkSession, out_dir: str) -> tuple[str, dict]:

@@ -315,6 +315,19 @@ def encoded_table_filter_select(spark, sf_dir) -> DataFrame:
         spark, out, "source", "src12", ["doc_id", "n_chars"])
 
 
+def encoded_table_range_select(spark, sf_dir) -> DataFrame:
+    """Row-returning NUMERIC range read over the persisted store:
+    SELECT o_orderkey, o_custkey WHERE o_orderkey BETWEEN 1000 AND 3000
+    — manifest [min_val, max_val] chunk pruning, the range evaluated on
+    decoded filter vectors of surviving chunks only, projections
+    decoded only where the mask passes (the numeric sibling of
+    `encoded_table_filter_select`)."""
+    from ..sources import encoded_table
+    out = _orders_store(spark, sf_dir)
+    return encoded_table.pruned_range_select(
+        spark, out, "o_orderkey", 1000, 3000, ["o_orderkey", "o_custkey"])
+
+
 def _documents_dict_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The source column's dict chunks of the documents store."""
     out = _documents_store(spark, sf_dir)

@@ -275,3 +275,14 @@ def test_pruned_filter_select_rows(spark, tmp_path):
         spark, out, "host", "zzz", ["k", "v"])
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["k", "v"]
+
+    # numeric-range sibling over the same store
+    got = encoded_table.pruned_range_select(
+        spark, out, "k", 3000, 3099, ["k", "host", "v"]).toPandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == list(range(3000, 3100))
+    assert set(got["host"]) == {"h07"}
+    assert got["v"].tolist() == [3 * k for k in range(3000, 3100)]
+    empty = encoded_table.pruned_range_select(
+        spark, out, "k", 10**7, 2 * 10**7, ["k", "v"])
+    assert empty.count() == 0
