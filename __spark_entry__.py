@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q.c4_line_filter,
         # Gopher quality rules as exact integer signals + pass flag
         "gopher_quality_flags": q.gopher_quality_flags,
+        # exact repeated-span removal (substring dedup, Lee et al.)
+        "duplicate_span_removal": q.duplicate_span_removal,
     }
 
 
@@ -478,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_filter": q.c4_line_filter_oracle(),
         "gopher_quality_flags": q.gopher_quality_flags_oracle(),
         "events_asof_join": q.events_asof_join_oracle(),
+        "duplicate_span_removal": q.duplicate_span_removal_oracle(),
         "repetition_ratio":
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct, "

@@ -1676,6 +1676,84 @@ FROM k WHERE len(kept) >= {C4_MIN_LINES}
 """
 
 
+DUPSPAN_K = 13   # repeated-span width in tokens (Lee et al. use 50 at
+                 # web scale; scaled to this corpus's 10-99-token docs)
+
+
+def duplicate_span_removal(spark, sf_dir) -> DataFrame:
+    """Exact repeated-span removal — the corpus-level substring dedup
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), as a distributed approximation: a token position
+    is covered if any K-gram through it occurs >= 2 times ANYWHERE in
+    the corpus (across or within docs), and covered positions are
+    removed from the rebuilt text.  Maximal repeated spans >= K tokens
+    are removed in full, exactly like the suffix-array formulation;
+    spans shorter than K survive (the approximation).
+
+    Scale shape: K-grams shuffle ONCE on the gram hash for the global
+    df count (this is the known cost of substring dedup at scale — the
+    distributed replacement for a single-machine suffix array); the
+    duplicate-gram join is an ordinary hash join (AQE may broadcast
+    when the duplicate set is small), coverage positions aggregate
+    per-doc with map-side combine, and the rebuild is a JVM indexed
+    `transform`/`filter` over the token array.  Returns
+    (doc_id, n_removed, cleaned) for affected docs only."""
+    k = DUPSPAN_K
+    docs = (_read(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", F.split("text", " ").alias("toks")))
+    grams = (docs.where(F.size("toks") >= k)
+             .select("doc_id", F.explode(F.expr(
+                 f"transform(sequence(1, size(toks)-{k - 1}), "
+                 f"i -> struct(i AS i, array_join(slice(toks, i, {k}), ' ')"
+                 f" AS gram))")).alias("g"))
+             .select("doc_id", F.col("g.i").alias("i"),
+                     F.col("g.gram").alias("gram")))
+    dup = (grams.groupBy("gram").agg(F.count("*").alias("n"))
+           .where(F.col("n") >= 2).select("gram"))
+    cov = (grams.join(dup, "gram")
+           .select("doc_id",
+                   F.explode(F.expr(f"sequence(i, i + {k - 1})"))
+                   .alias("p"))
+           .distinct())
+    covset = cov.groupBy("doc_id").agg(F.collect_set("p").alias("cov"))
+    cleaned = F.expr(
+        "array_join(filter(transform(toks, (x, j) -> "
+        "IF(array_contains(cov, j + 1), NULL, x)), "
+        "x -> x IS NOT NULL), ' ')")
+    return (docs.join(covset, "doc_id")
+            .select("doc_id",
+                    F.size("cov").cast("long").alias("n_removed"),
+                    cleaned.alias("cleaned")))
+
+
+def duplicate_span_removal_oracle() -> str:
+    k = DUPSPAN_K
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+), dg AS (
+  SELECT doc_id, i, array_to_string(t[i:i+{k - 1}], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - {k - 2})) AS u(i)
+  WHERE len(t) >= {k}
+), dup AS (
+  SELECT gram FROM dg GROUP BY gram HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT dg.doc_id, u2.p
+  FROM dg JOIN dup USING (gram), unnest(range(dg.i, dg.i + {k})) AS u2(p)
+), cs AS (
+  SELECT doc_id, list(p) AS cov FROM cov GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(cs.cov) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(
+         list_filter(toks.t, (x, j) -> NOT list_contains(cs.cov, j)),
+         ' '), '') AS cleaned
+FROM toks JOIN cs ON toks.doc_id = cs.doc_id
+"""
+
+
 DECONTAM_N = 13          # n-gram width (Lee et al. / GPT-3 appendix use 13)
 DECONTAM_EVAL_MOD = 37   # doc_id % 37 == 0 docs donate an eval-set gram
 

@@ -236,6 +236,33 @@ def test_events_asof_join_semantics(spark, tmp_path):
     assert got == {2: (1, 0), 3: (1, 15), 6: (5, 3)}
 
 
+def test_duplicate_span_removal_semantics(spark, tmp_path):
+    """A 13-token span shared by two docs is removed from BOTH with the
+    surrounding unique text kept byte-exact; unaffected docs are absent
+    from the output; a fully-duplicated doc cleans to ''."""
+    import pandas as pd
+    from compressed_vec_spark.spark import queries as q
+
+    span = " ".join(f"s{i}" for i in range(13))
+    docs = {
+        1: "alpha beta " + span + " gamma delta",
+        2: "x1 x2 x3 " + span + " y1",
+        3: span,                                    # fully duplicated
+        4: " ".join(f"u{i}" for i in range(40)),    # unique -> untouched
+    }
+    pdf = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values()),
+                        "lang": "en", "source": "s",
+                        "n_chars": [len(t) for t in docs.values()]})
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: (r["n_removed"], r["cleaned"])
+           for r in q.duplicate_span_removal(spark, sf).collect()}
+    assert got[1] == (13, "alpha beta gamma delta")
+    assert got[2] == (13, "x1 x2 x3 y1")
+    assert got[3] == (13, "")
+    assert 4 not in got
+
+
 def test_new_query_plans_are_scale_shaped(spark):
     """The session's new operators keep their promised physical
     shapes: the as-of join is a single window (no join operator at
