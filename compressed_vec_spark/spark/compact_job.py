@@ -45,18 +45,22 @@ from . import encode_job
 
 
 def _plan_groups(plan_pdf: pd.DataFrame, target_elements: int) -> pd.DataFrame:
-    """Assign each (part_id, chunk_seq) a new_seq: walk seqs in order,
-    closing a group once it holds >= target_elements."""
+    """Assign each (part_id, chunk_id) a new_seq: walk chunk ids in
+    lexicographic order (zero-padded ids sort in row order, and the
+    streaming path's batch prefix sorts batches in arrival order — a
+    streamed store's chunk_seq values COLLIDE across micro-batches, so
+    chunk_id, not chunk_seq, is the row-group key), closing a group
+    once it holds >= target_elements."""
     rows = []
     for part_id, grp in plan_pdf.groupby("part_id"):
         acc = seq = 0
-        for r in grp.sort_values("chunk_seq").itertuples():
+        for r in grp.sort_values("chunk_id").itertuples():
             if acc >= target_elements:
                 seq += 1
                 acc = 0
-            rows.append((int(part_id), int(r.chunk_seq), int(seq)))
+            rows.append((int(part_id), str(r.chunk_id), int(seq)))
             acc += int(r.num_elements)
-    return pd.DataFrame(rows, columns=["part_id", "chunk_seq", "new_seq"])
+    return pd.DataFrame(rows, columns=["part_id", "chunk_id", "new_seq"])
 
 
 def _string_series_min_max(s: pd.Series) -> tuple[str | None, str | None]:
@@ -86,19 +90,19 @@ def compact_store(spark: SparkSession, src_dir: str, dst_dir: str,
     _, dtypes = stored_schema(spark, src_dir)
 
     manifest = spark.read.parquet(os.path.join(src_dir, "manifest"))
-    plan_pdf = (manifest.select("part_id", "chunk_seq", "num_elements")
+    plan_pdf = (manifest.select("part_id", "chunk_id", "num_elements")
                 .distinct().toPandas())
     mapping_pdf = _plan_groups(plan_pdf, target_elements)
     mapping = spark.createDataFrame(
-        mapping_pdf, "part_id int, chunk_seq int, new_seq int")
+        mapping_pdf, "part_id int, chunk_id string, new_seq int")
 
     chunks = spark.read.parquet(os.path.join(src_dir, "chunks"))
-    joined = chunks.join(F.broadcast(mapping), ["part_id", "chunk_seq"])
+    joined = chunks.join(F.broadcast(mapping), ["part_id", "chunk_id"])
     out_cols = [f.split()[0] for f in encode_job.CHUNK_SCHEMA.split(", ")]
 
     def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         part_id, nseq, col = int(key[0]), int(key[1]), str(key[2])
-        pdf = pdf.sort_values("chunk_seq")
+        pdf = pdf.sort_values("chunk_id")  # row order (see _plan_groups)
         chunk_id = f"p{part_id:05d}-c{nseq:05d}"
         if len(pdf) == 1:
             row = {c: pdf.iloc[0][c] for c in out_cols}

@@ -30,19 +30,67 @@ def _mixed_df(spark, n=4000):
 
 
 def test_plan_groups_shapes():
+    ids0 = [f"p00000-c{i:05d}" for i in range(4)]
+    ids1 = [f"p00001-c{i:05d}" for i in range(2)]
     plan = pd.DataFrame({
         "part_id": [0] * 4 + [1] * 2,
-        "chunk_seq": [0, 1, 2, 3, 0, 1],
+        "chunk_id": ids0 + ids1,
         "num_elements": [500, 500, 500, 500, 2000, 100],
     })
     m = compact_job._plan_groups(plan, target_elements=1000)
-    got = {(r.part_id, r.chunk_seq): r.new_seq for r in m.itertuples()}
+    got = {(r.part_id, r.chunk_id): r.new_seq for r in m.itertuples()}
     # part 0: 500+500 close a group, next 500+500 the second
-    assert got[(0, 0)] == 0 and got[(0, 1)] == 0
-    assert got[(0, 2)] == 1 and got[(0, 3)] == 1
+    assert got[(0, ids0[0])] == 0 and got[(0, ids0[1])] == 0
+    assert got[(0, ids0[2])] == 1 and got[(0, ids0[3])] == 1
     # part 1: the 2000-chunk already meets the target alone; the 100
     # tail starts a new group (parts never merge across the boundary)
-    assert got[(1, 0)] == 0 and got[(1, 1)] == 1
+    assert got[(1, ids1[0])] == 0 and got[(1, ids1[1])] == 1
+
+
+def test_compact_streamed_store_with_colliding_chunk_seq(spark, tmp_path):
+    """A streamed store's chunk_seq values collide across micro-batches
+    (each batch restarts at 0; only the b-prefixed chunk_id is unique).
+    Compaction must key row groups on chunk_id — and the zero-padded
+    batch prefix sorts in arrival order, so row order is preserved."""
+    src = str(tmp_path / "src_stream")
+    chunks_path = os.path.join(src, "chunks")
+    pdf = pd.DataFrame({"k": range(2000)})
+    pdf["v"] = pdf["k"] * 7
+    df = spark.createDataFrame(pdf).coalesce(1)
+    # simulate two micro-batches the way start_encode_stream writes them
+    (spark.createDataFrame([(encode_job.STORE_FORMAT_VERSION,)],
+                           "format_version int")
+        .write.parquet(os.path.join(src, "store_meta")))
+    schema_rows = [(i, n, "bigint") for i, n in enumerate(["k", "v"])]
+    (spark.createDataFrame(schema_rows,
+                           "position int, name string, dtype string")
+        .write.parquet(os.path.join(src, "table_schema")))
+    for batch_id, pred in ((0, F.col("k") < 1000), (1, F.col("k") >= 1000)):
+        enc = encode_job.encode_table(spark, df.where(pred), out_dir="",
+                                      write=False, url_col=None)
+        enc = enc.withColumn(
+            "chunk_id",
+            F.concat(F.lit(f"b{batch_id:08d}-"), F.col("chunk_id")))
+        enc.write.mode("append").parquet(chunks_path)
+        (enc.select(*encode_job.MANIFEST_COLS)
+            .write.mode("append").parquet(os.path.join(src, "manifest")))
+
+    # both batches produced (part_id=0, chunk_seq=0): the collision
+    m = spark.read.parquet(os.path.join(src, "manifest"))
+    seqs = m.select("part_id", "chunk_seq").distinct().count()
+    rows = m.select("chunk_id").distinct().count()
+    assert rows > seqs
+
+    dst = str(tmp_path / "dst_stream")
+    stats = compact_job.compact_store(spark, src, dst,
+                                      target_elements=10**6)
+    assert stats["merged_groups"] > 0
+    ddl, _ = encoded_table.stored_schema(spark, dst)
+    got = decode_job.decode_chunks(
+        spark.read.parquet(os.path.join(dst, "chunks")), ddl) \
+        .toPandas().sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == list(range(2000))
+    assert got["v"].tolist() == [7 * k for k in range(2000)]
 
 
 def test_compact_store_end_to_end(spark, tmp_path):
