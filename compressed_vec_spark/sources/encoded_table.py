@@ -437,7 +437,7 @@ def pruned_filter_select(spark: SparkSession, out_dir: str,
             if not code:
                 return None
             return dictionary.codes(payload) == np.uint64(code)
-        s = pd.Series(chunk_codec_module().decode_column(blob))
+        s = pd.Series(chunk_codec.decode_column(blob))
         v, = _align_bounds(s.dropna(), value)
         return (s == v).fillna(False).to_numpy(dtype=bool)
 
@@ -452,26 +452,32 @@ def pruned_range_select(spark: SparkSession, out_dir: str,
                         project_cols: list[str]) -> DataFrame:
     """SELECT project_cols WHERE filter_col BETWEEN lo AND hi for a
     NUMERIC filter column — the numeric sibling of
-    `pruned_filter_select`: manifest [min_val, max_val] interval
-    pruning, the range evaluated on the decoded filter vector of
+    `pruned_filter_select`: manifest interval pruning on the stats
+    columns matching the filter column's TYPE (int columns carry
+    [min_val, max_val], float columns [min_f64, max_f64] — consulting
+    the wrong pair would NULL-prune every chunk and silently return
+    nothing), the range evaluated on the decoded filter vector of
     surviving chunks only, projections decoded only where the mask
-    passes.  lo/hi are int for int/timestamp-µs columns."""
+    passes."""
+    _, dtypes = stored_schema(spark, out_dir)
+    dt = dtypes.get(filter_col)
+    if dt == "int64":
+        pred = (F.col("max_val") >= lo) & (F.col("min_val") <= hi)
+    elif dt in ("double", "float"):
+        pred = (F.col("max_f64") >= lo) & (F.col("min_f64") <= hi)
+    else:
+        raise ValueError(
+            f"pruned_range_select: filter column {filter_col!r} has "
+            f"dtype {dt!r}; int and float columns are supported (use "
+            "pruned_string_range_count / pruned_filter_select for "
+            "string predicates)")
 
     def mask_fn(blob: bytes, codec: str):
-        s = pd.Series(chunk_codec_module().decode_column(blob))
+        s = pd.Series(chunk_codec.decode_column(blob))
         return ((s >= lo) & (s <= hi)).fillna(False).to_numpy(dtype=bool)
 
-    return _pruned_select(
-        spark, out_dir, filter_col,
-        (F.col("max_val") >= lo) & (F.col("min_val") <= hi),
-        mask_fn, project_cols)
-
-
-def chunk_codec_module():
-    """Late import shared by the mask closures (avoids a circular
-    import at module load; the closures run on executors)."""
-    from ..codecs import chunk as chunk_codec
-    return chunk_codec
+    return _pruned_select(spark, out_dir, filter_col, pred,
+                          mask_fn, project_cols)
 
 
 def stored_schema(spark: SparkSession, out_dir: str) -> tuple[str, dict]:

@@ -77,10 +77,15 @@ def _string_series_min_max(s: pd.Series) -> tuple[str | None, str | None]:
 
 
 def compact_store(spark: SparkSession, src_dir: str, dst_dir: str,
-                  target_elements: int = 65536) -> dict:
+                  target_elements: int = 65536,
+                  codec_overrides: dict[str, str] | None = None) -> dict:
     """Compact src_dir into dst_dir (a new store, same format version).
-    Returns {'chunks_before', 'chunks_after', 'merged_groups',
-    'passthrough_chunks'} per the executed plan."""
+    Pass the same `codec_overrides` the store was encoded with to keep
+    forced codecs on merged chunks (re-encode otherwise re-runs the
+    stats-driven selection, which may legitimately choose differently
+    over the larger merged sample).  Returns {'chunks_before',
+    'chunks_after', 'merged_groups', 'passthrough_chunks'} per the
+    executed plan."""
     ver = encode_job._store_version(spark, src_dir)
     if ver != encode_job.STORE_FORMAT_VERSION:
         raise ValueError(
@@ -89,14 +94,17 @@ def compact_store(spark: SparkSession, src_dir: str, dst_dir: str,
     from ..sources.encoded_table import stored_schema
     _, dtypes = stored_schema(spark, src_dir)
 
-    manifest = spark.read.parquet(os.path.join(src_dir, "manifest"))
-    plan_pdf = (manifest.select("part_id", "chunk_id", "num_elements")
+    # plan from the CHUNKS data itself, not the manifest: chunks/ is
+    # the data of record (a crash between the chunks write and the
+    # manifest write leaves committed chunks the manifest doesn't list
+    # — encode_job's resume treats them the same way); planning off the
+    # manifest would silently drop those rows from the compacted store
+    chunks = spark.read.parquet(os.path.join(src_dir, "chunks"))
+    plan_pdf = (chunks.select("part_id", "chunk_id", "num_elements")
                 .distinct().toPandas())
     mapping_pdf = _plan_groups(plan_pdf, target_elements)
     mapping = spark.createDataFrame(
         mapping_pdf, "part_id int, chunk_id string, new_seq int")
-
-    chunks = spark.read.parquet(os.path.join(src_dir, "chunks"))
     joined = chunks.join(F.broadcast(mapping), ["part_id", "chunk_id"])
     out_cols = [f.split()[0] for f in encode_job.CHUNK_SCHEMA.split(", ")]
 
@@ -114,13 +122,12 @@ def compact_store(spark: SparkSession, src_dir: str, dst_dir: str,
             [pd.Series(chunk_codec.decode_column(bytes(b), dt))
              for b in pdf["blob"]], ignore_index=True)
         t0 = time.perf_counter()
-        codec, blob, _ = chunk_codec.encode_column(series)
+        codec, blob, _ = chunk_codec.encode_column(
+            series, (codec_overrides or {}).get(col))
         dt_sec = time.perf_counter() - t0
         mn, mx, sm, nulls = chunk_stats_for(series)
         mn_f, mx_f = float_chunk_stats(series)
         mn_s, mx_s = _string_series_min_max(series)
-        if series.dtype == object:
-            nulls = int(series.isna().sum())
         row = {
             "part_id": part_id, "chunk_seq": nseq, "chunk_id": chunk_id,
             "column": col, "codec": codec, "num_elements": len(series),

@@ -1711,11 +1711,13 @@ def duplicate_span_removal(spark, sf_dir) -> DataFrame:
                      F.col("g.gram").alias("gram")))
     dup = (grams.groupBy("gram").agg(F.count("*").alias("n"))
            .where(F.col("n") >= 2).select("gram"))
+    # no .distinct() before collect_set: the set aggregate already
+    # dedups with map-side partial aggregation — a distinct here would
+    # add a second full shuffle of the widest dataset in the job
     cov = (grams.join(dup, "gram")
            .select("doc_id",
                    F.explode(F.expr(f"sequence(i, i + {k - 1})"))
-                   .alias("p"))
-           .distinct())
+                   .alias("p")))
     covset = cov.groupBy("doc_id").agg(F.collect_set("p").alias("cov"))
     cleaned = F.expr(
         "array_join(filter(transform(toks, (x, j) -> "

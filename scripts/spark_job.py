@@ -58,6 +58,10 @@ def main(argv: list[str] | None = None) -> int:
     cmp_.add_argument("--input", required=True, help="source store dir")
     cmp_.add_argument("--output", required=True, help="compacted store dir")
     cmp_.add_argument("--target-elements", type=int, default=65536)
+    cmp_.add_argument("--codec-override", action="append", default=[],
+                      metavar="COL=CODEC",
+                      help="keep a forced codec on merged chunks "
+                           "(repeatable; pass what encode used)")
 
     args = p.parse_args(argv)
 
@@ -100,9 +104,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"sum": total, **stats}))
     elif args.cmd == "compact":
         from compressed_vec_spark.spark import compact_job
+        overrides = dict(kv.split("=", 1) for kv in args.codec_override)
         stats = compact_job.compact_store(
             spark, args.input, args.output,
-            target_elements=args.target_elements)
+            target_elements=args.target_elements,
+            codec_overrides=overrides or None)
         print(json.dumps(stats))
     return 0
 

@@ -72,13 +72,17 @@ def test_compact_streamed_store_with_colliding_chunk_seq(spark, tmp_path):
             "chunk_id",
             F.concat(F.lit(f"b{batch_id:08d}-"), F.col("chunk_id")))
         enc.write.mode("append").parquet(chunks_path)
-        (enc.select(*encode_job.MANIFEST_COLS)
-            .write.mode("append").parquet(os.path.join(src, "manifest")))
+        if batch_id == 0:
+            # the second batch's manifest write "crashed": its chunks
+            # are committed but unlisted — chunks/ is the data of
+            # record, so compaction must still carry those rows
+            (enc.select(*encode_job.MANIFEST_COLS)
+                .write.mode("append").parquet(os.path.join(src, "manifest")))
 
     # both batches produced (part_id=0, chunk_seq=0): the collision
-    m = spark.read.parquet(os.path.join(src, "manifest"))
-    seqs = m.select("part_id", "chunk_seq").distinct().count()
-    rows = m.select("chunk_id").distinct().count()
+    c = spark.read.parquet(chunks_path)
+    seqs = c.select("part_id", "chunk_seq").distinct().count()
+    rows = c.select("chunk_id").distinct().count()
     assert rows > seqs
 
     dst = str(tmp_path / "dst_stream")
@@ -100,9 +104,16 @@ def test_compact_store_end_to_end(spark, tmp_path):
                             codec_overrides={"host": "dict"})
 
     stats = compact_job.compact_store(spark, src, dst,
-                                      target_elements=1000)
+                                      target_elements=1000,
+                                      codec_overrides={"host": "dict"})
     assert stats["chunks_after"] < stats["chunks_before"]
     assert stats["merged_groups"] > 0
+
+    # the forced codec survives the merge re-encode
+    host_codecs = {r["codec"] for r in spark.read.parquet(
+        os.path.join(dst, "manifest"))
+        .where(F.col("column") == "host").collect()}
+    assert host_codecs == {"dict"}
 
     # same format version, fewer manifest rows, same total elements
     assert encode_job._store_version(spark, dst) == \

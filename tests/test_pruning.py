@@ -198,6 +198,14 @@ def test_pruned_float_range_count(spark, tmp_path):
         spark, out, "v", 5000.0, 6000.0)
     assert cnt == 0 and st["scanned_chunks"] == 0
 
+    # row-returning select on a FLOAT filter column must route through
+    # the min_f64/max_f64 stats (the int stats are NULL for float
+    # chunks and would silently prune everything)
+    got = encoded_table.pruned_range_select(
+        spark, out, "v", 100.0, 150.0, ["k"]).toPandas()
+    assert sorted(got["k"]) == [k for k in range(1000, 1501)
+                                if k % 100 != 7 and k % 100 != 13]
+
 
 def test_pruned_string_fallback_fsst_chunks(spark, tmp_path):
     """Non-dict string chunks (fsst) still answer string predicates
@@ -286,3 +294,8 @@ def test_pruned_filter_select_rows(spark, tmp_path):
     empty = encoded_table.pruned_range_select(
         spark, out, "k", 10**7, 2 * 10**7, ["k", "v"])
     assert empty.count() == 0
+
+    # string filter columns are rejected loudly, not silently pruned
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="string"):
+        encoded_table.pruned_range_select(spark, out, "host", "a", "b", ["k"])
