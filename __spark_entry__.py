@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q.encoded_table_float_range_count,
         "encoded_table_filter_select": q.encoded_table_filter_select,
         "encoded_table_range_select": q.encoded_table_range_select,
+        "encoded_table_null_count": q.encoded_table_null_count,
         "encoded_table_sum_pushdown": q.encoded_table_sum_pushdown,
         "encoded_table_group_count": q.encoded_table_group_count,
         "encoded_table_distinct_pushdown": q.encoded_table_distinct_pushdown,
@@ -481,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_flags": q.gopher_quality_flags_oracle(),
         "events_asof_join": q.events_asof_join_oracle(),
         "duplicate_span_removal": q.duplicate_span_removal_oracle(),
+        "encoded_table_null_count": q.encoded_table_null_count_oracle(),
         "repetition_ratio":
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct, "

@@ -302,6 +302,69 @@ def encoded_table_float_range_count(spark, sf_dir) -> DataFrame:
         .select(F.col("range_hits").cast("long"))
 
 
+NULLS_ORACLE_ROWS = 2000
+NULLS_GEN_VERSION = 1
+
+
+def _nulls_oracle_dir() -> str:
+    import tempfile
+    base = os.environ.get("CVX_SCRATCH_DIR") or tempfile.gettempdir()
+    return os.path.join(
+        base, f"cvx_nulls_oracle_v{NULLS_GEN_VERSION}_r{NULLS_ORACLE_ROWS}")
+
+
+def encoded_table_null_count(spark, sf_dir) -> DataFrame:
+    """COUNT(col IS NULL) and COUNT(col IS NOT NULL) answered from the
+    manifest ALONE — every chunk records its null_count at encode, so
+    null-predicate aggregates never read a blob (the storage analog of
+    the reference's 1-byte Null sections answering filters without
+    decode, src/filter.rs:218-224).  The fixture table plants nulls in
+    an int and a string column deterministically (testdata carries no
+    NULLs, which would make this row vacuous)."""
+    from ..spark import encode_job
+    pq = os.path.join(_nulls_oracle_dir(), "rows.parquet")
+    pdf = pd.DataFrame({"k": range(NULLS_ORACLE_ROWS)})
+    pdf["v"] = pdf["k"] * 3
+    pdf.loc[pdf.index % 7 == 0, "v"] = None
+    pdf["s"] = ["s%02d" % (k % 40) for k in range(NULLS_ORACLE_ROWS)]
+    pdf.loc[pdf.index % 11 == 0, "s"] = None
+    spark.createDataFrame(pdf).coalesce(1).write \
+        .mode("overwrite").parquet(pq)
+
+    key = (id(spark.sparkContext), "nulls_store")
+    if key not in _STORE_CACHE:
+        out = _scratch_dir(spark, "cvx_nulls_")
+        df = (spark.read.parquet(pq)
+              .repartitionByRange(4, "k").sortWithinPartitions("k"))
+        encode_job.encode_table(spark, df, out, url_col=None, resume=False)
+        _STORE_CACHE[key] = out
+    manifest = spark.read.parquet(
+        os.path.join(_STORE_CACHE[key], "manifest"))
+    agg = (manifest.groupBy("column")
+           .agg(F.sum("null_count").cast("long").alias("null_rows"),
+                (F.sum("num_elements") - F.sum("null_count"))
+                .cast("long").alias("non_null_rows")))
+    return agg.where(F.col("column").isin("v", "s"))
+
+
+def encoded_table_null_count_oracle() -> str:
+    return f"""
+SELECT col AS column,
+       CAST(sum(CASE WHEN val_is_null THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_rows,
+       CAST(sum(CASE WHEN val_is_null THEN 0 ELSE 1 END) AS BIGINT)
+         AS non_null_rows
+FROM (
+  SELECT 'v' AS col, v IS NULL AS val_is_null
+  FROM '{_nulls_oracle_dir()}/rows.parquet/*.parquet'
+  UNION ALL
+  SELECT 's' AS col, s IS NULL AS val_is_null
+  FROM '{_nulls_oracle_dir()}/rows.parquet/*.parquet'
+)
+GROUP BY col
+"""
+
+
 def encoded_table_filter_select(spark, sf_dir) -> DataFrame:
     """Row-returning storage query: SELECT doc_id, n_chars WHERE
     source = 'src12' with manifest string-stats chunk pruning, the
