@@ -359,8 +359,8 @@ def pruned_string_range_count(spark: SparkSession, out_dir: str,
 
 
 def _pruned_select(spark: SparkSession, out_dir: str, filter_col: str,
-                   manifest_pred, mask_fn,
-                   project_cols: list[str]) -> DataFrame:
+                   manifest_pred, mask_fn, project_cols: list[str],
+                   dtypes: dict | None = None) -> DataFrame:
     """Shared skeleton of every row-returning filtered read over the
     store: manifest-stat prune -> broadcast candidate chunk ids ->
     chunk_id join pairing the filter blob with its projection blobs ->
@@ -370,7 +370,8 @@ def _pruned_select(spark: SparkSession, out_dir: str, filter_col: str,
     Parquet row-group skipping but over this engine's own format."""
     from ..codecs import chunk as chunk_codec
 
-    _, dtypes = stored_schema(spark, out_dir)
+    if dtypes is None:
+        _, dtypes = stored_schema(spark, out_dir)
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
     candidates = manifest.where(
         (F.col("column") == filter_col) & manifest_pred)
@@ -477,7 +478,7 @@ def pruned_range_select(spark: SparkSession, out_dir: str,
         return ((s >= lo) & (s <= hi)).fillna(False).to_numpy(dtype=bool)
 
     return _pruned_select(spark, out_dir, filter_col, pred,
-                          mask_fn, project_cols)
+                          mask_fn, project_cols, dtypes=dtypes)
 
 
 def stored_schema(spark: SparkSession, out_dir: str) -> tuple[str, dict]:

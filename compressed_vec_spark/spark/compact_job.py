@@ -32,29 +32,38 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import time
-from typing import Iterator  # noqa: F401  (mapInPandas signatures)
 
-import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import SparkSession, functions as F
 
 from ..codecs import chunk as chunk_codec
 from ..sources.encoded_table import chunk_stats_for, float_chunk_stats
 from . import encode_job
 
 
+def _id_order_key(chunk_id: str) -> tuple:
+    """Row-order sort key for a chunk id: the tuple of its embedded
+    integers ('b00000001-p00000-c00012' -> (1, 0, 12)).  Numeric, not
+    lexicographic — a zero-padded field that overflows its width
+    ('c100000' after 'c99999') would otherwise sort BEFORE its
+    predecessor and silently reorder rows."""
+    return tuple(int(x) for x in re.findall(r"\d+", chunk_id))
+
+
 def _plan_groups(plan_pdf: pd.DataFrame, target_elements: int) -> pd.DataFrame:
     """Assign each (part_id, chunk_id) a new_seq: walk chunk ids in
-    lexicographic order (zero-padded ids sort in row order, and the
-    streaming path's batch prefix sorts batches in arrival order — a
-    streamed store's chunk_seq values COLLIDE across micro-batches, so
-    chunk_id, not chunk_seq, is the row-group key), closing a group
-    once it holds >= target_elements."""
+    row order (the embedded-integer order — batch prefix first for
+    streamed stores, then seq; a streamed store's chunk_seq values
+    COLLIDE across micro-batches, so chunk_id, not chunk_seq, is the
+    row-group key), closing a group once it holds >= target_elements."""
     rows = []
     for part_id, grp in plan_pdf.groupby("part_id"):
         acc = seq = 0
-        for r in grp.sort_values("chunk_id").itertuples():
+        ordered = sorted(grp.itertuples(),
+                         key=lambda r: _id_order_key(str(r.chunk_id)))
+        for r in ordered:
             if acc >= target_elements:
                 seq += 1
                 acc = 0
@@ -63,16 +72,25 @@ def _plan_groups(plan_pdf: pd.DataFrame, target_elements: int) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["part_id", "chunk_id", "new_seq"])
 
 
-def _string_series_min_max(s: pd.Series) -> tuple[str | None, str | None]:
-    """Manifest [min_str, max_str] for a decoded object column: set for
-    str values (UTF-8 bytewise == code-point order), None for bytes
-    payloads (need not be valid UTF-8 for a parquet string column) —
-    the same policy as encode's _string_min_max on arrow arrays."""
-    if s.dtype != object:
+def _string_series_min_max(s: pd.Series, logical_dtype: str | None) \
+        -> tuple[str | None, str | None]:
+    """Manifest [min_str, max_str] for a decoded object column.  A
+    STRING column may decode to bytes when its chunks carry a binary
+    codec (deflate / binary_fsst overrides) — those bytes are the
+    exact UTF-8 of the source strings, and bytewise order equals
+    code-point order, so the min/max decode back losslessly; dropping
+    the stats instead would NULL-prune the merged chunks out of every
+    string predicate (silent wrong counts).  True binary columns
+    (logical_dtype != 'string') stay (None, None): their bytes need
+    not be valid UTF-8 for the parquet string manifest column."""
+    if s.dtype != object or logical_dtype != "string":
         return None, None
     v = s.dropna()
-    if not len(v) or not isinstance(v.iloc[0], str):
+    if not len(v):
         return None, None
+    if isinstance(v.iloc[0], bytes):
+        return (bytes(v.min()).decode("utf-8"),
+                bytes(v.max()).decode("utf-8"))
     return str(v.min()), str(v.max())
 
 
@@ -91,6 +109,14 @@ def compact_store(spark: SparkSession, src_dir: str, dst_dir: str,
         raise ValueError(
             f"compact_store: {src_dir} has store format v{ver}; this build "
             f"handles v{encode_job.STORE_FORMAT_VERSION} only")
+    # compaction has no resume, so dst must be fresh: dynamic partition
+    # overwrite only replaces part_ids present in THIS run — stale
+    # partitions from previous contents would survive and be re-listed
+    # by the manifest rebuild below as if they belonged to this store
+    if encode_job._fs_exists(spark, os.path.join(dst_dir, "chunks")):
+        raise ValueError(
+            f"compact_store: {dst_dir} already has chunks; compaction "
+            "writes a fresh store — use a new/empty output dir")
     from ..sources.encoded_table import stored_schema
     _, dtypes = stored_schema(spark, src_dir)
 
@@ -110,7 +136,9 @@ def compact_store(spark: SparkSession, src_dir: str, dst_dir: str,
 
     def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         part_id, nseq, col = int(key[0]), int(key[1]), str(key[2])
-        pdf = pdf.sort_values("chunk_id")  # row order (see _plan_groups)
+        pdf = pdf.iloc[sorted(
+            range(len(pdf)),
+            key=lambda ix: _id_order_key(str(pdf["chunk_id"].iloc[ix])))]
         chunk_id = f"p{part_id:05d}-c{nseq:05d}"
         if len(pdf) == 1:
             row = {c: pdf.iloc[0][c] for c in out_cols}
@@ -127,7 +155,7 @@ def compact_store(spark: SparkSession, src_dir: str, dst_dir: str,
         dt_sec = time.perf_counter() - t0
         mn, mx, sm, nulls = chunk_stats_for(series)
         mn_f, mx_f = float_chunk_stats(series)
-        mn_s, mx_s = _string_series_min_max(series)
+        mn_s, mx_s = _string_series_min_max(series, dtypes.get(col))
         row = {
             "part_id": part_id, "chunk_seq": nseq, "chunk_id": chunk_id,
             "column": col, "codec": codec, "num_elements": len(series),

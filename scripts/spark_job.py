@@ -104,6 +104,9 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"sum": total, **stats}))
     elif args.cmd == "compact":
         from compressed_vec_spark.spark import compact_job
+        bad = [kv for kv in args.codec_override if "=" not in kv]
+        if bad:
+            p.error(f"--codec-override must be COL=CODEC, got {bad[0]!r}")
         overrides = dict(kv.split("=", 1) for kv in args.codec_override)
         stats = compact_job.compact_store(
             spark, args.input, args.output,

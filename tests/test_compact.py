@@ -167,6 +167,52 @@ def test_compact_passthrough_is_byte_identical(spark, tmp_path):
     assert src_sha == dst_sha  # blobs untouched, ids stable
 
 
+def test_id_order_key_is_numeric_not_lexicographic():
+    ids = ["p00000-c100000", "p00000-c99999", "b00000002-p00000-c00000",
+           "b00000010-p00000-c00000"]
+    ordered = sorted(ids, key=compact_job._id_order_key)
+    # c99999 < c100000 numerically (lexicographic would invert them);
+    # batch 2 < batch 10 (same)
+    assert ordered == ["p00000-c99999", "p00000-c100000",
+                       "b00000002-p00000-c00000", "b00000010-p00000-c00000"]
+
+
+def test_compact_keeps_string_stats_on_binary_codec_chunks(spark, tmp_path):
+    """A string column stored under a binary codec (deflate override)
+    decodes to bytes in the merge; its min_str/max_str must still be
+    recomputed (decoded back from the UTF-8 bytes) or string predicates
+    on the compacted store NULL-prune the merged chunks and silently
+    return 0."""
+    src = str(tmp_path / "src_sb")
+    dst = str(tmp_path / "dst_sb")
+    df = spark.range(0, 3000, 1, 2).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("val-"),
+                 F.lpad((F.col("id") / 1000).cast("int").cast("string"),
+                        2, "0")).alias("s"))
+    df = df.repartitionByRange(2, "s", "k").sortWithinPartitions("s", "k")
+    encode_job.encode_table(spark, df, src, url_col=None,
+                            codec_overrides={"s": "deflate"})
+    stats = compact_job.compact_store(spark, src, dst, target_elements=10**6,
+                                      codec_overrides={"s": "deflate"})
+    assert stats["merged_groups"] > 0
+    m = spark.read.parquet(os.path.join(dst, "manifest"))
+    s_rows = m.where(F.col("column") == "s").collect()
+    assert all(r["min_str"] is not None for r in s_rows), s_rows
+    cnt, st = encoded_table.pruned_string_equals_count(
+        spark, dst, "s", "val-01")
+    assert cnt == 1000, st
+
+
+def test_compact_refuses_nonempty_dst(spark, tmp_path):
+    src = str(tmp_path / "src_ne")
+    encode_job.encode_table(spark, _mixed_df(spark, 500), src, url_col=None)
+    dst = str(tmp_path / "dst_ne")
+    compact_job.compact_store(spark, src, dst, target_elements=10**6)
+    with pytest.raises(ValueError, match="already has chunks"):
+        compact_job.compact_store(spark, src, dst, target_elements=10**6)
+
+
 def test_compact_rejects_foreign_version(spark, tmp_path):
     src = str(tmp_path / "src3")
     (spark.createDataFrame([(1,)], "format_version int")
