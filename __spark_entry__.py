@@ -38,6 +38,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_table_string_filter_count": q.encoded_table_string_filter_count,
         "encoded_table_string_range_count":
             q.encoded_table_string_range_count,
+        # exact-text point lookup: per-chunk Bloom filters prune where
+        # zone maps can't (unsorted probe column)
+        "encoded_table_point_lookup": q.encoded_table_point_lookup,
         "encoded_table_float_range_count":
             q.encoded_table_float_range_count,
         "encoded_table_filter_select": q.encoded_table_filter_select,
@@ -149,6 +152,9 @@ def oracle_sql() -> dict[str, str]:
         "encoded_table_string_range_count":
             "SELECT CAST(count(CASE WHEN source BETWEEN 'src12' AND 'src17'"
             " THEN 1 END) AS BIGINT) AS range_hits FROM documents",
+        "encoded_table_point_lookup":
+            "SELECT CAST(count(*) AS BIGINT) AS hits FROM documents "
+            "WHERE text = (SELECT text FROM documents WHERE doc_id = 42)",
         "encoded_table_float_range_count":
             "SELECT CAST(count(CASE WHEN value BETWEEN 10.0 AND 20.0"
             " THEN 1 END) AS BIGINT) AS range_hits FROM events",

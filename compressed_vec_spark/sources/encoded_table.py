@@ -193,17 +193,41 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
 
 def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
                        manifest_pred, chunk_fn,
-                       track_fallback: bool = True) -> tuple[int, dict]:
+                       track_fallback: bool = True,
+                       bloom_value: str | None = None) -> tuple[int, dict]:
     """Shared skeleton of every chunk-pruned count over the store:
     manifest-stat prune -> broadcast surviving chunk ids -> per-chunk
     kernel inside mapInPandas -> one-row aggregate.  `chunk_fn(blob,
     codec) -> (hits, used_fast_path)` supplies the predicate-specific
     kernel; everything else (the prune accounting, the join shape, the
-    stats dict) is identical across predicate shapes by construction."""
+    stats dict) is identical across predicate shapes by construction.
+
+    `bloom_value` (equality probes only) adds a second prune level
+    AFTER the zone maps: chunks whose manifest Bloom filter proves the
+    value absent are dropped before any blob read — the level that
+    matters when the store isn't sorted on the probed column and every
+    chunk's [min_str, max_str] admits the value (codecs/bloom.py).
+    Stores older than format v5 have no bloom column; the probe then
+    degrades to zone-map pruning alone (bloom_pruned_chunks = 0)."""
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
     total_chunks = manifest.where(F.col("column") == column).count()
     candidates = manifest.where((F.col("column") == column) & manifest_pred)
-    scanned_chunks = candidates.count()
+    bloom_pruned = 0
+    if bloom_value is not None and "bloom" in manifest.columns:
+        zone_survivors = candidates.count()
+        from ..codecs import bloom as bloom_codec
+
+        @F.pandas_udf("boolean")
+        def _probe(blooms: pd.Series) -> pd.Series:
+            return pd.Series([bloom_codec.might_contain(
+                bytes(b) if b is not None else None, bloom_value)
+                for b in blooms])
+
+        candidates = candidates.where(_probe(F.col("bloom")))
+        scanned_chunks = candidates.count()
+        bloom_pruned = zone_survivors - scanned_chunks
+    else:
+        scanned_chunks = candidates.count()
     cand_ids = candidates.select("chunk_id")
 
     chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
@@ -231,6 +255,8 @@ def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
         "scanned_chunks": scanned_chunks,
         "pruned_chunks": total_chunks - scanned_chunks,
     }
+    if bloom_value is not None:
+        stats["bloom_pruned_chunks"] = bloom_pruned
     if track_fallback:
         stats["dict_fast_chunks"] = int(agg["f"] or 0)
         stats["decoded_fallback_chunks"] = int(agg["d"] or 0)
@@ -287,7 +313,8 @@ def pruned_string_equals_count(spark: SparkSession, out_dir: str,
 
     return _pruned_count_scan(
         spark, out_dir, column,
-        (F.col("min_str") <= value) & (F.col("max_str") >= value), kernel)
+        (F.col("min_str") <= value) & (F.col("max_str") >= value), kernel,
+        bloom_value=value)
 
 
 def pruned_string_prefix_count(spark: SparkSession, out_dir: str,

@@ -38,6 +38,7 @@ import time
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 
+from ..codecs import bloom as bloom_codec
 from ..codecs import chunk as chunk_codec
 from ..sources.encoded_table import chunk_stats_for, float_chunk_stats
 from . import encode_job
@@ -165,6 +166,7 @@ def compact_store(spark: SparkSession, src_dir: str, dst_dir: str,
             "min_val": mn, "max_val": mx, "sum_val": sm,
             "null_count": nulls, "min_str": mn_s, "max_str": mx_s,
             "min_f64": mn_f, "max_f64": mx_f,
+            "bloom": bloom_codec.build_from_series(series),
             "encode_sec": dt_sec, "blob": blob,
         }
         return pd.DataFrame([row])[out_cols]

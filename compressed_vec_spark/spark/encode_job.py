@@ -39,6 +39,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..codecs import bloom as bloom_codec
 from ..codecs import chunk as chunk_codec
 from ..sources.encoded_table import chunk_stats_for, float_chunk_stats
 
@@ -48,22 +49,26 @@ CHUNK_SCHEMA = (
     "min_val long, max_val long, sum_val long, null_count long, "
     "min_str string, max_str string, "
     "min_f64 double, max_f64 double, "
+    "bloom binary, "
     "encode_sec double, blob binary"
 )
 
 MANIFEST_COLS = ["part_id", "chunk_seq", "chunk_id", "column", "codec",
                  "num_elements", "raw_bytes", "encoded_bytes", "sha256",
                  "min_val", "max_val", "sum_val", "null_count",
-                 "min_str", "max_str", "min_f64", "max_f64", "encode_sec"]
+                 "min_str", "max_str", "min_f64", "max_f64", "bloom",
+                 "encode_sec"]
 
 # Bumped whenever CHUNK_SCHEMA / MANIFEST_COLS change shape.  v2 added
 # sum_val + null_count; v3 added min_str/max_str (string-column chunk
 # stats enabling string-predicate chunk pruning over the store); v4
 # added min_f64/max_f64 (float-column chunk stats — range predicates
-# over xor_f64/vec_f32 columns prune at the manifest level).
+# over xor_f64/vec_f32 columns prune at the manifest level); v5 added
+# bloom (per-chunk Bloom filters on key-like string/binary columns —
+# point-lookup pruning where zone maps can't help, codecs/bloom.py).
 # Stores written before versioning existed have no store_meta directory
 # and read as None.
-STORE_FORMAT_VERSION = 4
+STORE_FORMAT_VERSION = 5
 
 
 def _store_version(spark: SparkSession, out_dir: str) -> int | None:
@@ -165,6 +170,7 @@ _CHUNK_PA_FIELDS = [
     ("min_val", "int64"), ("max_val", "int64"), ("sum_val", "int64"),
     ("null_count", "int64"), ("min_str", "string"), ("max_str", "string"),
     ("min_f64", "float64"), ("max_f64", "float64"),
+    ("bloom", "binary"),
     ("encode_sec", "float64"),
     ("blob", "binary"),
 ]
@@ -215,6 +221,7 @@ def _encode_iter_arrow(columns: list[str], codec_overrides: dict[str, str],
                     mn = mx = sm = None
                     mn_s, mx_s = _string_min_max(arr)
                     mn_f = mx_f = None
+                    blm = bloom_codec.build(arr)
                     nulls = arr.null_count
                     raw = _raw_size_arrow(arr)
                 else:
@@ -224,6 +231,7 @@ def _encode_iter_arrow(columns: list[str], codec_overrides: dict[str, str],
                     mn, mx, sm, nulls = chunk_stats_for(series)
                     mn_s = mx_s = None
                     mn_f, mx_f = float_chunk_stats(series)
+                    blm = None
                     raw = _raw_size(series)
                 dt = time.perf_counter() - t0
                 rows.append({
@@ -237,6 +245,7 @@ def _encode_iter_arrow(columns: list[str], codec_overrides: dict[str, str],
                     "sum_val": sm, "null_count": nulls,
                     "min_str": mn_s, "max_str": mx_s,
                     "min_f64": mn_f, "max_f64": mx_f,
+                    "bloom": blm,
                     "encode_sec": dt, "blob": blob,
                 })
             seq += 1

@@ -266,6 +266,51 @@ def encoded_table_string_range_count(spark, sf_dir) -> DataFrame:
         .select(F.col("range_hits").cast("long"))
 
 
+def _documents_text_store(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached encoded store of documents (doc_id, text) sorted
+    on doc_id — so TEXT values scatter across chunks and every chunk's
+    [min_str, max_str] admits any probe: the layout where zone maps are
+    useless and only the per-chunk Bloom filters can prune."""
+    key = (id(spark.sparkContext), sf_dir, "documents_text")
+    if key not in _STORE_CACHE:
+        from ..spark import encode_job
+        out = _scratch_dir(spark, "cvx_doctext_")
+        df = (_read(spark, sf_dir, "documents")
+              .select("doc_id", "text")
+              .repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id"))
+        encode_job.encode_table(spark, df, out, url_col=None, resume=False)
+        _STORE_CACHE[key] = out
+    return _STORE_CACHE[key]
+
+
+def encoded_table_point_lookup(spark, sf_dir) -> DataFrame:
+    """Exact-text point lookup over the PERSISTED store — the
+    membership probe every dedup pipeline issues ("is this document
+    already in the corpus?"), and the predicate shape zone maps cannot
+    serve: the store sorts on doc_id, so every chunk's
+    [min_str, max_str] covers the probe text and min/max pruning
+    admits ALL chunks.  The manifest's per-chunk Bloom filters
+    (codecs/bloom.py, format v5) answer "definitely absent" from the
+    manifest alone, so only ~FPR of the chunks are read; surviving
+    chunks verify exactly (decode + compare), so false positives cost
+    I/O, never wrong counts.  The probed value is doc 42's text, so
+    hits >= 1 by construction and the planted exact duplicates keep
+    the count interesting."""
+    from ..sources import encoded_table
+    probe = (_read(spark, sf_dir, "documents")
+             .where(F.col("doc_id") == 42).select("text").first()[0])
+    out = _documents_text_store(spark, sf_dir)
+    hits, st = encoded_table.pruned_string_equals_count(
+        spark, out, "text", probe)
+    # zone maps admit everything (doc_id-sorted layout) — the Bloom
+    # level must be doing the pruning
+    if st["total_chunks"] > 1:
+        assert st["bloom_pruned_chunks"] > 0, st
+    assert st["scanned_chunks"] < st["total_chunks"] or st["total_chunks"] == 1, st
+    return spark.createDataFrame(
+        pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
+
+
 def _events_by_value_store(spark: SparkSession, sf_dir: str) -> str:
     """Session-cached encoded store of events (event_id, value)
     range-partitioned AND sorted on value, so each chunk covers a
