@@ -41,6 +41,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-text point lookup: per-chunk Bloom filters prune where
         # zone maps can't (unsorted probe column)
         "encoded_table_point_lookup": q.encoded_table_point_lookup,
+        # incremental-crawl dedup: batch membership anti-join against
+        # the persisted store, Bloom-answered from the manifest
+        "store_membership_antijoin": q.store_membership_antijoin,
         "encoded_table_float_range_count":
             q.encoded_table_float_range_count,
         "encoded_table_filter_select": q.encoded_table_filter_select,
@@ -155,6 +158,16 @@ def oracle_sql() -> dict[str, str]:
         "encoded_table_point_lookup":
             "SELECT CAST(count(*) AS BIGINT) AS hits FROM documents "
             "WHERE text = (SELECT text FROM documents WHERE doc_id = 42)",
+        "store_membership_antijoin":
+            "WITH probes AS ("
+            "  SELECT doc_id AS probe_id, text FROM documents"
+            "  WHERE doc_id % 10 = 3"
+            "  UNION ALL"
+            "  SELECT doc_id + 10000000 AS probe_id, text || '#NEW#' AS text"
+            "  FROM documents WHERE doc_id % 10 = 4)"
+            " SELECT CAST(p.probe_id AS BIGINT) AS probe_id FROM probes p"
+            " WHERE NOT EXISTS ("
+            "   SELECT 1 FROM documents d WHERE d.text = p.text)",
         "encoded_table_float_range_count":
             "SELECT CAST(count(CASE WHEN value BETWEEN 10.0 AND 20.0"
             " THEN 1 END) AS BIGINT) AS range_hits FROM events",

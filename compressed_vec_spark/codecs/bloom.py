@@ -155,19 +155,29 @@ def build_from_series(s) -> bytes | None:
     return build(pa.array(v, type=typ))
 
 
-def might_contain(bloom: bytes | None, value: str | bytes) -> bool:
-    """False only when the chunk DEFINITELY lacks the value.  Absent or
-    unrecognized filters (older store version, future format) answer
-    "maybe" so pruning degrades instead of miscounting."""
+def contains_many(bloom: bytes | None, hashes: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe: one bool per precomputed
+    `hash_values` entry, False only where the chunk DEFINITELY lacks
+    that value.  Absent or unrecognized filters (older store version,
+    future format) answer all-"maybe" so pruning degrades instead of
+    miscounting.  This is the batch-dedup shape: one filter tested
+    against a whole crawl batch's hashes in one numpy pass."""
+    hashes = np.asarray(hashes, dtype=np.uint64)
     if not bloom or bloom[:4] != _MAGIC:
-        return True
+        return np.ones(len(hashes), dtype=bool)
     k, log2m = bloom[4], bloom[5]
     if len(bloom) != 8 + (1 << (log2m - 3)):
-        return True
+        return np.ones(len(hashes), dtype=bool)
+    pos = _positions(hashes, k, log2m)
+    bits = np.frombuffer(bloom, dtype=np.uint8, offset=8)
+    hit = bits[pos >> np.uint64(3)] \
+        & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    return (hit != 0).all(axis=1)
+
+
+def might_contain(bloom: bytes | None, value: str | bytes) -> bool:
+    """Single-value `contains_many`."""
     if isinstance(value, str):
         value = value.encode("utf-8")
     h = hash_values(pa.array([value], type=pa.large_binary()))
-    pos = _positions(h, k, log2m).ravel()
-    bits = np.frombuffer(bloom, dtype=np.uint8, offset=8)
-    return bool(np.all(
-        bits[pos >> np.uint64(3)] & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))))
+    return bool(contains_many(bloom, h)[0])

@@ -508,6 +508,144 @@ def pruned_range_select(spark: SparkSession, out_dir: str,
                           mask_fn, project_cols, dtypes=dtypes)
 
 
+def store_membership(spark: SparkSession, out_dir: str, column: str,
+                     probes: DataFrame, value_col: str,
+                     id_col: str) -> tuple[DataFrame, dict]:
+    """Batch membership probe against the persisted store — the
+    incremental-crawl dedup question: for each probe row, does
+    probes[value_col] appear anywhere in `column` of the store?
+    Returns (DataFrame[id_col, present:boolean], stats).
+
+    The store is typically NOT sorted on the probed column (it sorts on
+    (host, warc_ts); the probe is a text/url), so zone maps admit every
+    chunk and the per-chunk Bloom filters (codecs/bloom.py, format v5)
+    carry the whole prune:
+
+      1. every probe is hashed ONCE, distributed (`bloom.hash_values`
+         inside mapInPandas); only (id, hash) pairs — 16 bytes/probe —
+         are collected and broadcast, never the values.  A crawl batch
+         is small next to the corpus by definition; 10^8 probes
+         broadcast as ~1.6 GB, beyond which the caller shards the batch;
+      2. one pass over the manifest tests ALL probe hashes against each
+         chunk's filter in one numpy call (`bloom.contains_many`) —
+         a probe absent from every filter is PROVEN absent with zero
+         blob reads (Blooms have no false negatives), so the common
+         case (a genuinely new document) never touches a chunk;
+      3. surviving (chunk, probe) candidate pairs — true hits plus
+         ~FPR·chunks false positives per probe — verify exactly: pairs
+         join back to their probe values, group per chunk, and each
+         surviving chunk decodes ONCE (dict chunks answer from a
+         dictionary-heap search without decoding).  False positives
+         cost I/O, never wrong answers.
+
+    Pre-v5 stores (no bloom column) degrade to verifying every
+    (chunk, probe) pair — correct, with pairs_bloom_pruned = 0.
+    NULL probe values are never equal to anything (SQL semantics):
+    present = false without probing."""
+    from ..codecs import bloom as bloom_codec, dictionary
+
+    nn = probes.where(F.col(value_col).isNotNull())
+
+    def hash_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        for pdf in batches:
+            vals = pa.array(pdf[value_col].astype(object),
+                            type=pa.large_utf8())
+            h = bloom_codec.hash_values(vals)
+            yield pd.DataFrame({"pid": pdf[id_col].to_numpy(np.int64),
+                                "h": h.view(np.int64)})
+
+    hp = (nn.select(id_col, value_col)
+          .mapInPandas(hash_fn, "pid long, h long").toPandas())
+    ids = hp["pid"].to_numpy(np.int64)
+    hashes = hp["h"].to_numpy(np.int64).view(np.uint64)
+    n_probes = len(ids)
+    bc = spark.sparkContext.broadcast((ids, hashes))
+
+    manifest = (spark.read.parquet(os.path.join(out_dir, "manifest"))
+                .where(F.col("column") == column))
+    total_chunks = manifest.count()
+    has_bloom = "bloom" in manifest.columns
+    man_cols = ["chunk_id"] + (["bloom"] if has_bloom else [])
+
+    def probe_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p_ids, p_hashes = bc.value
+        for pdf in batches:
+            blooms = pdf["bloom"] if "bloom" in pdf else [None] * len(pdf)
+            chunk_col, id_out = [], []
+            for cid, blm in zip(pdf["chunk_id"], blooms):
+                m = bloom_codec.contains_many(
+                    bytes(blm) if blm is not None else None, p_hashes)
+                sel = p_ids[m]
+                if len(sel):
+                    id_out.append(sel)
+                    chunk_col.extend([cid] * len(sel))
+            yield pd.DataFrame({
+                "chunk_id": pd.Series(chunk_col, dtype=object),
+                "pid": (np.concatenate(id_out) if id_out
+                        else np.empty(0, dtype=np.int64))})
+
+    cand = (manifest.select(*man_cols)
+            .mapInPandas(probe_fn, "chunk_id string, pid long"))
+    candidate_pairs = cand.count()
+    candidate_chunks = cand.select("chunk_id").distinct().count()
+
+    # pair each candidate with its probe VALUE (first time values move),
+    # then verify per chunk: one decode answers all of that chunk's pairs
+    pairs = cand.join(nn.select(F.col(id_col).alias("pid"), value_col),
+                      "pid")
+    grouped = pairs.groupBy("chunk_id").agg(
+        F.collect_list(F.struct(F.col("pid"), F.col(value_col).alias("v")))
+        .alias("plist"))
+    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
+              .where(F.col("column") == column)
+              .select("chunk_id", "codec", "blob")
+              .join(grouped, "chunk_id"))
+
+    def verify_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob, codec, plist in zip(pdf["blob"], pdf["codec"],
+                                          pdf["plist"]):
+                pid = np.array([r["pid"] for r in plist], dtype=np.int64)
+                vals = [r["v"] for r in plist]
+                if codec == "dict":
+                    # every dictionary entry was built from a value the
+                    # chunk actually holds: heap search IS membership
+                    payload = bytes(blob)[4:]
+                    found = np.array(
+                        [bool(dictionary.code_of(payload, v))
+                         for v in vals], dtype=bool)
+                else:
+                    s = _decoded_strings(bytes(blob))
+                    present = set(s)
+                    if len(s) and isinstance(s.iloc[0], bytes):
+                        vals = [v.encode("utf-8") for v in vals]
+                    found = np.array([v in present for v in vals],
+                                     dtype=bool)
+                yield pd.DataFrame({"pid": pid, "found": found})
+
+    found_df = (chunks.mapInPandas(verify_fn, "pid long, found boolean")
+                .groupBy("pid").agg(F.max("found").alias("present")))
+    result = (nn.select(F.col(id_col).alias("pid"))
+              .join(found_df, "pid", "left")
+              .select(F.col("pid").alias(id_col),
+                      F.coalesce("present", F.lit(False)).alias("present")))
+    if probes.where(F.col(value_col).isNull()).limit(1).count():
+        result = result.unionByName(
+            probes.where(F.col(value_col).isNull())
+            .select(id_col, F.lit(False).alias("present")))
+    stats = {
+        "total_chunks": total_chunks,
+        "n_probes": n_probes,
+        "pairs_possible": n_probes * total_chunks,
+        "candidate_pairs": candidate_pairs,
+        "pairs_bloom_pruned": (n_probes * total_chunks - candidate_pairs
+                               if has_bloom else 0),
+        "chunks_verified": candidate_chunks,
+    }
+    return result, stats
+
+
 def stored_schema(spark: SparkSession, out_dir: str) -> tuple[str, dict]:
     """(DDL string, decode dtypes) recovered from the store's own
     table_schema parquet — an encoded table is self-describing."""

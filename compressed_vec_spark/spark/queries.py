@@ -311,6 +311,47 @@ def encoded_table_point_lookup(spark, sf_dir) -> DataFrame:
         pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
 
 
+def store_membership_antijoin(spark, sf_dir) -> DataFrame:
+    """Incremental-crawl dedup against the PERSISTED corpus: a batch of
+    probe documents — half of them already in the store, half genuinely
+    new — is anti-joined against the encoded documents store, returning
+    the probe ids that are NOT yet in the corpus (the ones worth
+    ingesting).  This is THE recurring query of a living 100-TB corpus:
+    every new crawl batch must answer "which of these have we already
+    got?" without re-reading the corpus.
+
+    The store sorts on doc_id, the probe is the text value, so zone
+    maps admit every chunk; the per-chunk Bloom filters answer most
+    (probe, chunk) pairs from the manifest alone
+    (`encoded_table.store_membership`): a new document is PROVEN absent
+    with zero blob reads, and only true hits + ~FPR false positives
+    decode a chunk for exact verification.
+
+    Probe construction is deterministic and SQL-re-derivable: docs with
+    doc_id % 10 == 3 probe their own text (present by construction);
+    docs with doc_id % 10 == 4 probe text || '#NEW#' under probe_id
+    doc_id + 10000000 (absent — membership still COMPUTED, not
+    assumed: the oracle would catch a store that lied)."""
+    from ..sources import encoded_table
+    docs = _read(spark, sf_dir, "documents")
+    probes = (docs.where(F.col("doc_id") % 10 == 3)
+              .select(F.col("doc_id").alias("probe_id"), "text")
+              .unionByName(
+                  docs.where(F.col("doc_id") % 10 == 4)
+                  .select((F.col("doc_id") + 10000000).alias("probe_id"),
+                          F.concat(F.col("text"),
+                                   F.lit("#NEW#")).alias("text"))))
+    out = _documents_text_store(spark, sf_dir)
+    result, st = encoded_table.store_membership(
+        spark, out, "text", probes, value_col="text", id_col="probe_id")
+    # the Bloom level must be doing real work: most (probe, chunk)
+    # pairs answered from the manifest alone
+    if st["total_chunks"] > 1:
+        assert st["pairs_bloom_pruned"] > st["candidate_pairs"], st
+    return (result.where(~F.col("present"))
+            .select(F.col("probe_id").cast("long")))
+
+
 def _events_by_value_store(spark: SparkSession, sf_dir: str) -> str:
     """Session-cached encoded store of events (event_id, value)
     range-partitioned AND sorted on value, so each chunk covers a

@@ -143,3 +143,53 @@ def test_store_without_bloom_column_degrades(spark, tmp_path):
         spark, out, "s", "v001234")
     assert count == 1
     assert st["bloom_pruned_chunks"] == 0
+
+
+def test_store_membership_antijoin(spark, tmp_path):
+    """Batch membership probe: present probes found, absent probes
+    proven absent from the manifest blooms alone, NULL probes never
+    match, and the pair-level pruning stats hold."""
+    out = str(tmp_path / "enc_member")
+    n = 6000
+    vals = _rand_strings(n, seed=11, lo=12, hi=24)
+    pdf = pd.DataFrame({"k": np.arange(n), "s": vals})
+    df = (spark.createDataFrame(pdf)
+          .repartitionByRange(6, "k").sortWithinPartitions("k"))
+    encode_job.encode_table(spark, df, out, url_col=None)
+
+    probes = spark.createDataFrame(pd.DataFrame({
+        "pid": [1, 2, 3, 4, 5],
+        "v": [vals[10], vals[3000], vals[5999],      # present
+              "absent-value-A", None]}))             # absent / null
+    res, st = encoded_table.store_membership(
+        spark, out, "s", probes, value_col="v", id_col="pid")
+    got = {r["pid"]: r["present"] for r in res.collect()}
+    assert got == {1: True, 2: True, 3: True, 4: False, 5: False}
+    assert st["n_probes"] == 4            # null probe never hashed
+    assert st["pairs_bloom_pruned"] > st["candidate_pairs"], st
+    # each present probe exists in exactly one chunk; FPR may add a few
+    assert st["candidate_pairs"] < 4 * st["total_chunks"]
+
+
+def test_store_membership_pre_v5_degrades(spark, tmp_path):
+    """No bloom column: every pair verifies (pairs_bloom_pruned = 0)
+    but answers stay exact."""
+    import os
+    out = str(tmp_path / "enc_member_v4")
+    vals = [f"w{i:05d}" for i in range(3000)]
+    df = (spark.createDataFrame(
+        pd.DataFrame({"k": np.arange(3000), "s": vals}))
+        .repartitionByRange(4, "k").sortWithinPartitions("k"))
+    encode_job.encode_table(spark, df, out, url_col=None)
+    man_path = os.path.join(out, "manifest")
+    man = spark.read.parquet(man_path).drop("bloom").toPandas()
+    spark.createDataFrame(man).write.mode("overwrite").parquet(man_path)
+
+    probes = spark.createDataFrame(pd.DataFrame(
+        {"pid": [1, 2], "v": ["w01234", "nope"]}))
+    res, st = encoded_table.store_membership(
+        spark, out, "s", probes, value_col="v", id_col="pid")
+    got = {r["pid"]: r["present"] for r in res.collect()}
+    assert got == {1: True, 2: False}
+    assert st["pairs_bloom_pruned"] == 0
+    assert st["candidate_pairs"] == st["pairs_possible"]
