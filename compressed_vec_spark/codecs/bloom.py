@@ -24,15 +24,21 @@ build and probe sides share one deterministic pure-numpy hash (below),
 versioned by the blob magic: a reader that sees an unknown magic treats
 the filter as "maybe" and falls back to zone-map pruning alone.
 
-Hash: a polynomial rolling hash over the value's bytes with
-position-from-end powers of the FNV prime (computed for a whole Arrow
-batch in one vectorized pass: cumsum of byte*P^k terms, differenced at
-the value offsets), finished with the splitmix64 avalanche.  k bit
-positions derive from one 64-bit hash by double hashing (Kirsch &
-Mitzenmacher: g_i = h1 + i*h2 preserves the FPR bound).
+Hash: a polynomial rolling hash over the value's 8-byte LITTLE-ENDIAN
+WORDS (tail word zero-masked, value length folded in so trailing NULs
+still distinguish) with position-from-end powers of the FNV prime,
+finished with the splitmix64 avalanche.  Word granularity keeps the
+whole-batch vectorized pass at 1/8th the elements of a per-byte
+formulation, and all the heavy arithmetic runs in int64 — identical to
+uint64 mod 2^64 under two's complement, and ~9x faster on this numpy
+build, so hashing stays a small fraction of a chunk's encode cost.
+k bit positions derive from one 64-bit hash by double hashing (Kirsch
+& Mitzenmacher: g_i = h1 + i*h2 preserves the FPR bound).
 
-Wire layout (little-endian):  b"BLM1" | k:u8 | log2(nbits):u8 |
-pad:u16 | bit array (nbits/8 bytes).
+Wire layout (little-endian):  b"BLM2" | k:u8 | log2(nbits):u8 |
+pad:u16 | bit array (nbits/8 bytes).  BLM1 (the short-lived per-byte
+hash) reads as unknown-magic = "maybe": stale filters degrade, never
+produce false negatives.
 """
 
 from __future__ import annotations
@@ -42,8 +48,9 @@ import pyarrow as pa
 
 from .fsst import _string_buffers
 
-_MAGIC = b"BLM1"
+_MAGIC = b"BLM2"
 _FNV_PRIME = np.uint64(0x100000001B3)
+_LEN_SALT = np.int64(-0x61C8864680B583EB)  # 2^64/phi as signed
 K_HASHES = 7
 BITS_PER_VALUE = 10          # target before the cap; FPR ~1% at k=7
 MIN_LOG2_BITS = 10           # 128 B floor — headers dominate below this
@@ -54,11 +61,16 @@ MAX_LOG2_BITS = 19           # 64 KiB cap per (chunk, column)
 # ids) stay far below it.
 MAX_MEAN_VALUE_BYTES = 4096
 
-_POW_TABLE = np.ones(1, dtype=np.uint64)
+_POW_TABLE = np.ones(1, dtype=np.int64)
+# low-k-bytes masks for the tail word: keep[1..8] -> LE byte mask
+_TAIL_MASKS = np.array(
+    [0] + [(1 << (8 * k)) - 1 for k in range(1, 8)] + [-1],
+    dtype=np.int64)
 
 
 def _powers(n: int) -> np.ndarray:
-    """P^0..P^(n-1) mod 2^64, grown on demand and cached."""
+    """P^0..P^(n-1) mod 2^64 as int64 (bit-identical to the uint64
+    product under two's complement), grown on demand and cached."""
     global _POW_TABLE
     if len(_POW_TABLE) < n:
         grow = max(n, 2 * len(_POW_TABLE))
@@ -66,7 +78,7 @@ def _powers(n: int) -> np.ndarray:
         t[0] = 1
         np.multiply.accumulate(
             np.full(grow - 1, _FNV_PRIME, dtype=np.uint64), out=t[1:])
-        _POW_TABLE = t
+        _POW_TABLE = t.view(np.int64)
     return _POW_TABLE
 
 
@@ -82,22 +94,38 @@ def _mix64(z: np.ndarray) -> np.ndarray:
 
 def hash_values(arr: pa.Array) -> np.ndarray:
     """One uint64 hash per value of a string/binary Arrow array, in one
-    vectorized pass over the concatenated bytes (no per-row Python).
-    Bytes are biased by +1 so a value is never hash-equal to itself
-    plus trailing NULs; empty string hashes to the mixed 0."""
+    vectorized pass at 8-byte-WORD granularity (no per-row Python, no
+    per-byte arrays): unaligned LE words gather straight off the
+    concatenated buffer, the tail word is masked to the value's length,
+    and the value length is salted in so v and v + trailing NULs hash
+    apart.  All element-wise arithmetic runs in int64 (≡ uint64 mod
+    2^64); empty string hashes to the mixed length-salt of 0."""
     data, offsets = _string_buffers(arr)
+    lens = np.diff(offsets)
     if len(data):
-        lens = np.diff(offsets)
-        ends = np.repeat(offsets[1:], lens)
-        exp = ends - 1 - np.arange(len(data), dtype=np.int64)
-        terms = (data.astype(np.uint64) + np.uint64(1)) \
-            * _powers(int(lens.max()))[exp]
-        c = np.zeros(len(data) + 1, dtype=np.uint64)
+        nwords = (lens + 7) >> 3
+        total = int(nwords.sum())
+        wbase = np.zeros(len(nwords) + 1, dtype=np.int64)
+        np.cumsum(nwords, out=wbase[1:])
+        # every unaligned 8-byte LE window of the (padded) buffer
+        pad = np.zeros(len(data) + 8, dtype=np.uint8)
+        pad[:len(data)] = data
+        win = np.ndarray((len(data) + 1,), dtype=np.uint64,
+                         buffer=pad.data, strides=(1,))
+        widx = np.arange(total, dtype=np.int64)
+        # global byte position of each word = value start + 8*word_ofs
+        pos = np.repeat(offsets[:-1] - 8 * wbase[:-1], nwords) + 8 * widx
+        keep = np.minimum(np.repeat(offsets[1:], nwords) - pos, 8)
+        w = win[pos].view(np.int64) & _TAIL_MASKS[keep]
+        exp = np.repeat(wbase[1:] - 1, nwords) - widx
+        terms = (w + np.int64(1)) * _powers(int(nwords.max()))[exp]
+        c = np.zeros(total + 1, dtype=np.int64)
         np.cumsum(terms, out=c[1:])
-        raw = c[offsets[1:]] - c[offsets[:-1]]   # wraps mod 2^64
+        raw = c[wbase[1:]] - c[wbase[:-1]]       # wraps mod 2^64
     else:
-        raw = np.zeros(len(arr), dtype=np.uint64)
-    return _mix64(raw)
+        raw = np.zeros(len(arr), dtype=np.int64)
+    raw = raw + lens * _LEN_SALT
+    return _mix64(raw.view(np.uint64))
 
 
 def _positions(h: np.ndarray, k: int, log2m: int) -> np.ndarray:
