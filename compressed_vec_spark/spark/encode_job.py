@@ -194,15 +194,17 @@ def _string_min_max(arr) -> tuple[str | None, str | None]:
 
 
 def _encode_iter_arrow(columns: list[str], codec_overrides: dict[str, str],
-                       skip_parts: set[int]):
+                       skip_parts: set[int], part_offset: int = 0):
     """mapInArrow encode worker: one arrow RecordBatch = one chunk.
     String/binary codecs run straight on the arrow buffers (zero per-row
-    Python); numeric/dict columns take one cheap pandas conversion."""
+    Python); numeric/dict columns take one cheap pandas conversion.
+    `part_offset` shifts part ids past an existing store's parts so an
+    append lands in fresh partition directories (append_table)."""
     def fn(batches):
         import pyarrow as pa
         from pyspark import TaskContext
         out_schema = pa.schema([(n, getattr(pa, t)()) for n, t in _CHUNK_PA_FIELDS])
-        part_id = TaskContext.get().partitionId()
+        part_id = part_offset + TaskContext.get().partitionId()
         if part_id in skip_parts:
             return
         seq = 0
@@ -338,6 +340,102 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
     (written.select(*MANIFEST_COLS)
             .write.mode("overwrite").parquet(manifest_path))
     return spark.read.parquet(chunks_path)
+
+
+def append_table(spark: SparkSession, df: DataFrame, out_dir: str,
+                 batch_id: str,
+                 codec_overrides: dict[str, str] | None = None,
+                 url_col: str | None = "url",
+                 num_partitions: int | None = None) -> DataFrame:
+    """Append a new batch of rows to an EXISTING store — the ingest half
+    of the living-corpus loop (store_membership finds the novel
+    documents of a crawl batch; append_table lands them) without
+    touching any existing chunk.
+
+    Idempotence contract: `batch_id` names the batch (a crawl id, a
+    date).  The batch's part-id range is recorded in {out_dir}/append_log
+    BEFORE any chunk is written, so a retry of a crashed append reuses
+    the same range and its dynamic partition overwrite REPLACES the
+    partial parts instead of duplicating them; re-running a completed
+    batch rewrites the same parts with the same deterministic bytes.  A
+    batch_id must always carry the same rows — appending different data
+    under a reused id overwrites the earlier batch's parts.
+
+    Scale shape: one repartition of the new batch only (the existing
+    store is never read beyond its manifest row-count-free part listing
+    and never rewritten), then the same embarrassingly-parallel encode
+    as encode_table.  The manifest is re-derived from the full chunks
+    dataset afterwards — one metadata-sized rewrite, kept in favor of a
+    dual-source manifest that could drift from the data of record.
+
+    Refuses: a store of a different format version (mixing chunk
+    schemas corrupts every reader) or a batch whose columns/types don't
+    match the store's own table_schema (an appended column the old
+    chunks lack would decode as misaligned rows)."""
+    ver = _store_version(spark, out_dir)
+    if ver != STORE_FORMAT_VERSION:
+        raise ValueError(
+            f"append_table: store at {out_dir} has format_version={ver}, "
+            f"this build writes v{STORE_FORMAT_VERSION}; re-encode or "
+            "compact the store with a matching build first")
+    schema_rows = (spark.read.parquet(os.path.join(out_dir, "table_schema"))
+                   .orderBy("position").collect())
+    store_schema = [(r["name"], r["dtype"]) for r in schema_rows]
+    columns = [n for n, _ in store_schema]
+    batch_schema = [(f.name, f.dataType.simpleString())
+                    for f in df.schema.fields if f.name in columns]
+    if sorted(batch_schema) != sorted(store_schema):
+        raise ValueError(
+            f"append_table: batch schema {sorted(batch_schema)} does not "
+            f"match store schema {sorted(store_schema)}")
+
+    if url_col and url_col in df.columns:
+        df = with_salted_partitioning(df, url_col, num_partitions)
+    elif num_partitions:
+        df = df.repartition(num_partitions)
+    n_parts = df.rdd.getNumPartitions()
+
+    chunks_path = os.path.join(out_dir, "chunks")
+    log_path = os.path.join(out_dir, "append_log")
+    prior = ({r["batch_id"]: (r["part_offset"], r["n_parts"])
+              for r in spark.read.parquet(log_path).collect()}
+             if _fs_exists(spark, log_path) else {})
+    if batch_id in prior:
+        part_offset, reserved = prior[batch_id]
+        if n_parts > reserved:
+            raise ValueError(
+                f"append_table: retry of batch {batch_id!r} has {n_parts} "
+                f"partitions but its reserved range holds {reserved}; "
+                "retry with num_partitions <= the original, or use a new "
+                "batch_id")
+    else:
+        # the next free part id must clear BOTH the parts on disk and
+        # every RESERVED range (a logged batch that crashed before
+        # writing any chunk still owns its range — its retry will fill
+        # it)
+        max_part = (spark.read.parquet(chunks_path)
+                    .agg(F.max("part_id")).collect()[0][0])
+        part_offset = max(
+            [(max_part + 1) if max_part is not None else 0]
+            + [off + n for off, n in prior.values()])
+        # intent recorded BEFORE any chunk write: a crashed append's
+        # retry finds its range here instead of colliding past the
+        # partial parts
+        (spark.createDataFrame([(batch_id, part_offset, n_parts)],
+                               "batch_id string, part_offset int, n_parts int")
+            .coalesce(1).write.mode("append").parquet(log_path))
+
+    enc = df.mapInArrow(
+        _encode_iter_arrow(columns, codec_overrides or {}, set(),
+                           part_offset=int(part_offset)),
+        schema=CHUNK_SCHEMA)
+    (enc.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_id").parquet(chunks_path))
+    written = spark.read.parquet(chunks_path)
+    (written.select(*MANIFEST_COLS)
+            .write.mode("overwrite").parquet(os.path.join(out_dir, "manifest")))
+    return written
 
 
 def manifest_summary(spark: SparkSession, out_dir: str) -> dict:

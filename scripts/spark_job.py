@@ -32,6 +32,20 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--no-resume", action="store_true")
     enc.add_argument("--url-col", default="url")
 
+    app = sub.add_parser(
+        "append", help="append a new batch to an existing store "
+                       "(idempotent per --batch-id; existing chunks "
+                       "untouched)")
+    app.add_argument("--input", help="batch parquet path (store schema)")
+    app.add_argument("--synthetic", type=int, default=0,
+                     help="generate N deterministic synthetic pages instead of --input")
+    app.add_argument("--output", required=True, help="existing store dir")
+    app.add_argument("--batch-id", required=True,
+                     help="stable name of this batch (crawl id / date); "
+                          "retries with the same id replace, never duplicate")
+    app.add_argument("--partitions", type=int, default=None)
+    app.add_argument("--url-col", default="url")
+
     dec = sub.add_parser("decode", help="decode chunks back to rows")
     dec.add_argument("--input", required=True, help="encode output dir")
     dec.add_argument("--output", required=True, help="decoded parquet path")
@@ -80,6 +94,16 @@ def main(argv: list[str] | None = None) -> int:
                                 url_col=args.url_col,
                                 num_partitions=args.partitions,
                                 resume=not args.no_resume)
+        print(json.dumps(encode_job.manifest_summary(spark, args.output)))
+    elif args.cmd == "append":
+        if args.synthetic:
+            df = webtable.webpages(spark, args.synthetic)
+        else:
+            df = spark.read.parquet(args.input)
+        encode_job.append_table(spark, df, args.output,
+                                batch_id=args.batch_id,
+                                url_col=args.url_col,
+                                num_partitions=args.partitions)
         print(json.dumps(encode_job.manifest_summary(spark, args.output)))
     elif args.cmd == "decode":
         from compressed_vec_spark.sources import encoded_table

@@ -170,3 +170,75 @@ def test_salted_partitioning_spreads_hot_host(spark):
             .filter(F.col("__host") == top["__h"])
             .select("pid").distinct().count())
     assert dist > 1  # hot host fanned out across partitions
+
+
+def test_append_table_extends_store(spark, tmp_path):
+    """Append lands a second batch in fresh parts: decoded view is the
+    union, existing chunks untouched (sha-identical), manifest covers
+    everything, and queries see both batches."""
+    from compressed_vec_spark.sources import encoded_table
+    out = str(tmp_path / "enc_app")
+    web = webtable.webpages(spark, 4000, partitions=4)
+    a = web.where(F.crc32(F.col("url")) % 2 == 0)
+    b = web.where(F.crc32(F.col("url")) % 2 == 1)
+    n_a, n_b = a.count(), b.count()
+    assert n_a > 0 and n_b > 0
+    encode_job.encode_table(spark, a, out, num_partitions=4)
+    before = {r["chunk_id"] + "|" + r["column"]: r["sha256"]
+              for r in spark.read.parquet(os.path.join(out, "manifest"))
+              .select("chunk_id", "column", "sha256").collect()}
+
+    encode_job.append_table(spark, b, out, batch_id="b1", num_partitions=4)
+
+    decoded = encoded_table.read_decoded(spark, out)
+    assert decoded.count() == n_a + n_b
+    res = decode_job.verify_bit_identical(web, decoded, key="url")
+    assert all(v == 0 for v in res["mismatches"].values()), res
+    man = spark.read.parquet(os.path.join(out, "manifest"))
+    after = {r["chunk_id"] + "|" + r["column"]: r["sha256"]
+             for r in man.select("chunk_id", "column", "sha256").collect()}
+    assert set(before) < set(after)
+    assert all(after[k] == v for k, v in before.items())
+    # appended parts occupy a disjoint id range
+    parts_a = {int(k.split("-")[0][1:]) for k in before}
+    parts_b = {int(k.split("-")[0][1:]) for k in set(after) - set(before)}
+    assert max(parts_a) < min(parts_b)
+
+
+def test_append_table_idempotent_retry(spark, tmp_path):
+    """Re-running a batch_id replaces its own parts: row count and
+    manifest stay stable, and a SECOND batch starts past the reserved
+    range even if the first batch logged but crashed."""
+    from compressed_vec_spark.sources import encoded_table
+    out = str(tmp_path / "enc_retry")
+    web = webtable.webpages(spark, 3000, partitions=4)
+    a, b = web.limit(2000), web.subtract(web.limit(2000))
+    encode_job.encode_table(spark, a, out, num_partitions=4)
+    encode_job.append_table(spark, b, out, batch_id="b1", num_partitions=2)
+    n1 = encoded_table.read_decoded(spark, out).count()
+    chunks1 = spark.read.parquet(os.path.join(out, "chunks")).count()
+    # retry the SAME batch: nothing duplicates
+    encode_job.append_table(spark, b, out, batch_id="b1", num_partitions=2)
+    assert encoded_table.read_decoded(spark, out).count() == n1
+    assert spark.read.parquet(os.path.join(out, "chunks")).count() == chunks1
+    # a retry needing MORE parts than reserved refuses instead of
+    # spilling into a neighbor batch's range
+    with pytest.raises(ValueError, match="reserved"):
+        encode_job.append_table(spark, b, out, batch_id="b1",
+                                num_partitions=8)
+
+
+def test_append_table_refuses_mismatches(spark, tmp_path):
+    out = str(tmp_path / "enc_refuse")
+    web = webtable.webpages(spark, 500, partitions=2)
+    encode_job.encode_table(spark, web, out, num_partitions=2)
+    # schema drift
+    with pytest.raises(ValueError, match="schema"):
+        encode_job.append_table(
+            spark, web.withColumn("warc_ts", F.lit(1).cast("long")),
+            out, batch_id="bad")
+    # foreign format version
+    (spark.createDataFrame([(2,)], "format_version int").coalesce(1)
+     .write.mode("overwrite").parquet(os.path.join(out, "store_meta")))
+    with pytest.raises(ValueError, match="format_version"):
+        encode_job.append_table(spark, web, out, batch_id="b2")
