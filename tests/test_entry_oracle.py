@@ -282,3 +282,16 @@ def test_new_query_plans_are_scale_shaped(spark):
     assert "BroadcastHashJoin" in dec, dec
     assert "CartesianProduct" not in dec
     assert "BroadcastNestedLoopJoin" not in dec
+
+
+def test_membership_antijoin_plan_is_scale_shaped(spark):
+    """The membership anti-join's final result must not carry a
+    cartesian or nested-loop join anywhere; candidate pairs meet their
+    probe values through hash joins only."""
+    from compressed_vec_spark import plans
+    from compressed_vec_spark.spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    plan = plans.physical_plan(q.store_membership_antijoin(spark, sf))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
