@@ -44,6 +44,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental-crawl dedup: batch membership anti-join against
         # the persisted store, Bloom-answered from the manifest
         "store_membership_antijoin": q.store_membership_antijoin,
+        # IN-list over the store: OneOf on compressed codes, blooms
+        # pruning chunks where every listed value is provably absent
+        "encoded_table_string_in_count": q.encoded_table_string_in_count,
         "encoded_table_float_range_count":
             q.encoded_table_float_range_count,
         "encoded_table_filter_select": q.encoded_table_filter_select,
@@ -168,6 +171,12 @@ def oracle_sql() -> dict[str, str]:
             " SELECT CAST(p.probe_id AS BIGINT) AS probe_id FROM probes p"
             " WHERE NOT EXISTS ("
             "   SELECT 1 FROM documents d WHERE d.text = p.text)",
+        "encoded_table_string_in_count":
+            "SELECT CAST(count(*) AS BIGINT) AS hits FROM documents"
+            " WHERE text IN ("
+            "   SELECT text FROM documents WHERE doc_id IN (7, 101)"
+            "   UNION ALL"
+            "   SELECT text || '#ABSENT#' FROM documents WHERE doc_id = 7)",
         "encoded_table_float_range_count":
             "SELECT CAST(count(CASE WHEN value BETWEEN 10.0 AND 20.0"
             " THEN 1 END) AS BIGINT) AS range_hits FROM events",

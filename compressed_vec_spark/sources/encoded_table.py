@@ -194,7 +194,8 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
 def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
                        manifest_pred, chunk_fn,
                        track_fallback: bool = True,
-                       bloom_value: str | None = None) -> tuple[int, dict]:
+                       bloom_value: str | list[str] | None = None) \
+        -> tuple[int, dict]:
     """Shared skeleton of every chunk-pruned count over the store:
     manifest-stat prune -> broadcast surviving chunk ids -> per-chunk
     kernel inside mapInPandas -> one-row aggregate.  `chunk_fn(blob,
@@ -202,25 +203,31 @@ def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
     kernel; everything else (the prune accounting, the join shape, the
     stats dict) is identical across predicate shapes by construction.
 
-    `bloom_value` (equality probes only) adds a second prune level
-    AFTER the zone maps: chunks whose manifest Bloom filter proves the
-    value absent are dropped before any blob read — the level that
-    matters when the store isn't sorted on the probed column and every
-    chunk's [min_str, max_str] admits the value (codecs/bloom.py).
-    Stores older than format v5 have no bloom column; the probe then
-    degrades to zone-map pruning alone (bloom_pruned_chunks = 0)."""
+    `bloom_value` (equality/IN probes only; a str or a list of str)
+    adds a second prune level AFTER the zone maps: chunks whose
+    manifest Bloom filter proves every probed value absent are dropped
+    before any blob read — the level that matters when the store isn't
+    sorted on the probed column and every chunk's [min_str, max_str]
+    admits the value (codecs/bloom.py).  Stores older than format v5
+    have no bloom column; the probe then degrades to zone-map pruning
+    alone (bloom_pruned_chunks = 0)."""
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
     total_chunks = manifest.where(F.col("column") == column).count()
     candidates = manifest.where((F.col("column") == column) & manifest_pred)
     bloom_pruned = 0
     if bloom_value is not None and "bloom" in manifest.columns:
         zone_survivors = candidates.count()
+        import pyarrow as pa
         from ..codecs import bloom as bloom_codec
+        probe_vals = ([bloom_value] if isinstance(bloom_value, str)
+                      else list(bloom_value))
+        hashes = bloom_codec.hash_values(
+            pa.array(probe_vals, type=pa.large_utf8()))
 
         @F.pandas_udf("boolean")
         def _probe(blooms: pd.Series) -> pd.Series:
-            return pd.Series([bloom_codec.might_contain(
-                bytes(b) if b is not None else None, bloom_value)
+            return pd.Series([bool(bloom_codec.contains_many(
+                bytes(b) if b is not None else None, hashes).any())
                 for b in blooms])
 
         candidates = candidates.where(_probe(F.col("bloom")))
@@ -315,6 +322,48 @@ def pruned_string_equals_count(spark: SparkSession, out_dir: str,
         spark, out_dir, column,
         (F.col("min_str") <= value) & (F.col("max_str") >= value), kernel,
         bloom_value=value)
+
+
+def pruned_string_in_count(spark: SparkSession, out_dir: str,
+                           column: str, values: list[str]) \
+        -> tuple[int, dict]:
+    """count(column IN (values)) for a STRING column over the persisted
+    store — the reference's OneOfSink (src/filter.rs:143-177) at the
+    storage layer.  Pruning layers:
+
+      1. manifest zone maps: a chunk survives only if its
+         [min_str, max_str] admits at least one of the values;
+      2. the chunk's Bloom filter: ALL values hashed once, one
+         `contains_many` pass per chunk — a chunk where every value is
+         provably absent is never read (the level that matters when the
+         store isn't sorted on the probed column);
+      3. surviving dict chunks map the values to codes via the sorted
+         heap (`code_of`, absent values drop out free) and run OneOf on
+         the COMPRESSED u32 code vector (`one_of_mask`); non-dict
+         chunks decode once and compare against the value set.
+    """
+    from functools import reduce
+    from operator import or_
+    from ..codecs import dictionary
+
+    def kernel(blob: bytes, codec: str) -> tuple[int, bool]:
+        if codec == "dict":
+            payload = blob[4:]
+            codes = [c for c in (dictionary.code_of(payload, v)
+                                 for v in values) if c]
+            if not codes:
+                return 0, True
+            return filters.count_hits(filters.one_of_mask(
+                dictionary.codes_vector(payload), "u32", codes)), True
+        s = _decoded_strings(blob)
+        vset = set(_align_bounds(s, *values))
+        return int(s.isin(vset).sum()), False
+
+    return _pruned_count_scan(
+        spark, out_dir, column,
+        reduce(or_, [(F.col("min_str") <= v) & (F.col("max_str") >= v)
+                     for v in values]),
+        kernel, bloom_value=values)
 
 
 def pruned_string_prefix_count(spark: SparkSession, out_dir: str,

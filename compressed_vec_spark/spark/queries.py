@@ -352,6 +352,29 @@ def store_membership_antijoin(spark, sf_dir) -> DataFrame:
             .select(F.col("probe_id").cast("long")))
 
 
+def encoded_table_string_in_count(spark, sf_dir) -> DataFrame:
+    """IN-list probe over the PERSISTED store — OneOfSink (reference
+    src/filter.rs:143-177) at the storage layer, on the layout where
+    zone maps can't help (doc_id-sorted store, text probes): two texts
+    present (docs 7 and 101), one absent variant.  The per-chunk Bloom
+    filters hash all three values once and drop every chunk where all
+    three are provably absent; surviving dict chunks run OneOf on the
+    compressed code vector, fsst chunks decode once against the set."""
+    from ..sources import encoded_table
+    texts = {r["doc_id"]: r["text"]
+             for r in (_read(spark, sf_dir, "documents")
+                       .where(F.col("doc_id").isin([7, 101]))
+                       .select("doc_id", "text").collect())}
+    values = [texts[7], texts[101], texts[7] + "#ABSENT#"]
+    out = _documents_text_store(spark, sf_dir)
+    hits, st = encoded_table.pruned_string_in_count(
+        spark, out, "text", values)
+    if st["total_chunks"] > 2:
+        assert st["bloom_pruned_chunks"] > 0, st
+    return spark.createDataFrame(
+        pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
+
+
 def _events_by_value_store(spark: SparkSession, sf_dir: str) -> str:
     """Session-cached encoded store of events (event_id, value)
     range-partitioned AND sorted on value, so each chunk covers a

@@ -193,3 +193,26 @@ def test_store_membership_pre_v5_degrades(spark, tmp_path):
     assert got == {1: True, 2: False}
     assert st["pairs_bloom_pruned"] == 0
     assert st["candidate_pairs"] == st["pairs_possible"]
+
+
+def test_pruned_string_in_count(spark, tmp_path):
+    """IN-list over the store: values spread across chunks, blooms
+    prune chunks where ALL listed values are provably absent; an
+    all-absent list touches nothing."""
+    out = str(tmp_path / "enc_in")
+    n = 8192
+    vals = _rand_strings(n, seed=21, lo=12, hi=24)
+    df = (spark.createDataFrame(pd.DataFrame({"k": np.arange(n), "s": vals}))
+          .repartitionByRange(8, "k").sortWithinPartitions("k"))
+    encode_job.encode_table(spark, df, out, url_col=None)
+
+    probe = [vals[100], vals[4000], vals[8000], "no-such-value-1"]
+    count, st = encoded_table.pruned_string_in_count(spark, out, "s", probe)
+    assert count == 3
+    assert st["bloom_pruned_chunks"] > 0, st
+    assert st["scanned_chunks"] < st["total_chunks"]
+
+    count, st = encoded_table.pruned_string_in_count(
+        spark, out, "s", ["\x01absent-a", "\x01absent-b"])
+    assert count == 0
+    assert st["scanned_chunks"] == 0, st
