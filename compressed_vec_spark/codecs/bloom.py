@@ -170,9 +170,11 @@ def build(arr: pa.Array) -> bytes | None:
 def build_from_series(s) -> bytes | None:
     """build() for a decoded pandas object Series (compaction path,
     where merged chunks exist as pandas, not Arrow).  Values may be str
-    or bytes depending on the chunk codec; both hash identically to
-    their UTF-8 bytes, so a filter built from either form answers
-    probes for the same logical string."""
+    or bytes depending on each member chunk's codec — a merged string
+    column can even MIX the two (one member fsst -> str, another
+    deflate -> utf-8 bytes); both hash identically to their UTF-8
+    bytes, so a filter built from any form answers probes for the same
+    logical string."""
     if s.dtype != object:
         return None
     v = s.dropna()
@@ -180,7 +182,13 @@ def build_from_series(s) -> bytes | None:
         return None
     typ = (pa.large_binary()
            if isinstance(v.iloc[0], (bytes, bytearray)) else pa.large_utf8())
-    return build(pa.array(v, type=typ))
+    try:
+        return build(pa.array(v, type=typ))
+    except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError):
+        # mixed str/bytes merge: normalize to the common UTF-8 bytes
+        return build(pa.array(
+            [x.encode("utf-8") if isinstance(x, str) else bytes(x)
+             for x in v], type=pa.large_binary()))
 
 
 def contains_many(bloom: bytes | None, hashes: np.ndarray) -> np.ndarray:
@@ -194,8 +202,8 @@ def contains_many(bloom: bytes | None, hashes: np.ndarray) -> np.ndarray:
     if not bloom or bloom[:4] != _MAGIC:
         return np.ones(len(hashes), dtype=bool)
     k, log2m = bloom[4], bloom[5]
-    if len(bloom) != 8 + (1 << (log2m - 3)):
-        return np.ones(len(hashes), dtype=bool)
+    if not (3 <= log2m <= 30) or len(bloom) != 8 + (1 << (log2m - 3)):
+        return np.ones(len(hashes), dtype=bool)  # corrupt size: "maybe"
     pos = _positions(hashes, k, log2m)
     bits = np.frombuffer(bloom, dtype=np.uint8, offset=8)
     hit = bits[pos >> np.uint64(3)] \

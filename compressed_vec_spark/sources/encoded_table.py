@@ -346,6 +346,10 @@ def pruned_string_in_count(spark: SparkSession, out_dir: str,
     from operator import or_
     from ..codecs import dictionary
 
+    if not values:  # SQL: x IN () is a syntax error; treat as no match
+        return 0, {"total_chunks": 0, "scanned_chunks": 0,
+                   "pruned_chunks": 0, "bloom_pruned_chunks": 0}
+
     def kernel(blob: bytes, codec: str) -> tuple[int, bool]:
         if codec == "dict":
             payload = blob[4:]

@@ -108,6 +108,28 @@ def filters_main(wait: float) -> None:
         flt.count_hits(flt.multi_vector_and(preds))
         best = min(best, time.perf_counter() - t0)
     out["melem_s"]["and_sparse_first"] = round(n / best / 1e6, 1)
+
+    # per-chunk Bloom filter: build over a 64k-value url chunk, then a
+    # 10k-value batch probe against one filter (store_membership shape)
+    import pyarrow as pa
+    from compressed_vec_spark.codecs import bloom as bl
+    urls = pa.array([f"https://host{i % 997}.example.com/p/{i}?q={i * 7}"
+                     for i in range(65536)], type=pa.large_utf8())
+    url_mb = bl._string_buffers(urls)[1][-1] / 1e6
+    blm = bl.build(urls)
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        bl.build(urls)
+        best = min(best, time.perf_counter() - t0)
+    out["bloom_build_mb_s"] = round(url_mb / best, 1)
+    hashes = bl.hash_values(urls.slice(0, 10000))
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        bl.contains_many(blm, hashes)
+        best = min(best, time.perf_counter() - t0)
+    out["bloom_probe_mprobe_s"] = round(10000 / best / 1e6, 2)
     out["probe_after_sec"] = round(probe(), 3)
     print(json.dumps(out))
 

@@ -216,3 +216,15 @@ def test_pruned_string_in_count(spark, tmp_path):
         spark, out, "s", ["\x01absent-a", "\x01absent-b"])
     assert count == 0
     assert st["scanned_chunks"] == 0, st
+
+
+def test_build_from_series_mixed_str_bytes():
+    """A compacted merge can concatenate an fsst member (str values)
+    with a deflate member (utf-8 bytes): the filter must build and
+    answer probes for both forms."""
+    vals = _rand_strings(300, seed=31)
+    mixed = pd.Series(vals[:150] + [v.encode() for v in vals[150:]],
+                      dtype=object)
+    blm = bloom.build_from_series(mixed)
+    assert blm == bloom.build(pa.array(vals, type=pa.large_utf8()))
+    assert all(bloom.might_contain(blm, v) for v in vals)
