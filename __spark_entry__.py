@@ -44,6 +44,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental-crawl dedup: batch membership anti-join against
         # the persisted store, Bloom-answered from the manifest
         "store_membership_antijoin": q.store_membership_antijoin,
+        # snapshot (time-travel) reads off the append_log's reserved
+        # part ranges: as-of a batch, and a single batch's diff
+        "snapshot_as_of_count": q.snapshot_as_of_count,
+        "snapshot_diff_count": q.snapshot_diff_count,
         # IN-list over the store: OneOf on compressed codes, blooms
         # pruning chunks where every listed value is provably absent
         "encoded_table_string_in_count": q.encoded_table_string_in_count,
@@ -171,6 +175,14 @@ def oracle_sql() -> dict[str, str]:
             " SELECT CAST(p.probe_id AS BIGINT) AS probe_id FROM probes p"
             " WHERE NOT EXISTS ("
             "   SELECT 1 FROM documents d WHERE d.text = p.text)",
+        "snapshot_as_of_count":
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents WHERE doc_id % 4 <= 2",
+        "snapshot_diff_count":
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents WHERE doc_id % 4 = 3",
         "encoded_table_string_in_count":
             "SELECT CAST(count(*) AS BIGINT) AS hits FROM documents"
             " WHERE text IN ("

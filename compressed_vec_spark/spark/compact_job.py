@@ -181,6 +181,13 @@ def compact_store(spark: SparkSession, src_dir: str, dst_dir: str,
     (spark.read.parquet(os.path.join(src_dir, "table_schema"))
         .coalesce(1).write.mode("overwrite")
         .parquet(os.path.join(dst_dir, "table_schema")))
+    # the append_log's reserved part ranges stay valid verbatim —
+    # compaction merges chunks WITHIN parts only — so snapshot history
+    # (sources/snapshot.py) carries over to the compacted store
+    src_log = os.path.join(src_dir, "append_log")
+    if encode_job._fs_exists(spark, src_log):
+        (spark.read.parquet(src_log).coalesce(1).write.mode("overwrite")
+            .parquet(os.path.join(dst_dir, "append_log")))
     (out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("part_id").parquet(os.path.join(dst_dir, "chunks")))

@@ -2056,3 +2056,53 @@ SELECT doc_id,
          chr(10)) AS cleaned
 FROM docs, fl
 """
+
+
+# ---------------------------------------------------------------------------
+# Snapshot (time-travel) reads over the store's append log
+# ---------------------------------------------------------------------------
+
+def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached store built as base encode + two appended crawl
+    batches (documents split by doc_id % 4: base carries 0 and 1,
+    batch b1 carries 2, batch b2 carries 3) — the living-corpus ingest
+    history the snapshot reads replay."""
+    key = (id(spark.sparkContext), sf_dir, "snapshot_docs")
+    if key not in _STORE_CACHE:
+        from ..spark import encode_job
+        out = _scratch_dir(spark, "cvx_snap_")
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        base = docs.where(F.col("doc_id") % 4 <= 1)
+        encode_job.encode_table(spark, base, out, url_col=None,
+                                resume=False, num_partitions=4)
+        for i, bid in ((2, "b1"), (3, "b2")):
+            encode_job.append_table(
+                spark, docs.where(F.col("doc_id") % 4 == i), out,
+                batch_id=bid, url_col=None, num_partitions=2)
+        _STORE_CACHE[key] = out
+    return _STORE_CACHE[key]
+
+
+def snapshot_as_of_count(spark, sf_dir) -> DataFrame:
+    """Time-travel read: the documents store AS OF append batch b1 —
+    base rows plus b1's rows, b2 invisible.  The as-of cutoff is pure
+    part_id partition pruning on the chunks parquet (no post-b1 chunk
+    file is even listed), derived from the append_log the ingest loop
+    already writes (sources/snapshot.py; Iceberg-spec snapshot-read
+    semantics on the engine's own metadata)."""
+    from ..sources import snapshot
+    out = _snapshot_store(spark, sf_dir)
+    df = snapshot.read_snapshot(spark, out, as_of="b1")
+    return df.agg(F.count("*").alias("n_docs"),
+                  F.sum("n_chars").alias("sum_chars"))
+
+
+def snapshot_diff_count(spark, sf_dir) -> DataFrame:
+    """Incremental-consumer read: ONLY the rows batch b2 added — the
+    exactly-once per-crawl-batch processing surface, answered from the
+    batch's reserved part range without touching earlier history."""
+    from ..sources import snapshot
+    out = _snapshot_store(spark, sf_dir)
+    df = snapshot.snapshot_diff(spark, out, "b2")
+    return df.agg(F.count("*").alias("n_docs"),
+                  F.sum("n_chars").alias("sum_chars"))

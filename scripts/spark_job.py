@@ -51,6 +51,18 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--output", required=True, help="decoded parquet path")
     dec.add_argument("--schema", default=None,
                      help="DDL schema of the decoded table (default: web table)")
+    when = dec.add_mutually_exclusive_group()
+    when.add_argument("--as-of", metavar="BATCH",
+                      help="time-travel: decode the store as of this "
+                           "append batch id ('<base>' = before any append)")
+    when.add_argument("--diff", metavar="BATCH",
+                      help="decode ONLY the rows this batch added "
+                           "(incremental-consumer read)")
+
+    snp = sub.add_parser(
+        "snapshots", help="list the store's snapshot history "
+                          "(base encode + each append batch)")
+    snp.add_argument("--input", required=True, help="store dir")
 
     ver = sub.add_parser("verify", help="verify decode is bit-identical to a source table")
     ver.add_argument("--source", required=True)
@@ -106,12 +118,21 @@ def main(argv: list[str] | None = None) -> int:
                                 num_partitions=args.partitions)
         print(json.dumps(encode_job.manifest_summary(spark, args.output)))
     elif args.cmd == "decode":
-        from compressed_vec_spark.sources import encoded_table
+        from compressed_vec_spark.sources import encoded_table, snapshot
         # the store is self-describing (table_schema parquet); --schema
         # only overrides it
-        decoded = encoded_table.read_decoded(spark, args.input,
-                                             schema=args.schema)
+        if args.diff:
+            decoded = snapshot.snapshot_diff(spark, args.input, args.diff)
+        elif args.as_of:
+            decoded = snapshot.read_snapshot(spark, args.input,
+                                             as_of=args.as_of)
+        else:
+            decoded = encoded_table.read_decoded(spark, args.input,
+                                                 schema=args.schema)
         decoded.write.mode("overwrite").parquet(args.output)
+    elif args.cmd == "snapshots":
+        from compressed_vec_spark.sources import snapshot
+        print(json.dumps(snapshot.list_snapshots(spark, args.input)))
     elif args.cmd == "verify":
         from compressed_vec_spark.sources import encoded_table
         source = spark.read.parquet(args.source)

@@ -1,0 +1,108 @@
+"""Snapshot (time-travel) reads: the append_log's reserved part ranges
+double as an ordered snapshot history, so `read as of batch B` is a
+partition-pruning filter over the chunks parquet (sources/snapshot.py).
+Covers history listing, as-of reads, per-batch diffs, survival across
+compaction, and the unknown-batch refusal."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from compressed_vec_spark.sources import encoded_table, snapshot
+from compressed_vec_spark.spark import compact_job, encode_job, webtable
+from compressed_vec_spark.spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("cvx-snapshot-tests", cores=4, chunk_rows=1024)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    """Base encode + two appended batches over disjoint url-hash
+    thirds; yields (out_dir, {split: url set})."""
+    out = str(tmp_path_factory.mktemp("snap") / "store")
+    web = webtable.webpages(spark, 3000, partitions=4)
+    splits = {i: web.where(F.crc32(F.col("url")) % 3 == i)
+              for i in range(3)}
+    urls = {i: {r["url"] for r in s.select("url").collect()}
+            for i, s in splits.items()}
+    assert all(urls.values())
+    encode_job.encode_table(spark, splits[0], out, num_partitions=3)
+    encode_job.append_table(spark, splits[1], out, batch_id="crawl-b1",
+                            num_partitions=3)
+    encode_job.append_table(spark, splits[2], out, batch_id="crawl-b2",
+                            num_partitions=3)
+    return out, urls
+
+
+def _urls(df):
+    return {r["url"] for r in df.select("url").collect()}
+
+
+def test_history_is_ordered_and_disjoint(spark, store):
+    out, _ = store
+    snaps = snapshot.list_snapshots(spark, out)
+    assert [s["batch_id"] for s in snaps] == \
+        [snapshot.BASE_SNAPSHOT, "crawl-b1", "crawl-b2"]
+    for prev, nxt in zip(snaps, snaps[1:]):
+        assert prev["part_hi"] <= nxt["part_lo"]  # disjoint, ordered
+
+
+def test_read_as_of_each_batch(spark, store):
+    out, urls = store
+    assert _urls(snapshot.read_snapshot(spark, out,
+                                        snapshot.BASE_SNAPSHOT)) == urls[0]
+    assert _urls(snapshot.read_snapshot(spark, out, "crawl-b1")) == \
+        urls[0] | urls[1]
+    assert _urls(snapshot.read_snapshot(spark, out, "crawl-b2")) == \
+        urls[0] | urls[1] | urls[2]
+    # as_of=None is the current table
+    assert _urls(snapshot.read_snapshot(spark, out)) == \
+        urls[0] | urls[1] | urls[2]
+
+
+def test_snapshot_diff_is_exactly_the_batch(spark, store):
+    out, urls = store
+    assert _urls(snapshot.snapshot_diff(spark, out, "crawl-b1")) == urls[1]
+    assert _urls(snapshot.snapshot_diff(spark, out,
+                                        snapshot.BASE_SNAPSHOT)) == urls[0]
+
+
+def test_snapshot_prunes_chunk_partitions(spark, store):
+    """The as-of filter must reach the parquet source as part_id
+    partition pruning — out-of-snapshot chunk files never read."""
+    out, _ = store
+    df = snapshot.snapshot_chunks(spark, out, "crawl-b1")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "part_id" in plan  # partition filter present in the scan
+    hi = [s for s in snapshot.list_snapshots(spark, out)
+          if s["batch_id"] == "crawl-b1"][0]["part_hi"]
+    assert df.agg(F.max("part_id")).collect()[0][0] < hi
+
+
+def test_unknown_batch_refused(spark, store):
+    out, _ = store
+    with pytest.raises(ValueError, match="unknown batch_id"):
+        snapshot.read_snapshot(spark, out, "no-such-batch")
+
+
+def test_snapshots_survive_compaction(spark, store, tmp_path):
+    """Compaction merges small chunks WITHIN parts and now carries the
+    append_log over, so part-range snapshots stay exact on the
+    compacted store."""
+    out, urls = store
+    dst = str(tmp_path / "compacted")
+    stats = compact_job.compact_store(spark, out, dst,
+                                      target_elements=4096)
+    assert stats["chunks_after"] <= stats["chunks_before"]
+    assert os.path.exists(os.path.join(dst, "append_log"))
+    assert [s["batch_id"] for s in snapshot.list_snapshots(spark, dst)] \
+        == [snapshot.BASE_SNAPSHOT, "crawl-b1", "crawl-b2"]
+    assert _urls(snapshot.read_snapshot(spark, dst, "crawl-b1")) == \
+        urls[0] | urls[1]
+    assert _urls(snapshot.snapshot_diff(spark, dst, "crawl-b2")) == urls[2]
