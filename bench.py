@@ -210,7 +210,8 @@ def run_queries(cores: int) -> dict:
         for warm in ("filter_equals_count", "encoded_table_pruned_count",
                      "encoded_table_group_count", "analytics_over_encoded",
                      "encoded_table_string_filter_count", "rle_range_count",
-                     "encoded_table_float_range_count"):
+                     "encoded_table_float_range_count",
+                     "snapshot_as_of_count"):
             qs[warm](spark, SF_DIR) \
                 .write.format("noop").mode("overwrite").save()
         for name, fn in qs.items():
