@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # part ranges: as-of a batch, and a single batch's diff
         "snapshot_as_of_count": q.snapshot_as_of_count,
         "snapshot_diff_count": q.snapshot_diff_count,
+        # time travel composed with pushdown: pruned range count AS OF
+        # a batch (part cutoff on manifest + chunks scan)
+        "snapshot_pruned_range_count": q.snapshot_pruned_range_count,
         # IN-list over the store: OneOf on compressed codes, blooms
         # pruning chunks where every listed value is provably absent
         "encoded_table_string_in_count": q.encoded_table_string_in_count,
@@ -183,6 +186,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents WHERE doc_id % 4 = 3",
+        "snapshot_pruned_range_count":
+            "SELECT CAST(count(CASE WHEN n_chars BETWEEN 100 AND 400 "
+            "THEN 1 END) AS BIGINT) AS hits "
+            "FROM documents WHERE doc_id % 4 <= 2",
         "encoded_table_string_in_count":
             "SELECT CAST(count(*) AS BIGINT) AS hits FROM documents"
             " WHERE text IN ("

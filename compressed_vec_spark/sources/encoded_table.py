@@ -138,16 +138,29 @@ def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
 
 
 def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
-                       lo: int, hi: int) -> tuple[int, dict]:
+                       lo: int, hi: int,
+                       as_of: str | None = None) -> tuple[int, dict]:
     """count(lo <= column <= hi) over an encoded table with BOTH prune
     levels the format provides: manifest [min,max] stats skip whole
     chunks (broadcast-joined, like pruned_equals_count), and inside each
     surviving chunk `filters.range_mask` skips Null/Const/Delta sections
     straight from their headers — the filter runs on the compressed
-    bytes, the column is never materialized."""
+    bytes, the column is never materialized.
+
+    `as_of` composes this with snapshot reads (sources/snapshot.py):
+    the part_id cutoff filters BOTH the manifest and the chunks scan,
+    so the count runs against the table as of that append batch with
+    the identical pushdown machinery — post-snapshot chunk files are
+    partition-pruned away, never listed."""
     from .. import vector as vec_mod
 
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    chunks_src = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    if as_of is not None:
+        from .snapshot import _snapshot_bounds
+        cutoff = _snapshot_bounds(spark, out_dir, as_of)["part_hi"]
+        manifest = manifest.where(F.col("part_id") < cutoff)
+        chunks_src = chunks_src.where(F.col("part_id") < cutoff)
     total_chunks = manifest.where(F.col("column") == column).count()
     candidates = manifest.where(
         (F.col("column") == column)
@@ -155,7 +168,7 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
     scanned_chunks = candidates.count()
     cand_ids = candidates.select("chunk_id")
 
-    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
+    chunks = (chunks_src
               .where((F.col("column") == column)
                      & F.col("codec").isin(["vec_u64", "vec_u32"]))
               .join(F.broadcast(cand_ids), "chunk_id"))

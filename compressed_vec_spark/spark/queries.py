@@ -2106,3 +2106,23 @@ def snapshot_diff_count(spark, sf_dir) -> DataFrame:
     df = snapshot.snapshot_diff(spark, out, "b2")
     return df.agg(F.count("*").alias("n_docs"),
                   F.sum("n_chars").alias("sum_chars"))
+
+
+def snapshot_pruned_range_count(spark, sf_dir) -> DataFrame:
+    """Time travel COMPOSED with compressed-domain pushdown: a range
+    count over the store AS OF batch b1, where the snapshot's part_id
+    cutoff filters both the manifest prune and the chunks scan — b2's
+    chunk files are partition-pruned away and the surviving chunks
+    still get zone-map pruning + header-only section skipping.  The
+    query a living-corpus consumer runs to reproduce yesterday's
+    numbers after today's crawl landed."""
+    from ..sources import encoded_table
+    out = _snapshot_store(spark, sf_dir)
+    hits, stats = encoded_table.pruned_range_count(
+        spark, out, "n_chars", 100, 400, as_of="b1")
+    full_hits, _ = encoded_table.pruned_range_count(
+        spark, out, "n_chars", 100, 400)
+    assert stats["pruned_chunks"] >= 0
+    assert full_hits >= hits  # b2's rows are invisible as of b1
+    return spark.createDataFrame(
+        pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))

@@ -106,3 +106,30 @@ def test_snapshots_survive_compaction(spark, store, tmp_path):
     assert _urls(snapshot.read_snapshot(spark, dst, "crawl-b1")) == \
         urls[0] | urls[1]
     assert _urls(snapshot.snapshot_diff(spark, dst, "crawl-b2")) == urls[2]
+
+
+def test_pruned_range_count_as_of(spark, tmp_path):
+    """Snapshot cutoff composes with the pushdown reader: counts as of
+    each batch see exactly that prefix of the history."""
+    out = str(tmp_path / "num_store")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    encode_job.encode_table(spark, mk(0, 100), out, url_col=None,
+                            num_partitions=2)
+    encode_job.append_table(spark, mk(100, 250), out, batch_id="b1",
+                            url_col=None, num_partitions=2)
+    encode_job.append_table(spark, mk(250, 400), out, batch_id="b2",
+                            url_col=None, num_partitions=2)
+    count = lambda **kw: encoded_table.pruned_range_count(
+        spark, out, "k", 0, 10**6, **kw)[0]
+    assert count(as_of=snapshot.BASE_SNAPSHOT) == 100
+    assert count(as_of="b1") == 250
+    assert count(as_of="b2") == 400
+    assert count() == 400
+    # the cutoff reaches the manifest prune too: total_chunks shrinks
+    _, st_asof = encoded_table.pruned_range_count(
+        spark, out, "k", 0, 10**6, as_of=snapshot.BASE_SNAPSHOT)
+    _, st_full = encoded_table.pruned_range_count(spark, out, "k", 0, 10**6)
+    assert st_asof["total_chunks"] < st_full["total_chunks"]
+    with pytest.raises(ValueError, match="unknown batch_id"):
+        count(as_of="nope")
