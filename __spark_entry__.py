@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time travel composed with pushdown: pruned range count AS OF
         # a batch (part cutoff on manifest + chunks scan)
         "snapshot_pruned_range_count": q.snapshot_pruned_range_count,
+        # schema evolution: batch-added column, NULL back-fill on
+        # pre-evolution parts, no existing chunk rewritten
+        "schema_evolution_nulls": q.schema_evolution_nulls,
         # IN-list over the store: OneOf on compressed codes, blooms
         # pruning chunks where every listed value is provably absent
         "encoded_table_string_in_count": q.encoded_table_string_in_count,
@@ -190,6 +193,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(CASE WHEN n_chars BETWEEN 100 AND 400 "
             "THEN 1 END) AS BIGINT) AS hits "
             "FROM documents WHERE doc_id % 4 <= 2",
+        "schema_evolution_nulls":
+            "SELECT CAST(count(*) AS BIGINT) AS total, "
+            "CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)"
+            " AS with_source, "
+            "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END)"
+            " AS BIGINT) AS sum_chars_new "
+            "FROM documents",
         "encoded_table_string_in_count":
             "SELECT CAST(count(*) AS BIGINT) AS hits FROM documents"
             " WHERE text IN ("

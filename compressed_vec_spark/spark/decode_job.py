@@ -29,6 +29,12 @@ def decode_chunks(chunks: DataFrame, schema: str,
     Decoded strings go out as arrow buffers (no per-row Python objects);
     `dtypes` is kept for API compatibility but the arrow schema is the
     single source of decode types now.
+
+    Schema-evolved stores (append_table allow_new_columns): chunks
+    predating a column decode it as NULL.  Caveat: a projection that
+    selects ONLY post-evolution columns drops pre-evolution rows (their
+    chunk groups are pruned before the rebuild); include any original
+    column to keep full row coverage.
     """
     import pyarrow as pa
     from pyspark.sql.types import StructType
@@ -52,7 +58,12 @@ def decode_chunks(chunks: DataFrame, schema: str,
         blobs = table.column("blob")
         for i, name in enumerate(names):
             by_col[name] = blobs[i].as_py()
+        # schema evolution: a chunk written before a column was added
+        # has no blob for it — back-fill NULLs of the chunk's length
+        # (all columns of a chunk share num_elements by construction)
+        n_rows = table.column("num_elements")[0].as_py()
         cols = [chunk_codec.decode_column_arrow(by_col[n], t, session_tz)
+                if n in by_col else pa.nulls(n_rows, type=t)
                 for n, t in fields]
         return pa.Table.from_arrays(cols, schema=out_schema)
 

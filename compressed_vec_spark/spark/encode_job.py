@@ -346,7 +346,8 @@ def append_table(spark: SparkSession, df: DataFrame, out_dir: str,
                  batch_id: str,
                  codec_overrides: dict[str, str] | None = None,
                  url_col: str | None = "url",
-                 num_partitions: int | None = None) -> DataFrame:
+                 num_partitions: int | None = None,
+                 allow_new_columns: bool = False) -> DataFrame:
     """Append a new batch of rows to an EXISTING store — the ingest half
     of the living-corpus loop (store_membership finds the novel
     documents of a crawl batch; append_table lands them) without
@@ -368,6 +369,18 @@ def append_table(spark: SparkSession, df: DataFrame, out_dir: str,
     dataset afterwards — one metadata-sized rewrite, kept in favor of a
     dual-source manifest that could drift from the data of record.
 
+    Schema evolution: with allow_new_columns=True a batch may CARRY
+    COLUMNS THE STORE LACKS — they're appended to table_schema (at the
+    end, original positions stable) and encoded for this batch's parts
+    only.  Earlier parts simply have no chunks for the new column, and
+    decode back-fills them as NULL (decode_job.decode_chunks); pruned
+    readers stay exact for free — old parts have no manifest rows for
+    the column, so they're pruned, and NULL never matches an
+    equality/range predicate anyway.  The schema write lands BEFORE the
+    chunks write, so a crashed evolving append still leaves a
+    self-describing store.  Columns present in both must still match
+    types exactly.
+
     Refuses: a store of a different format version (mixing chunk
     schemas corrupts every reader) or a batch whose columns/types don't
     match the store's own table_schema (an appended column the old
@@ -388,6 +401,22 @@ def append_table(spark: SparkSession, df: DataFrame, out_dir: str,
         raise ValueError(
             f"append_table: batch schema {sorted(batch_schema)} does not "
             f"match store schema {sorted(store_schema)}")
+    new_cols = [(f.name, f.dataType.simpleString())
+                for f in df.schema.fields
+                if f.name not in columns and not f.name.startswith("__")]
+    if new_cols and not allow_new_columns:
+        raise ValueError(
+            f"append_table: batch carries columns the store lacks "
+            f"{[n for n, _ in new_cols]}; pass allow_new_columns=True to "
+            "evolve the schema (old parts decode them as NULL)")
+    if new_cols:
+        next_pos = max(int(r["position"]) for r in schema_rows) + 1
+        (spark.createDataFrame(
+            [(next_pos + i, n, t) for i, (n, t) in enumerate(new_cols)],
+            "position int, name string, dtype string")
+            .coalesce(1).write.mode("append")
+            .parquet(os.path.join(out_dir, "table_schema")))
+        columns = columns + [n for n, _ in new_cols]
 
     if url_col and url_col in df.columns:
         df = with_salted_partitioning(df, url_col, num_partitions)

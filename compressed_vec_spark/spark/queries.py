@@ -2126,3 +2126,34 @@ def snapshot_pruned_range_count(spark, sf_dir) -> DataFrame:
     assert full_hits >= hits  # b2's rows are invisible as of b1
     return spark.createDataFrame(
         pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
+
+
+def schema_evolution_nulls(spark, sf_dir) -> DataFrame:
+    """Schema evolution on append (allow_new_columns): base parts were
+    encoded WITHOUT `source`; the appended batch carries it.  Decode
+    back-fills NULL for pre-evolution rows, so count(source) sees only
+    the evolved batch and the conditional sum aggregates only its
+    rows — the add-a-column migration a living corpus performs without
+    rewriting a single existing chunk."""
+    from ..spark import encode_job
+    from ..sources import encoded_table
+    key = (id(spark.sparkContext), sf_dir, "evolved_docs")
+    if key not in _STORE_CACHE:
+        out = _scratch_dir(spark, "cvx_evo_")
+        docs = _read(spark, sf_dir, "documents")
+        encode_job.encode_table(
+            spark, docs.where(F.col("doc_id") % 2 == 0)
+                       .select("doc_id", "n_chars"),
+            out, url_col=None, resume=False, num_partitions=4)
+        encode_job.append_table(
+            spark, docs.where(F.col("doc_id") % 2 == 1)
+                       .select("doc_id", "n_chars", "source"),
+            out, batch_id="ev1", url_col=None, num_partitions=2,
+            allow_new_columns=True)
+        _STORE_CACHE[key] = out
+    decoded = encoded_table.read_decoded(spark, _STORE_CACHE[key])
+    return decoded.agg(
+        F.count("*").alias("total"),
+        F.count("source").alias("with_source"),
+        F.sum(F.when(F.col("source").isNotNull(),
+                     F.col("n_chars"))).alias("sum_chars_new"))

@@ -45,6 +45,9 @@ def main(argv: list[str] | None = None) -> int:
                           "retries with the same id replace, never duplicate")
     app.add_argument("--partitions", type=int, default=None)
     app.add_argument("--url-col", default="url")
+    app.add_argument("--allow-new-columns", action="store_true",
+                     help="schema evolution: batch columns the store "
+                          "lacks are added; old parts decode them as NULL")
 
     dec = sub.add_parser("decode", help="decode chunks back to rows")
     dec.add_argument("--input", required=True, help="encode output dir")
@@ -115,7 +118,8 @@ def main(argv: list[str] | None = None) -> int:
         encode_job.append_table(spark, df, args.output,
                                 batch_id=args.batch_id,
                                 url_col=args.url_col,
-                                num_partitions=args.partitions)
+                                num_partitions=args.partitions,
+                                allow_new_columns=args.allow_new_columns)
         print(json.dumps(encode_job.manifest_summary(spark, args.output)))
     elif args.cmd == "decode":
         from compressed_vec_spark.sources import encoded_table, snapshot

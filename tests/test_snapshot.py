@@ -133,3 +133,58 @@ def test_pruned_range_count_as_of(spark, tmp_path):
     assert st_asof["total_chunks"] < st_full["total_chunks"]
     with pytest.raises(ValueError, match="unknown batch_id"):
         count(as_of="nope")
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    """allow_new_columns: the batch's extra column lands for its parts
+    only; old parts decode it as NULL; pruned readers on the new
+    column stay exact (old parts have no manifest rows for it and NULL
+    matches nothing); retries don't duplicate schema rows."""
+    out = str(tmp_path / "evolve")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    encode_job.encode_table(spark, base, out, url_col=None,
+                            num_partitions=2)
+    batch = spark.range(200, 350).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"),
+        (F.col("id") * 10).alias("score"))
+    # refused without the flag
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        encode_job.append_table(spark, batch, out, batch_id="ev1",
+                                url_col=None, num_partitions=2)
+    encode_job.append_table(spark, batch, out, batch_id="ev1",
+                            url_col=None, num_partitions=2,
+                            allow_new_columns=True)
+
+    decoded = encoded_table.read_decoded(spark, out)
+    assert set(decoded.columns) == {"k", "v", "score"}
+    assert decoded.count() == 350
+    assert decoded.where(F.col("score").isNull()).count() == 200
+    got = {r["k"]: r["score"]
+           for r in decoded.where(F.col("score").isNotNull()).collect()}
+    assert got == {k: k * 10 for k in range(200, 350)}
+
+    # pruned range count on the evolved column: only batch rows match
+    hits, stats = encoded_table.pruned_range_count(
+        spark, out, "score", 2000, 2490)
+    assert hits == 50  # k in [200, 249]
+    assert stats["total_chunks"] >= 1
+
+    # retry of the same evolving batch: no duplicate schema rows, no
+    # duplicate data
+    encode_job.append_table(spark, batch, out, batch_id="ev1",
+                            url_col=None, num_partitions=2,
+                            allow_new_columns=True)
+    schema_rows = spark.read.parquet(
+        os.path.join(out, "table_schema")).collect()
+    assert sorted((r["name"], r["position"]) for r in schema_rows) == \
+        [("k", 0), ("score", 2), ("v", 1)]
+    assert encoded_table.read_decoded(spark, out).count() == 350
+
+    # snapshot semantics: the base snapshot predates the column — its
+    # decoded view carries it as all-NULL; the diff carries the values
+    base_view = snapshot.read_snapshot(spark, out, snapshot.BASE_SNAPSHOT)
+    assert base_view.where(F.col("score").isNotNull()).count() == 0
+    diff = snapshot.snapshot_diff(spark, out, "ev1")
+    assert diff.where(F.col("score").isNull()).count() == 0
+    assert diff.count() == 150
