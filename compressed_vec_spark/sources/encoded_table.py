@@ -980,3 +980,30 @@ def register_encoded_table(spark: SparkSession, out_dir: str,
     df = read_decoded(spark, out_dir)
     df.createOrReplaceTempView(name)
     return df
+
+
+def manifest_null_count(spark: SparkSession, out_dir: str,
+                        column: str) -> tuple[int, int]:
+    """(null_rows, non_null_rows) for a column answered from the
+    manifest ALONE, exact on SCHEMA-EVOLVED stores too: parts encoded
+    before the column existed carry no manifest rows for it, and every
+    one of their rows decodes as a back-filled NULL — those are counted
+    via the store's position-0 column, which every part has (columns
+    are only ever added, never removed)."""
+    m = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    first_col = (spark.read.parquet(os.path.join(out_dir, "table_schema"))
+                 .orderBy("position").first()["name"])
+    rows = (m.where(F.col("column") == first_col)
+            .groupBy("part_id")
+            .agg(F.sum("num_elements").alias("part_rows")))
+    col_stats = (m.where(F.col("column") == column)
+                 .groupBy("part_id")
+                 .agg(F.sum("null_count").alias("nulls"),
+                      F.sum("num_elements").alias("elems")))
+    agg = (rows.join(col_stats, "part_id", "left")
+           .agg(F.sum(F.coalesce(F.col("nulls"),
+                                 F.col("part_rows"))).alias("n"),
+                F.sum(F.coalesce(F.col("elems") - F.col("nulls"),
+                                 F.lit(0))).alias("nn"))
+           .collect()[0])
+    return int(agg["n"] or 0), int(agg["nn"] or 0)

@@ -188,3 +188,29 @@ def test_schema_evolution_on_append(spark, tmp_path):
     diff = snapshot.snapshot_diff(spark, out, "ev1")
     assert diff.where(F.col("score").isNull()).count() == 0
     assert diff.count() == 150
+
+
+def test_manifest_null_count_on_evolved_store(spark, tmp_path):
+    """The manifest-only null count stays exact across schema
+    evolution: pre-evolution parts contribute all their rows as
+    back-filled NULLs, counted without reading a blob."""
+    out = str(tmp_path / "evolve_nulls")
+    encode_job.encode_table(
+        spark, spark.range(0, 120).select(F.col("id").alias("k")),
+        out, url_col=None, num_partitions=2)
+    batch = spark.range(120, 200).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 5 == 0, None)
+         .otherwise(F.col("id")).alias("extra"))
+    encode_job.append_table(spark, batch, out, batch_id="ev",
+                            url_col=None, num_partitions=2,
+                            allow_new_columns=True)
+    nulls, non_nulls = encoded_table.manifest_null_count(spark, out,
+                                                         "extra")
+    # 120 back-filled + 16 explicit (k in 120..199 with k%5==0)
+    assert (nulls, non_nulls) == (136, 64)
+    # sanity against the decoded view
+    dec = encoded_table.read_decoded(spark, out)
+    assert dec.where(F.col("extra").isNull()).count() == 136
+    # non-evolved column: plain manifest stats
+    assert encoded_table.manifest_null_count(spark, out, "k") == (0, 200)
