@@ -54,6 +54,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # schema evolution: batch-added column, NULL back-fill on
         # pre-evolution parts, no existing chunk rewritten
         "schema_evolution_nulls": q.schema_evolution_nulls,
+        # row-level DELETE: position deletion vectors (no chunk
+        # rewritten; metadata-exact live counts) + the chunk-local
+        # materialization rewrite
+        "encoded_table_delete_count": q.encoded_table_delete_count,
+        "encoded_table_delete_materialize":
+            q.encoded_table_delete_materialize,
         # IN-list over the store: OneOf on compressed codes, blooms
         # pruning chunks where every listed value is provably absent
         "encoded_table_string_in_count": q.encoded_table_string_in_count,
@@ -200,6 +206,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END)"
             " AS BIGINT) AS sum_chars_new "
             "FROM documents",
+        # live view after DELETE WHERE lang='en' and the overlapping
+        # DELETE WHERE n_chars BETWEEN 0 AND 150 (null-safe: a NULL
+        # predicate never deletes, matching SQL DELETE semantics)
+        "encoded_table_delete_count":
+            "SELECT CAST(count(*) AS BIGINT) AS live_rows, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
+            "WHERE NOT COALESCE(lang = 'en', FALSE) "
+            "AND NOT COALESCE(n_chars BETWEEN 0 AND 150, FALSE)",
+        "encoded_table_delete_materialize":
+            "SELECT CAST(count(*) AS BIGINT) AS live_rows, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
+            "WHERE NOT COALESCE(lang = 'en', FALSE) "
+            "AND NOT COALESCE(n_chars BETWEEN 0 AND 150, FALSE)",
         "encoded_table_string_in_count":
             "SELECT CAST(count(*) AS BIGINT) AS hits FROM documents"
             " WHERE text IN ("

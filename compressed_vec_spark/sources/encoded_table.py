@@ -960,16 +960,22 @@ def manifest_min_max(spark: SparkSession, out_dir: str,
 
 
 def read_decoded(spark: SparkSession, out_dir: str, schema: str | None = None,
-                 dtypes: dict[str, str] | None = None) -> DataFrame:
+                 dtypes: dict[str, str] | None = None,
+                 apply_deletes: bool = True) -> DataFrame:
     """Full decoded view of an encoded table (see decode_job for the
     chunk-zip mechanics).  With schema=None the store describes itself
-    via its table_schema file."""
-    from ..spark import decode_job
+    via its table_schema file.  Position deletes (spark/delete_job.py)
+    are subtracted by default — apply_deletes=False reads the raw
+    pre-delete rows (the view a snapshot read also sees)."""
+    from ..spark import decode_job, delete_job
     if schema is None:
         schema, auto_dtypes = stored_schema(spark, out_dir)
         dtypes = dtypes or auto_dtypes
     chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
-    return decode_job.decode_chunks(chunks, schema, dtypes)
+    masks = (delete_job.merged_masks(spark, out_dir)
+             if apply_deletes else None)
+    return decode_job.decode_chunks(chunks, schema, dtypes,
+                                    delete_masks=masks)
 
 
 def register_encoded_table(spark: SparkSession, out_dir: str,

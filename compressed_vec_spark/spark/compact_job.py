@@ -95,6 +95,35 @@ def _string_series_min_max(s: pd.Series, logical_dtype: str | None) \
     return str(v.min()), str(v.max())
 
 
+def encoded_manifest_row(part_id: int, chunk_seq: int, chunk_id: str,
+                         column: str, series: pd.Series,
+                         logical_dtype: str | None,
+                         override: str | None) -> dict:
+    """Encode `series` as one chunk and build its full manifest row —
+    the single definition of what a (re)written chunk's metadata means,
+    shared by compaction merges and delete materialization so stats
+    (zone maps, blooms, null counts) can never drift between the two
+    rewrite paths."""
+    t0 = time.perf_counter()
+    codec, blob, _ = chunk_codec.encode_column(series, override)
+    dt_sec = time.perf_counter() - t0
+    mn, mx, sm, nulls = chunk_stats_for(series)
+    mn_f, mx_f = float_chunk_stats(series)
+    mn_s, mx_s = _string_series_min_max(series, logical_dtype)
+    return {
+        "part_id": part_id, "chunk_seq": chunk_seq, "chunk_id": chunk_id,
+        "column": column, "codec": codec, "num_elements": len(series),
+        "raw_bytes": encode_job._raw_size(series),
+        "encoded_bytes": len(blob),
+        "sha256": hashlib.sha256(blob).hexdigest(),
+        "min_val": mn, "max_val": mx, "sum_val": sm,
+        "null_count": nulls, "min_str": mn_s, "max_str": mx_s,
+        "min_f64": mn_f, "max_f64": mx_f,
+        "bloom": bloom_codec.build_from_series(series),
+        "encode_sec": dt_sec, "blob": blob,
+    }
+
+
 def compact_store(spark: SparkSession, src_dir: str, dst_dir: str,
                   target_elements: int = 65536,
                   codec_overrides: dict[str, str] | None = None) -> dict:
@@ -118,6 +147,14 @@ def compact_store(spark: SparkSession, src_dir: str, dst_dir: str,
         raise ValueError(
             f"compact_store: {dst_dir} already has chunks; compaction "
             "writes a fresh store — use a new/empty output dir")
+    # a delete sidecar references SOURCE chunk ids; merged chunks would
+    # orphan its masks and silently resurrect deleted rows in dst
+    from .delete_job import has_deletes
+    if has_deletes(spark, src_dir):
+        raise ValueError(
+            f"compact_store: {src_dir} has live position deletes; run "
+            "delete_job.materialize_deletes first (it rewrites only the "
+            "affected chunks), then compact the materialized store")
     from ..sources.encoded_table import stored_schema
     _, dtypes = stored_schema(spark, src_dir)
 
@@ -150,25 +187,8 @@ def compact_store(spark: SparkSession, src_dir: str, dst_dir: str,
         series = pd.concat(
             [pd.Series(chunk_codec.decode_column(bytes(b), dt))
              for b in pdf["blob"]], ignore_index=True)
-        t0 = time.perf_counter()
-        codec, blob, _ = chunk_codec.encode_column(
-            series, (codec_overrides or {}).get(col))
-        dt_sec = time.perf_counter() - t0
-        mn, mx, sm, nulls = chunk_stats_for(series)
-        mn_f, mx_f = float_chunk_stats(series)
-        mn_s, mx_s = _string_series_min_max(series, dtypes.get(col))
-        row = {
-            "part_id": part_id, "chunk_seq": nseq, "chunk_id": chunk_id,
-            "column": col, "codec": codec, "num_elements": len(series),
-            "raw_bytes": encode_job._raw_size(series),
-            "encoded_bytes": len(blob),
-            "sha256": hashlib.sha256(blob).hexdigest(),
-            "min_val": mn, "max_val": mx, "sum_val": sm,
-            "null_count": nulls, "min_str": mn_s, "max_str": mx_s,
-            "min_f64": mn_f, "max_f64": mx_f,
-            "bloom": bloom_codec.build_from_series(series),
-            "encode_sec": dt_sec, "blob": blob,
-        }
+        row = encoded_manifest_row(part_id, nseq, chunk_id, col, series,
+                                   dt, (codec_overrides or {}).get(col))
         return pd.DataFrame([row])[out_cols]
 
     out = (joined.groupBy("part_id", "new_seq", "column")

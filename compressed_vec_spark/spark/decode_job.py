@@ -20,7 +20,8 @@ from ..codecs import chunk as chunk_codec
 
 
 def decode_chunks(chunks: DataFrame, schema: str,
-                  dtypes: dict[str, str] | None = None) -> DataFrame:
+                  dtypes: dict[str, str] | None = None,
+                  delete_masks: DataFrame | None = None) -> DataFrame:
     """Reassemble rows from per-column chunk blobs.
 
     groupBy(chunk_id).applyInArrow zips the decoded columns of one
@@ -52,6 +53,18 @@ def decode_chunks(chunks: DataFrame, schema: str,
     # table moves 2 columns' bytes, not 5
     chunks = chunks.where(F.col("column").isin([n for n, _ in fields]))
 
+    # position deletes (spark/delete_job.py): the OR-merged mask for a
+    # chunk rides along the chunk_id join and the rebuilt rows are
+    # filtered before leaving the task — deleted rows never ship.  The
+    # join key is the same chunk_id the groupBy below shuffles on, and
+    # the mask side is bytes-per-affected-chunk, so AQE broadcasts it
+    # whenever it is small (the common case).
+    if delete_masks is not None:
+        chunks = chunks.join(
+            delete_masks.select("chunk_id",
+                                F.col("mask").alias("__del_mask")),
+            "chunk_id", "left")
+
     def rebuild(key: tuple, table: pa.Table) -> pa.Table:
         by_col = {}
         names = table.column("column").to_pylist()
@@ -65,7 +78,14 @@ def decode_chunks(chunks: DataFrame, schema: str,
         cols = [chunk_codec.decode_column_arrow(by_col[n], t, session_tz)
                 if n in by_col else pa.nulls(n_rows, type=t)
                 for n, t in fields]
-        return pa.Table.from_arrays(cols, schema=out_schema)
+        out = pa.Table.from_arrays(cols, schema=out_schema)
+        if "__del_mask" in table.column_names:
+            m = table.column("__del_mask")[0].as_py()
+            if m is not None:
+                keep = ~np.unpackbits(np.frombuffer(m, np.uint8),
+                                      count=n_rows).astype(bool)
+                out = out.filter(pa.array(keep))
+        return out
 
     return chunks.groupBy("chunk_id").applyInArrow(rebuild, schema=schema)
 

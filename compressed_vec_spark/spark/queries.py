@@ -2157,3 +2157,82 @@ def schema_evolution_nulls(spark, sf_dir) -> DataFrame:
         F.count("source").alias("with_source"),
         F.sum(F.when(F.col("source").isNotNull(),
                      F.col("n_chars"))).alias("sum_chars_new"))
+
+
+# ---------------------------------------------------------------------------
+# Row-level DELETE: position deletion vectors over the store
+# ---------------------------------------------------------------------------
+
+def _deleted_store(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached documents store (sorted on lang so equality
+    deletes prune chunks; dict-coded lang) with two committed delete
+    batches: DELETE WHERE lang='en', then an OVERLAPPING
+    DELETE WHERE n_chars BETWEEN 0 AND 150 — the overlap exercises the
+    exact-count contract (a row deleted by both batches is counted
+    once)."""
+    key = (id(spark.sparkContext), sf_dir, "deleted_docs")
+    if key not in _STORE_CACHE:
+        from ..spark import delete_job, encode_job
+        out = _scratch_dir(spark, "cvx_del_")
+        df = (_read(spark, sf_dir, "documents")
+              .select("doc_id", "lang", "n_chars")
+              .repartitionByRange(8, "lang", "doc_id")
+              .sortWithinPartitions("lang", "doc_id"))
+        encode_job.encode_table(spark, df, out, url_col=None, resume=False,
+                                codec_overrides={"lang": "dict"})
+        s1 = delete_job.delete_where_equals(spark, out, "lang", "en", "d1")
+        assert s1["pruned_chunks"] >= 0
+        delete_job.delete_where_range(spark, out, "n_chars", 0, 150, "d2")
+        _STORE_CACHE[key] = out
+    return _STORE_CACHE[key]
+
+
+def encoded_table_delete_count(spark, sf_dir) -> DataFrame:
+    """Row-level DELETE via position deletion vectors (Iceberg-v2
+    position-delete semantics on the engine's own format,
+    spark/delete_job.py): no chunk is rewritten — the sidecar holds one
+    packed bitmask per affected chunk, the delete scan reuses the
+    manifest-prune + compressed-code mask kernels, and the decoded read
+    subtracts the masks in-task.  Returns the LIVE row count and a live
+    value aggregate; the count is additionally cross-checked against
+    the metadata-only answer (manifest + sidecar, no blob read)."""
+    from ..spark import delete_job
+    from ..sources import encoded_table
+    out = _deleted_store(spark, sf_dir)
+    meta = delete_job.delete_stats(spark, out)
+    res = (encoded_table.read_decoded(spark, out)
+           .agg(F.count("*").alias("live_rows"),
+                F.sum("n_chars").alias("sum_chars")).collect()[0])
+    assert int(res["live_rows"]) == meta["live_rows"]  # data == metadata
+    return spark.createDataFrame(
+        pd.DataFrame({"live_rows": [int(res["live_rows"])],
+                      "sum_chars": [int(res["sum_chars"])]})) \
+        .select(F.col("live_rows").cast("long"),
+                F.col("sum_chars").cast("long"))
+
+
+def encoded_table_delete_materialize(spark, sf_dir) -> DataFrame:
+    """materialize_deletes: rewrite ONLY the delete-affected chunks
+    into a fresh store (untouched chunks pass through byte-identical),
+    then answer count + sum from the NEW manifest ALONE — green only if
+    the rewrite removed exactly the deleted rows AND recomputed every
+    chunk stat (num_elements, sum_val) correctly."""
+    from ..spark import delete_job
+    key = (id(spark.sparkContext), sf_dir, "materialized_docs")
+    if key not in _STORE_CACHE:
+        src = _deleted_store(spark, sf_dir)
+        dst = _scratch_dir(spark, "cvx_mat_")
+        delete_job.materialize_deletes(spark, src, dst)
+        _STORE_CACHE[key] = dst
+    dst = _STORE_CACHE[key]
+    assert not delete_job.has_deletes(spark, dst)
+    m = spark.read.parquet(os.path.join(dst, "manifest"))
+    live = (m.where(F.col("column") == "doc_id")
+            .agg(F.sum("num_elements")).collect()[0][0])
+    sum_chars = (m.where(F.col("column") == "n_chars")
+                 .agg(F.sum("sum_val")).collect()[0][0])
+    return spark.createDataFrame(
+        pd.DataFrame({"live_rows": [int(live)],
+                      "sum_chars": [int(sum_chars)]})) \
+        .select(F.col("live_rows").cast("long"),
+                F.col("sum_chars").cast("long"))

@@ -1,0 +1,166 @@
+"""Position deletion vectors: mask correctness, idempotent retry,
+overlap-exact metadata counts, chunk pruning on the delete scan,
+live reads, materialization, and the compaction guard."""
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from compressed_vec_spark.sources import encoded_table
+from compressed_vec_spark.spark import (compact_job, delete_job,
+                                        encode_job)
+from compressed_vec_spark.spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("cvx-test-deletes", cores=4, chunk_rows=500)
+    yield s
+    s.stop()
+
+
+def _pdf(n=4000):
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({"k": np.arange(n, dtype=np.int64)})
+    pdf["lang"] = np.array(["en", "de", "fr", "zh"])[
+        rng.integers(0, 4, n)]
+    pdf["nch"] = rng.integers(10, 5000, n).astype(np.int64)
+    pdf.loc[pdf.index % 37 == 5, "lang"] = None
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    """Store SORTED on lang so equality deletes get real chunk
+    pruning, with a dict-coded lang column (the compressed-code mask
+    path)."""
+    out = str(tmp_path_factory.mktemp("delstore"))
+    pdf = _pdf()
+    df = (spark.createDataFrame(pdf)
+          .repartitionByRange(4, "lang", "k")
+          .sortWithinPartitions("lang", "k"))
+    encode_job.encode_table(spark, df, out, url_col=None, resume=False,
+                            codec_overrides={"lang": "dict"})
+    return out, pdf
+
+
+def _live_pdf(pdf):
+    m = ~(pdf["lang"] == "en")
+    return pdf[m.fillna(True)]
+
+
+def test_delete_equals_masks_and_prune(spark, store):
+    out, pdf = store
+    stats = delete_job.delete_where_equals(spark, out, "lang", "en", "d1")
+    expect = int((pdf["lang"] == "en").sum())
+    assert stats["rows_deleted"] == expect
+    # sorted-on-lang store: chunks wholly outside 'en' never scanned
+    assert stats["pruned_chunks"] > 0
+    assert stats["affected_chunks"] <= stats["scanned_chunks"]
+
+    got = delete_job.delete_stats(spark, out)
+    assert got["total_rows"] == len(pdf)
+    assert got["deleted_rows"] == expect
+    assert got["live_rows"] == len(pdf) - expect
+
+
+def test_live_read_matches_filter(spark, store):
+    out, pdf = store
+    live = encoded_table.read_decoded(spark, out).toPandas()
+    want = _live_pdf(pdf)
+    assert len(live) == len(want)
+    assert sorted(live["k"]) == sorted(want["k"])
+    # raw (pre-delete) view still complete
+    raw = encoded_table.read_decoded(spark, out, apply_deletes=False)
+    assert raw.count() == len(pdf)
+    # value-level identity on a live row sample
+    merged = live.sort_values("k").reset_index(drop=True)
+    wanted = want.sort_values("k").reset_index(drop=True)
+    assert (merged["nch"].to_numpy() == wanted["nch"].to_numpy()).all()
+
+
+def test_retry_is_idempotent(spark, store):
+    out, pdf = store
+    before = delete_job.delete_stats(spark, out)
+    stats = delete_job.delete_where_equals(spark, out, "lang", "en", "d1")
+    assert stats["rows_deleted"] == before["deleted_rows"]
+    assert delete_job.delete_stats(spark, out) == before
+
+
+def test_overlapping_delete_counts_exact(spark, store):
+    out, pdf = store
+    # range predicate overlapping many already-deleted 'en' rows
+    stats = delete_job.delete_where_range(spark, out, "nch", 0, 2500, "d2")
+    live = _live_pdf(pdf)
+    expect_new = int((live["nch"] <= 2500).sum())
+    assert stats["rows_deleted"] == expect_new
+
+    got = delete_job.delete_stats(spark, out)
+    want_live = len(live) - expect_new
+    assert got["live_rows"] == want_live
+    assert encoded_table.read_decoded(spark, out).count() == want_live
+
+
+def test_absent_value_deletes_nothing(spark, store):
+    out, pdf = store
+    stats = delete_job.delete_where_equals(spark, out, "lang", "xx", "d3")
+    assert stats["rows_deleted"] == 0
+    assert stats["affected_chunks"] == 0
+
+
+def test_compact_refuses_live_deletes(spark, store, tmp_path):
+    out, _ = store
+    with pytest.raises(ValueError, match="position deletes"):
+        compact_job.compact_store(spark, out, str(tmp_path / "c"))
+
+
+def test_materialize_then_identity(spark, store, tmp_path):
+    out, pdf = store
+    dst = str(tmp_path / "mat")
+    res = delete_job.materialize_deletes(spark, out, dst)
+    assert res["affected_chunk_groups"] > 0
+    assert not delete_job.has_deletes(spark, dst)
+
+    live_src = encoded_table.read_decoded(spark, out).toPandas()
+    live_dst = encoded_table.read_decoded(spark, dst).toPandas()
+    assert len(live_dst) == len(live_src)
+    a = live_src.sort_values("k").reset_index(drop=True)
+    b = live_dst.sort_values("k").reset_index(drop=True)
+    for c in ("k", "nch"):
+        assert (a[c].to_numpy() == b[c].to_numpy()).all()
+    assert list(a["lang"].fillna("~")) == list(b["lang"].fillna("~"))
+
+    # manifest of dst is self-consistent: stats recomputed on live rows
+    m = spark.read.parquet(os.path.join(dst, "manifest"))
+    first = (m.where(F.col("column") == "k")
+             .agg(F.sum("num_elements")).collect()[0][0])
+    assert int(first) == len(live_src)
+    # untouched chunks passed through byte-identical: every dst sha
+    # for never-affected chunks appears in src manifest verbatim
+    msrc = spark.read.parquet(os.path.join(out, "manifest"))
+    src_shas = {r["sha256"] for r in msrc.select("sha256").collect()}
+    dst_rows = m.select("chunk_id", "sha256").collect()
+    touched = {r["chunk_id"] for r in
+               delete_job.merged_masks(spark, out).select(
+                   "chunk_id").collect()}
+    for r in dst_rows:
+        if r["chunk_id"] not in touched:
+            assert r["sha256"] in src_shas
+
+    # compaction accepts the materialized store
+    cst = compact_job.compact_store(spark, dst, str(tmp_path / "c2"))
+    assert cst["chunks_after"] <= cst["chunks_before"]
+
+
+def test_pruned_reads_unaffected_by_sidecar(spark, store):
+    """The pruned_* count kernels read the RAW chunks (documented:
+    deletes apply at the decoded-read layer); this pins that the
+    sidecar's presence doesn't break them."""
+    out, pdf = store
+    hits, stats = encoded_table.pruned_string_equals_count(
+        spark, out, "lang", "de")
+    assert hits == int((pdf["lang"] == "de").sum())
