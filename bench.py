@@ -211,7 +211,9 @@ def run_queries(cores: int) -> dict:
                      "encoded_table_group_count", "analytics_over_encoded",
                      "encoded_table_string_filter_count", "rle_range_count",
                      "encoded_table_float_range_count",
-                     "snapshot_as_of_count"):
+                     "snapshot_as_of_count",
+                     "encoded_table_delete_count",
+                     "encoded_table_delete_materialize"):
             qs[warm](spark, SF_DIR) \
                 .write.format("noop").mode("overwrite").save()
         for name, fn in qs.items():

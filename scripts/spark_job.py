@@ -92,6 +92,28 @@ def main(argv: list[str] | None = None) -> int:
                       help="keep a forced codec on merged chunks "
                            "(repeatable; pass what encode used)")
 
+    dele = sub.add_parser(
+        "delete", help="row-level DELETE via position deletion vectors "
+                       "(no chunk rewritten; idempotent per --delete-id)")
+    dele.add_argument("--encoded", required=True, help="store dir")
+    dele.add_argument("--column", required=True, help="predicate column")
+    dele.add_argument("--delete-id", required=True,
+                      help="stable name of this delete batch; retries "
+                           "with the same id replace, never double-count")
+    how = dele.add_mutually_exclusive_group(required=True)
+    how.add_argument("--equals", metavar="VALUE",
+                     help="DELETE WHERE column = VALUE (string column)")
+    how.add_argument("--between", nargs=2, metavar=("LO", "HI"),
+                     help="DELETE WHERE column BETWEEN LO AND HI "
+                          "(numeric column)")
+
+    mat = sub.add_parser(
+        "materialize-deletes",
+        help="rewrite ONLY delete-affected chunks into a fresh store; "
+             "untouched chunks pass through byte-identical")
+    mat.add_argument("--input", required=True, help="source store dir")
+    mat.add_argument("--output", required=True, help="fresh store dir")
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -161,6 +183,24 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input, args.output,
             target_elements=args.target_elements,
             codec_overrides=overrides or None)
+        print(json.dumps(stats))
+    elif args.cmd == "delete":
+        from compressed_vec_spark.spark import delete_job
+        if args.equals is not None:
+            stats = delete_job.delete_where_equals(
+                spark, args.encoded, args.column, args.equals,
+                args.delete_id)
+        else:
+            lo, hi = (float(x) if "." in x else int(x)
+                      for x in args.between)
+            stats = delete_job.delete_where_range(
+                spark, args.encoded, args.column, lo, hi, args.delete_id)
+        stats.update(delete_job.delete_stats(spark, args.encoded))
+        print(json.dumps(stats))
+    elif args.cmd == "materialize-deletes":
+        from compressed_vec_spark.spark import delete_job
+        stats = delete_job.materialize_deletes(
+            spark, args.input, args.output)
         print(json.dumps(stats))
     return 0
 
