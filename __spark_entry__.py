@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_table_delete_count": q.encoded_table_delete_count,
         "encoded_table_delete_materialize":
             q.encoded_table_delete_materialize,
+        # MERGE-INTO by key: matched rows position-deleted, batch
+        # appended — the micro-batch correction loop
+        "encoded_table_upsert_count": q.encoded_table_upsert_count,
         # IN-list over the store: OneOf on compressed codes, blooms
         # pruning chunks where every listed value is provably absent
         "encoded_table_string_in_count": q.encoded_table_string_in_count,
@@ -219,6 +222,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
             "WHERE NOT COALESCE(lang = 'en', FALSE) "
             "AND NOT COALESCE(n_chars BETWEEN 0 AND 150, FALSE)",
+        # MERGE by key: doc_id%7=3 rows replaced (n_chars+1000000),
+        # doc_id%10=4 rows inserted under new keys (n_chars+5)
+        "encoded_table_upsert_count":
+            "SELECT CAST(count(*) AS BIGINT) AS live_rows, "
+            "CAST(sum(ch) AS BIGINT) AS sum_chars FROM ("
+            "  SELECT CASE WHEN doc_id % 7 = 3 THEN n_chars + 1000000"
+            "         ELSE n_chars END AS ch FROM documents"
+            "  UNION ALL"
+            "  SELECT n_chars + 5 AS ch FROM documents"
+            "  WHERE doc_id % 10 = 4)",
         "encoded_table_string_in_count":
             "SELECT CAST(count(*) AS BIGINT) AS hits FROM documents"
             " WHERE text IN ("

@@ -232,6 +232,94 @@ def delete_where_equals(spark: SparkSession, out_dir: str, column: str,
         mask_fn, delete_id, bloom_value=value)
 
 
+def delete_where_in(spark: SparkSession, out_dir: str, column: str,
+                    values: list[str], delete_id: str,
+                    exclude_parts: tuple[int, int] | None = None) -> dict:
+    """DELETE WHERE column IN (values) for a STRING column.  The zone
+    maps collapse to ONE interval test (a chunk survives only if
+    [min_str, max_str] overlaps [min(values), max(values)] — per-value
+    OR predicates would not scale to an upsert batch's key list), the
+    Bloom probe then prunes precisely (all values hashed once, one
+    contains_many pass per chunk), and surviving dict chunks mask with
+    np.isin on the compressed u32 code vector (absent values drop out
+    free at the heap search)."""
+    from ..codecs import dictionary
+    from ..sources.encoded_table import _align_bounds
+
+    if not values:
+        return {"total_chunks": 0, "scanned_chunks": 0,
+                "pruned_chunks": 0, "affected_chunks": 0,
+                "rows_deleted": 0, "bloom_pruned_chunks": 0}
+    vals = sorted(v for v in values if v is not None)
+    if not vals:
+        return {"total_chunks": 0, "scanned_chunks": 0,
+                "pruned_chunks": 0, "affected_chunks": 0,
+                "rows_deleted": 0, "bloom_pruned_chunks": 0}
+
+    def mask_fn(blob: bytes, codec: str):
+        if codec == "dict":
+            payload = blob[4:]
+            codes = np.array([c for c in (dictionary.code_of(payload, v)
+                                          for v in vals) if c],
+                             dtype=np.uint64)
+            if not len(codes):
+                return None
+            return np.isin(dictionary.codes(payload), codes)
+        s = pd.Series(chunk_codec.decode_column(blob))
+        nn = s.dropna()
+        vset = set(_align_bounds(nn, *vals))
+        return s.isin(vset).fillna(False).to_numpy(dtype=bool)
+
+    pred = (F.col("min_str") <= vals[-1]) & (F.col("max_str") >= vals[0])
+    if exclude_parts is not None:
+        lo, hi = exclude_parts  # hi exclusive
+        pred = pred & ((F.col("part_id") < lo) | (F.col("part_id") >= hi))
+    return delete_rows(spark, out_dir, column, pred,
+                       mask_fn, delete_id, bloom_value=vals)
+
+
+def upsert_table(spark: SparkSession, df, out_dir: str, key_col: str,
+                 batch_id: str, url_col: str | None = None,
+                 num_partitions: int | None = None) -> dict:
+    """MERGE-INTO by key (Delta/Iceberg MERGE semantics, matched ->
+    replace, not-matched -> insert): position-delete every stored row
+    whose key appears in the batch, then append the batch — no
+    existing chunk is rewritten on either step.
+
+    Idempotent per batch_id end-to-end: the delete batch is keyed
+    'upsert:<batch_id>' (retry recomputes + replaces its own sidecar
+    partition) and append_table replays into its reserved part range.
+
+    Contract: the batch must be key-unique (duplicate keys both land,
+    like duplicate-match MERGE errors elsewhere); NULL keys never
+    match and simply append.  The key list rides to executors via the
+    same broadcast bound as store_membership's probe set — micro-batch
+    ingest scale (millions of keys), not full-table backfill (use a
+    re-encode for that)."""
+    keys = [r[0] for r in df.select(key_col).distinct().collect()
+            if r[0] is not None]
+    # a RETRY finds the batch's own rows already appended in its
+    # reserved part range — the delete must not turn the merge into a
+    # self-delete, so that range (from the append_log reservation the
+    # first attempt committed) is excluded from the matched scan
+    exclude = None
+    log_path = os.path.join(out_dir, "append_log")
+    if encode_job._fs_exists(spark, log_path):
+        mine = (spark.read.parquet(log_path)
+                .where(F.col("batch_id") == batch_id).collect())
+        if mine:
+            off, n = int(mine[0]["part_offset"]), int(mine[0]["n_parts"])
+            exclude = (off, off + n)
+    dstats = delete_where_in(spark, out_dir, key_col, keys,
+                             f"upsert:{batch_id}", exclude_parts=exclude)
+    encode_job.append_table(spark, df, out_dir, batch_id=batch_id,
+                            url_col=url_col,
+                            num_partitions=num_partitions)
+    return {"matched_deleted": dstats["rows_deleted"],
+            "batch_rows": df.count(), **{f"delete_{k}": v
+                                         for k, v in dstats.items()}}
+
+
 def delete_where_range(spark: SparkSession, out_dir: str, column: str,
                        lo, hi, delete_id: str) -> dict:
     """DELETE WHERE column BETWEEN lo AND hi for a NUMERIC column;

@@ -2236,3 +2236,42 @@ def encoded_table_delete_materialize(spark, sf_dir) -> DataFrame:
                       "sum_chars": [int(sum_chars)]})) \
         .select(F.col("live_rows").cast("long"),
                 F.col("sum_chars").cast("long"))
+
+
+def encoded_table_upsert_count(spark, sf_dir) -> DataFrame:
+    """MERGE-INTO by key (delete_job.upsert_table): matched keys are
+    position-deleted (Bloom-pruned IN-mask over the stored key column
+    — high-cardinality and unsorted, the case zone maps can't carry),
+    the batch appends into fresh parts, and the live view shows
+    replaced values for matched keys plus the inserted rows.  The
+    micro-batch ingest-with-corrections loop a living corpus runs."""
+    from ..spark import delete_job
+    from ..sources import encoded_table
+    key_ = (id(spark.sparkContext), sf_dir, "upserted_docs")
+    if key_ not in _STORE_CACHE:
+        from ..spark import encode_job
+        out = _scratch_dir(spark, "cvx_ups_")
+        docs = _read(spark, sf_dir, "documents")
+        kcol = F.concat_ws("-", F.col("source"),
+                           F.col("doc_id").cast("string")).alias("key")
+        base = docs.select(kcol, "doc_id", "n_chars")
+        encode_job.encode_table(spark, base, out, url_col=None,
+                                resume=False, num_partitions=4)
+        updates = (docs.where(F.col("doc_id") % 7 == 3)
+                   .select(kcol, "doc_id",
+                           (F.col("n_chars") + 1000000).alias("n_chars")))
+        inserts = (docs.where(F.col("doc_id") % 10 == 4)
+                   .select(F.concat(kcol, F.lit("#new")).alias("key"),
+                           (F.col("doc_id") + 10000000).alias("doc_id"),
+                           (F.col("n_chars") + 5).alias("n_chars")))
+        st = delete_job.upsert_table(
+            spark, updates.unionByName(inserts), out, "key", "u1",
+            num_partitions=2)
+        assert st["matched_deleted"] > 0
+        _STORE_CACHE[key_] = out
+    out = _STORE_CACHE[key_]
+    return (encoded_table.read_decoded(spark, out)
+            .agg(F.count("*").alias("live_rows"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .select(F.col("live_rows").cast("long"),
+                    F.col("sum_chars").cast("long")))

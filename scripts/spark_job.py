@@ -107,6 +107,17 @@ def main(argv: list[str] | None = None) -> int:
                      help="DELETE WHERE column BETWEEN LO AND HI "
                           "(numeric column)")
 
+    ups = sub.add_parser(
+        "upsert", help="MERGE-INTO by key: matched stored rows are "
+                       "position-deleted, the batch appends "
+                       "(idempotent per --batch-id)")
+    ups.add_argument("--input", required=True,
+                     help="batch parquet path (store schema, key-unique)")
+    ups.add_argument("--output", required=True, help="existing store dir")
+    ups.add_argument("--key-col", required=True)
+    ups.add_argument("--batch-id", required=True)
+    ups.add_argument("--partitions", type=int, default=None)
+
     mat = sub.add_parser(
         "materialize-deletes",
         help="rewrite ONLY delete-affected chunks into a fresh store; "
@@ -196,6 +207,13 @@ def main(argv: list[str] | None = None) -> int:
             stats = delete_job.delete_where_range(
                 spark, args.encoded, args.column, lo, hi, args.delete_id)
         stats.update(delete_job.delete_stats(spark, args.encoded))
+        print(json.dumps(stats))
+    elif args.cmd == "upsert":
+        from compressed_vec_spark.spark import delete_job
+        df = spark.read.parquet(args.input)
+        stats = delete_job.upsert_table(
+            spark, df, args.output, args.key_col, args.batch_id,
+            num_partitions=args.partitions)
         print(json.dumps(stats))
     elif args.cmd == "materialize-deletes":
         from compressed_vec_spark.spark import delete_job

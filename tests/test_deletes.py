@@ -156,6 +156,93 @@ def test_materialize_then_identity(spark, store, tmp_path):
     assert cst["chunks_after"] <= cst["chunks_before"]
 
 
+@pytest.fixture(scope="module")
+def kv_store(spark, tmp_path_factory):
+    """High-cardinality unsorted string-key store for IN-deletes and
+    upserts — the layout where zone maps can't prune and the Bloom
+    probe is the working level."""
+    out = str(tmp_path_factory.mktemp("kvstore"))
+    n = 3000
+    pdf = pd.DataFrame({
+        "key": [f"doc-{(i * 2654435761) % 100000:06d}" for i in range(n)],
+        "val": np.arange(n, dtype=np.int64) * 3,
+    })
+    df = spark.createDataFrame(pdf).repartition(4)
+    encode_job.encode_table(spark, df, out, url_col=None, resume=False)
+    return out, pdf
+
+
+def test_delete_where_in(spark, kv_store):
+    out, pdf = kv_store
+    victims = list(pdf["key"].iloc[::17])
+    stats = delete_job.delete_where_in(spark, out, "key", victims, "in1")
+    assert stats["rows_deleted"] == len(set(victims))
+    live = encoded_table.read_decoded(spark, out).toPandas()
+    assert set(live["key"]) == set(pdf["key"]) - set(victims)
+    # empty / all-absent lists are no-ops
+    assert delete_job.delete_where_in(spark, out, "key", [], "in2") \
+        ["rows_deleted"] == 0
+    s3 = delete_job.delete_where_in(spark, out, "key",
+                                    ["zz-absent"], "in3")
+    assert s3["rows_deleted"] == 0
+
+
+def test_upsert_matched_replace_unmatched_insert(spark, tmp_path):
+    out = str(tmp_path / "ups")
+    n = 2000
+    pdf = pd.DataFrame({
+        "key": [f"k{i:05d}" for i in range(n)],
+        "val": np.arange(n, dtype=np.int64),
+    })
+    encode_job.encode_table(
+        spark, spark.createDataFrame(pdf).repartition(4), out,
+        url_col=None, resume=False)
+
+    batch = pd.DataFrame({
+        "key": [f"k{i:05d}" for i in range(0, n, 10)]          # updates
+               + [f"new{i}" for i in range(50)],               # inserts
+        "val": [int(i) + 1000000 for i in range(0, n, 10)]
+               + [int(-i) for i in range(50)],
+    })
+    st = delete_job.upsert_table(
+        spark, spark.createDataFrame(batch), out, "key", "b1",
+        num_partitions=2)
+    assert st["matched_deleted"] == n // 10
+    assert st["batch_rows"] == len(batch)
+
+    live = (encoded_table.read_decoded(spark, out).toPandas()
+            .sort_values("key").reset_index(drop=True))
+    want = pd.concat([
+        pdf[~pdf["key"].isin(set(batch["key"]))],
+        batch,
+    ]).sort_values("key").reset_index(drop=True)
+    assert len(live) == len(want)
+    assert (live["key"].to_numpy() == want["key"].to_numpy()).all()
+    assert (live["val"].to_numpy() == want["val"].to_numpy()).all()
+
+    # end-to-end retry with the same batch_id changes nothing
+    st2 = delete_job.upsert_table(
+        spark, spark.createDataFrame(batch), out, "key", "b1",
+        num_partitions=2)
+    assert st2["matched_deleted"] == st["matched_deleted"]
+    live2 = (encoded_table.read_decoded(spark, out).toPandas()
+             .sort_values("key").reset_index(drop=True))
+    assert (live2["val"].to_numpy() == want["val"].to_numpy()).all()
+
+    # a LATER upsert must replace rows the previous batch inserted
+    batch2 = pd.DataFrame({"key": ["new0", "new1", "brand"],
+                           "val": [7, 8, 9]})
+    st3 = delete_job.upsert_table(
+        spark, spark.createDataFrame(batch2), out, "key", "b2",
+        num_partitions=1)
+    assert st3["matched_deleted"] == 2  # new0/new1 from b1
+    live3 = encoded_table.read_decoded(spark, out).toPandas()
+    got = live3[live3["key"].isin(["new0", "new1", "brand"])]
+    assert dict(zip(got["key"], got["val"])) == \
+        {"new0": 7, "new1": 8, "brand": 9}
+    assert len(live3) == len(want) + 1  # only 'brand' is net-new
+
+
 def test_pruned_reads_unaffected_by_sidecar(spark, store):
     """The pruned_* count kernels read the RAW chunks (documented:
     deletes apply at the decoded-read layer); this pins that the
