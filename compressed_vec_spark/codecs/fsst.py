@@ -232,9 +232,11 @@ def _tokenize(data: np.ndarray, offsets: np.ndarray):
     prev = np.empty_like(sp)
     prev[0] = -1
     prev[1:] = sp[:-1]
-    # start of the string containing each space (offsets[0] == 0, so
-    # searchsorted(side='right') - 1 indexes that string's begin)
-    str_start = offsets[np.searchsorted(offsets, sp, side="right") - 1]
+    # start of the string containing each space, binary-searched in the
+    # CHEAP direction: S string boundaries looked up among K spaces
+    # (S << K on web text), then expanded per space with one repeat —
+    # ~2x faster than K lookups into the offsets array
+    str_start = np.repeat(offsets[:-1], np.diff(np.searchsorted(sp, offsets)))
     start = np.maximum(prev + 1, str_start)
     ln = sp - start
     keep = (ln >= 1) & (ln <= 8)
@@ -352,6 +354,13 @@ def _encode_words(data: np.ndarray,
     # on another match's dec slot (m_start+m_len+1): two plain scatters
     # into ONE delta array replace the (slow, buffered) np.add.at build
     # without the second N-sized alloc + subtract pass
+    wbytes = words[:, None].view(np.uint8).reshape(len(words), 8)
+    wlens = 8 - (wbytes[:, ::-1] != 0).argmax(axis=1)
+    wlens[(wbytes == 0).all(axis=1)] = 0
+    heap = wbytes[np.arange(8)[None, :] < wlens[:, None]]
+    head = (MAGIC5 + bytes([len(words), 0])
+            + wlens.astype(np.uint8).tobytes() + heap.tobytes())
+
     d = np.zeros(N + 1, dtype=np.int8)
     d[m_start + m_len + 1] = -1
     d[m_start + 1] = 1
@@ -359,21 +368,27 @@ def _encode_words(data: np.ndarray,
     # (4x less cumsum write traffic than int32)
     run = np.cumsum(d[:N], dtype=np.int8)  # 1 inside a span
     # pure-printable chunks (byte range proves no code-space bytes —
-    # two SIMD reductions) skip the whole escape machinery, and the
-    # running sum IS 1-sizes directly (covered spans never contain a
-    # match start, so no patch-up needed): ~6 fewer array passes on
-    # typical ASCII web text
+    # two SIMD reductions) skip the whole escape machinery AND the
+    # emit-position cumsum + full scatter: with no escapes the output
+    # is exactly "data with covered span tails deleted", so one masked
+    # select on a code-patched copy emits it, and positions are only
+    # needed at string boundaries — spans never cross strings, so
+    # dropped-bytes-before-boundary is the match-length prefix sum at
+    # searchsorted(m_start, offsets).  Saves 2 of the 4 full-N passes.
     if int(data.min()) >= 32 and int(data.max()) <= 126:
-        esc_idx = np.empty(0, dtype=np.int64)
-        sizes = (np.int8(1) - run).view(np.uint8)
-    else:
-        covered = run > 0
-        esc = _IS_WCODE[data] & ~covered
-        esc[m_start] = False
-        sizes = np.ones(N, dtype=np.uint8)
-        sizes[covered] = 0
-        sizes += esc.view(np.uint8)
-        esc_idx = np.flatnonzero(esc)
+        tmp = data.copy()
+        tmp[m_start] = _WCODES[rank[matched]]
+        out = tmp[run == 0]
+        prefix = np.concatenate(([0], np.cumsum(m_len, dtype=np.int64)))
+        toffsets = offsets - prefix[np.searchsorted(m_start, offsets)]
+        return head, out, toffsets
+    covered = run > 0
+    esc = _IS_WCODE[data] & ~covered
+    esc[m_start] = False
+    sizes = np.ones(N, dtype=np.uint8)
+    sizes[covered] = 0
+    sizes += esc.view(np.uint8)
+    esc_idx = np.flatnonzero(esc)
     # with escapes the emitted stream can reach ~2N bytes: int32 (half
     # the cumsum write traffic) while that provably fits, int64 for the
     # rare >1 GiB batch — never a silent overflow either way
@@ -391,13 +406,6 @@ def _encode_words(data: np.ndarray,
         out[pos[esc_idx]] = _W_ESCAPE
         out[pos[esc_idx] + 1] = data[esc_idx]
     toffsets = pos[offsets].astype(np.int64)
-
-    wbytes = words[:, None].view(np.uint8).reshape(len(words), 8)
-    wlens = 8 - (wbytes[:, ::-1] != 0).argmax(axis=1)
-    wlens[(wbytes == 0).all(axis=1)] = 0
-    heap = wbytes[np.arange(8)[None, :] < wlens[:, None]]
-    head = (MAGIC5 + bytes([len(words), 0])
-            + wlens.astype(np.uint8).tobytes() + heap.tobytes())
     return head, out[:total], toffsets
 
 
