@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_table_delete_count": q.encoded_table_delete_count,
         "encoded_table_delete_materialize":
             q.encoded_table_delete_materialize,
+        # pruned fast-path reads subtract live deletes (clean chunks
+        # keep the compressed kernels; affected chunks decode + mask)
+        "encoded_table_delete_pushdown": q.encoded_table_delete_pushdown,
         # MERGE-INTO by key: matched rows position-deleted, batch
         # appended — the micro-batch correction loop
         "encoded_table_upsert_count": q.encoded_table_upsert_count,
@@ -222,6 +225,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
             "WHERE NOT COALESCE(lang = 'en', FALSE) "
             "AND NOT COALESCE(n_chars BETWEEN 0 AND 150, FALSE)",
+        # pruned reads over the live (post-delete) view: equality,
+        # range, filtered sum and top-k recomputed by the oracle from
+        # the same two delete predicates
+        "encoded_table_delete_pushdown":
+            "WITH live AS (SELECT * FROM documents "
+            "  WHERE NOT COALESCE(lang = 'en', FALSE) "
+            "  AND NOT COALESCE(n_chars BETWEEN 0 AND 150, FALSE)) "
+            "SELECT "
+            "(SELECT CAST(count(*) AS BIGINT) FROM live "
+            "  WHERE lang = 'de') AS cnt_lang_de, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM live "
+            "  WHERE n_chars BETWEEN 200 AND 400) AS cnt_range, "
+            "(SELECT CAST(COALESCE(sum(doc_id), 0) AS BIGINT) FROM live "
+            "  WHERE n_chars BETWEEN 200 AND 400) AS sum_ids, "
+            "(SELECT CAST(COALESCE(sum(v), 0) AS BIGINT) FROM ("
+            "  SELECT n_chars AS v FROM live "
+            "  ORDER BY n_chars DESC LIMIT 5) t) AS top5_sum",
         # MERGE by key: doc_id%7=3 rows replaced (n_chars+1000000),
         # doc_id%10=4 rows inserted under new keys (n_chars+5)
         "encoded_table_upsert_count":

@@ -26,6 +26,33 @@ _I64MAX = (1 << 63) - 1
 _I64MIN = -(1 << 63)
 
 
+def _delete_keep(spark: SparkSession, out_dir: str) -> dict[str, bytes]:
+    """chunk_id -> OR-merged packed DELETE bitmask for every
+    delete-affected chunk; {} for a store with no live deletes.
+    Driver-collected and shipped into the scan closures: the sidecar is
+    O(affected chunks) bytes (ceil(n_rows/8) per chunk) — the same
+    broadcast bound store_membership's probe hashes already use.
+
+    Every pruned_* reader consults this so current-table reads reflect
+    committed position deletes (Iceberg-v2 read semantics): chunks with
+    no deletes keep their compressed fast path untouched; only the
+    affected chunks fall back to a positional decode ANDed with the
+    keep mask.  Snapshot (as_of) reads skip it by design — deletes
+    apply to the current table only (spark/delete_job.py contract)."""
+    from ..spark import delete_job
+    m = delete_job.merged_masks(spark, out_dir)
+    if m is None:
+        return {}
+    return {r["chunk_id"]: bytes(r["mask"])
+            for r in m.select("chunk_id", "mask").collect()}
+
+
+def _keep_bools(packed: bytes, n: int) -> np.ndarray:
+    """Packed delete mask -> boolean KEEP vector of length n."""
+    return ~np.unpackbits(np.frombuffer(packed, np.uint8),
+                          count=n).astype(bool)
+
+
 def chunk_stats_for(series: pd.Series) \
         -> tuple[int | None, int | None, int | None, int]:
     """(min, max, sum, null_count) for numeric/timestamp chunks
@@ -97,7 +124,9 @@ def pruned_float_range_count(spark: SparkSession, out_dir: str,
     return _pruned_count_scan(
         spark, out_dir, column,
         (F.col("max_f64") >= lo) & (F.col("min_f64") <= hi), kernel,
-        track_fallback=False)
+        track_fallback=False,
+        decode_pred=lambda s: ((np.asarray(s, dtype=np.float64) >= lo)
+                               & (np.asarray(s, dtype=np.float64) <= hi)))
 
 
 def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
@@ -115,6 +144,7 @@ def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
     # (which would put millions of literals in the plan at scale)
     scanned_chunks = candidates.count()
     cand_ids = candidates.select("chunk_id")
+    keep_masks = _delete_keep(spark, out_dir)
 
     chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
               .where(F.col("column") == column)
@@ -123,12 +153,16 @@ def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = 0
-            for blob in pdf["blob"]:
+            for cid, blob in zip(pdf["chunk_id"], pdf["blob"]):
                 vals = np.asarray(chunk_codec.decode_column(bytes(blob)))
-                n += int((vals.astype(np.int64) == value).sum())
+                m = vals.astype(np.int64) == value
+                km = keep_masks.get(cid)
+                if km is not None:
+                    m &= _keep_bools(km, len(vals))
+                n += int(m.sum())
             yield pd.DataFrame({"hits": [n]})
 
-    agg = chunks.select("blob").mapInPandas(fn, "hits long") \
+    agg = chunks.select("chunk_id", "blob").mapInPandas(fn, "hits long") \
         .agg(F.sum("hits")).collect()[0][0]
     return int(agg or 0), {
         "total_chunks": total_chunks,
@@ -167,6 +201,9 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
         & (F.col("min_val") <= hi) & (F.col("max_val") >= lo))
     scanned_chunks = candidates.count()
     cand_ids = candidates.select("chunk_id")
+    # snapshot reads predate deletes by contract (delete_job docstring);
+    # current-table reads subtract them
+    keep_masks = {} if as_of is not None else _delete_keep(spark, out_dir)
 
     chunks = (chunks_src
               .where((F.col("column") == column)
@@ -176,7 +213,18 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hits = skipped = sections = 0
         for pdf in batches:
-            for blob, codec in zip(pdf["blob"], pdf["codec"]):
+            for cid, blob, codec in zip(pdf["chunk_id"], pdf["blob"],
+                                        pdf["codec"]):
+                km = keep_masks.get(cid)
+                if km is not None:
+                    # delete-affected chunk: the section kernel's counts
+                    # cannot be masked, so decode positionally
+                    s = pd.Series(chunk_codec.decode_column(bytes(blob)))
+                    m = ((s >= lo) & (s <= hi)).fillna(False) \
+                        .to_numpy(dtype=bool)
+                    m &= _keep_bools(km, len(s))
+                    hits += int(m.sum())
+                    continue
                 kind = "u64" if codec == "vec_u64" else "u32"
                 b = bytes(blob)
                 if b[:4] == b"NULM":  # null-mask wrapper: nulls ride the
@@ -191,7 +239,7 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
         yield pd.DataFrame({"hits": [hits], "skipped": [skipped],
                             "sections": [sections]})
 
-    agg = (chunks.select("blob", "codec").mapInPandas(
+    agg = (chunks.select("chunk_id", "blob", "codec").mapInPandas(
         fn, "hits long, skipped long, sections long")
         .agg(F.sum("hits").alias("h"), F.sum("skipped").alias("sk"),
              F.sum("sections").alias("se")).collect()[0])
@@ -207,8 +255,8 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
 def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
                        manifest_pred, chunk_fn,
                        track_fallback: bool = True,
-                       bloom_value: str | list[str] | None = None) \
-        -> tuple[int, dict]:
+                       bloom_value: str | list[str] | None = None,
+                       decode_pred=None) -> tuple[int, dict]:
     """Shared skeleton of every chunk-pruned count over the store:
     manifest-stat prune -> broadcast surviving chunk ids -> per-chunk
     kernel inside mapInPandas -> one-row aggregate.  `chunk_fn(blob,
@@ -223,7 +271,14 @@ def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
     sorted on the probed column and every chunk's [min_str, max_str]
     admits the value (codecs/bloom.py).  Stores older than format v5
     have no bloom column; the probe then degrades to zone-map pruning
-    alone (bloom_pruned_chunks = 0)."""
+    alone (bloom_pruned_chunks = 0).
+
+    `decode_pred(series) -> bool ndarray` (positional, null-safe) is
+    the predicate's decoded form, used ONLY for delete-affected chunks:
+    their rows must be ANDed with the keep mask, so the compressed
+    kernel (whose counts cannot be masked) is bypassed for exactly
+    those chunks."""
+    keep_masks = _delete_keep(spark, out_dir)
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
     total_chunks = manifest.where(F.col("column") == column).count()
     candidates = manifest.where((F.col("column") == column) & manifest_pred)
@@ -257,7 +312,20 @@ def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hits = fast = decoded = 0
         for pdf in batches:
-            for blob, codec in zip(pdf["blob"], pdf["codec"]):
+            for cid, blob, codec in zip(pdf["chunk_id"], pdf["blob"],
+                                        pdf["codec"]):
+                km = keep_masks.get(cid)
+                if km is not None:
+                    if decode_pred is None:
+                        raise ValueError(
+                            "store has live position deletes but this "
+                            "reader supplied no decoded predicate form")
+                    s = pd.Series(chunk_codec.decode_column(bytes(blob)))
+                    m = np.asarray(decode_pred(s), dtype=bool)
+                    m &= _keep_bools(km, len(s))
+                    hits += int(m.sum())
+                    decoded += 1
+                    continue
                 h, was_fast = chunk_fn(bytes(blob), codec)
                 hits += h
                 if was_fast:
@@ -266,7 +334,7 @@ def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
                     decoded += 1
         yield pd.DataFrame({"hits": [hits], "fast": [fast], "dec": [decoded]})
 
-    agg = (chunks.select("blob", "codec")
+    agg = (chunks.select("chunk_id", "blob", "codec")
            .mapInPandas(fn, "hits long, fast long, dec long")
            .agg(F.sum("hits").alias("h"), F.sum("fast").alias("f"),
                 F.sum("dec").alias("d")).collect()[0])
@@ -298,6 +366,23 @@ def _align_bounds(s: pd.Series, *bounds: str) -> tuple:
     if len(s) and isinstance(s.iloc[0], bytes):
         return tuple(b.encode("utf-8") for b in bounds)
     return bounds
+
+
+def _string_pred(op, *bounds: str):
+    """Positional, null-safe decoded form of a string predicate for
+    delete-affected chunks: `op(non_null_values, *aligned_bounds) ->
+    bool array` evaluated only on non-null rows, nulls never match
+    (SQL semantics), bounds aligned str/bytes per `_align_bounds`."""
+    def pred(s: pd.Series) -> np.ndarray:
+        out = np.zeros(len(s), dtype=bool)
+        nn = s.notna().to_numpy(dtype=bool)
+        if not nn.any():
+            return out
+        vals = s[nn]
+        out[nn] = np.asarray(op(vals, *_align_bounds(vals, *bounds)),
+                             dtype=bool)
+        return out
+    return pred
 
 
 def pruned_string_equals_count(spark: SparkSession, out_dir: str,
@@ -334,7 +419,8 @@ def pruned_string_equals_count(spark: SparkSession, out_dir: str,
     return _pruned_count_scan(
         spark, out_dir, column,
         (F.col("min_str") <= value) & (F.col("max_str") >= value), kernel,
-        bloom_value=value)
+        bloom_value=value,
+        decode_pred=_string_pred(lambda v, b: v == b, value))
 
 
 def pruned_string_in_count(spark: SparkSession, out_dir: str,
@@ -380,7 +466,8 @@ def pruned_string_in_count(spark: SparkSession, out_dir: str,
         spark, out_dir, column,
         reduce(or_, [(F.col("min_str") <= v) & (F.col("max_str") >= v)
                      for v in values]),
-        kernel, bloom_value=values)
+        kernel, bloom_value=values,
+        decode_pred=_string_pred(lambda v, *bs: v.isin(set(bs)), *values))
 
 
 def pruned_string_prefix_count(spark: SparkSession, out_dir: str,
@@ -413,7 +500,10 @@ def pruned_string_prefix_count(spark: SparkSession, out_dir: str,
     return _pruned_count_scan(
         spark, out_dir, column,
         (F.substring(F.col("min_str"), 1, L) <= prefix)
-        & (F.substring(F.col("max_str"), 1, L) >= prefix), kernel)
+        & (F.substring(F.col("max_str"), 1, L) >= prefix), kernel,
+        decode_pred=_string_pred(
+            lambda v, p: np.fromiter((x.startswith(p) for x in v),
+                                     bool, len(v)), prefix))
 
 
 def pruned_string_range_count(spark: SparkSession, out_dir: str,
@@ -448,7 +538,9 @@ def pruned_string_range_count(spark: SparkSession, out_dir: str,
 
     return _pruned_count_scan(
         spark, out_dir, column,
-        (F.col("max_str") >= lo) & (F.col("min_str") <= hi), kernel)
+        (F.col("max_str") >= lo) & (F.col("min_str") <= hi), kernel,
+        decode_pred=_string_pred(
+            lambda v, lo_v, hi_v: (v >= lo_v) & (v <= hi_v), lo, hi))
 
 
 def _pruned_select(spark: SparkSession, out_dir: str, filter_col: str,
@@ -485,12 +577,19 @@ def _pruned_select(spark: SparkSession, out_dir: str, filter_col: str,
         f"{c} {dtypes.get(c, 'string').replace('int64', 'long')}"
         for c in project_cols)
 
+    keep_masks = _delete_keep(spark, out_dir)
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 mask = mask_fn(bytes(row.f_blob), row.f_codec)
                 if mask is None or not mask.any():
                     continue
+                km = keep_masks.get(row.chunk_id)
+                if km is not None:
+                    mask = mask & _keep_bools(km, len(mask))
+                    if not mask.any():
+                        continue
                 cols = {}
                 for i, c in enumerate(project_cols):
                     dec = chunk_codec.decode_column(
@@ -667,22 +766,40 @@ def store_membership(spark: SparkSession, out_dir: str, column: str,
               .where(F.col("column") == column)
               .select("chunk_id", "codec", "blob")
               .join(grouped, "chunk_id"))
+    keep_masks = _delete_keep(spark, out_dir)
 
     def verify_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for blob, codec, plist in zip(pdf["blob"], pdf["codec"],
-                                          pdf["plist"]):
+            for cid, blob, codec, plist in zip(pdf["chunk_id"],
+                                               pdf["blob"], pdf["codec"],
+                                               pdf["plist"]):
                 pid = np.array([r["pid"] for r in plist], dtype=np.int64)
                 vals = [r["v"] for r in plist]
-                if codec == "dict":
+                km = keep_masks.get(cid)
+                if codec == "dict" and km is None:
                     # every dictionary entry was built from a value the
                     # chunk actually holds: heap search IS membership
+                    # (a delete-affected chunk loses this shortcut — an
+                    # entry may survive only in deleted rows)
                     payload = bytes(blob)[4:]
                     found = np.array(
                         [bool(dictionary.code_of(payload, v))
                          for v in vals], dtype=bool)
+                elif codec == "dict":
+                    payload = bytes(blob)[4:]
+                    codes = dictionary.codes(payload)
+                    live = set(codes[_keep_bools(km, len(codes))]
+                               .tolist())
+                    found = np.array(
+                        [(lambda c: bool(c) and c in live)(
+                            dictionary.code_of(payload, v))
+                         for v in vals], dtype=bool)
                 else:
-                    s = _decoded_strings(bytes(blob))
+                    s = pd.Series(
+                        chunk_codec.decode_column(bytes(blob)))
+                    if km is not None:
+                        s = s[_keep_bools(km, len(s))]
+                    s = s.dropna()
                     present = set(s)
                     if len(s) and isinstance(s.iloc[0], bytes):
                         vals = [v.encode("utf-8") for v in vals]
@@ -779,12 +896,26 @@ def pruned_multi_and_count(spark: SparkSession, out_dir: str,
                  F.col("codec").alias("codec_e")))
     paired = (a.join(F.broadcast(cand), "chunk_id")
               .join(b, "chunk_id"))
+    keep_masks = _delete_keep(spark, out_dir)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hits = skipped_sections = 0
         for pdf in batches:
-            for br, cr, be, ce in zip(pdf["blob_r"], pdf["codec_r"],
-                                      pdf["blob_e"], pdf["codec_e"]):
+            for cid, br, cr, be, ce in zip(pdf["chunk_id"],
+                                           pdf["blob_r"], pdf["codec_r"],
+                                           pdf["blob_e"], pdf["codec_e"]):
+                km = keep_masks.get(cid)
+                if km is not None:
+                    # delete-affected chunk: positional decode of both
+                    # columns, keep mask ANDed in
+                    rv = pd.Series(chunk_codec.decode_column(bytes(br)))
+                    ev = pd.Series(chunk_codec.decode_column(bytes(be)))
+                    m = (((rv >= lo) & (rv <= hi)).fillna(False)
+                         .to_numpy(dtype=bool))
+                    m &= (ev == value).fillna(False).to_numpy(dtype=bool)
+                    m &= _keep_bools(km, len(rv))
+                    hits += int(m.sum())
+                    continue
                 kr = "u64" if cr == "vec_u64" else "u32"
                 ke = "u64" if ce == "vec_u64" else "u32"
                 m1 = filters.range_mask(_unwrap_vec(br), kr, lo, hi)
@@ -795,7 +926,8 @@ def pruned_multi_and_count(spark: SparkSession, out_dir: str,
                 hits += filters.count_hits(m1 & m2)
         yield pd.DataFrame({"hits": [hits], "skipped": [skipped_sections]})
 
-    agg = (paired.select("blob_r", "codec_r", "blob_e", "codec_e")
+    agg = (paired.select("chunk_id", "blob_r", "codec_r", "blob_e",
+                         "codec_e")
            .mapInPandas(fn, "hits long, skipped long")
            .agg(F.sum("hits").alias("h"), F.sum("skipped").alias("s"))
            .collect()[0])
@@ -838,8 +970,13 @@ def pruned_filtered_sum(spark: SparkSession, out_dir: str,
                      F.col("null_count").alias("s_nulls"),
                      F.col("codec").alias("s_codec")))
     j = overlap.join(s_man, "chunk_id")
+    keep_masks = _delete_keep(spark, out_dir)
     covered = ((F.col("min_val") >= lo) & (F.col("max_val") <= hi)
                & (F.col("null_count") == 0) & F.col("s_sum").isNotNull())
+    if keep_masks:
+        # a delete-affected chunk's manifest sum includes deleted rows:
+        # it must take the decoded path whatever its stats say
+        covered = covered & ~F.col("chunk_id").isin(list(keep_masks))
     agg = j.agg(
         F.sum(F.when(covered, F.col("s_sum")).otherwise(F.lit(0))
               .cast("decimal(38,0)")).alias("manifest_sum"),
@@ -863,21 +1000,26 @@ def pruned_filtered_sum(spark: SparkSession, out_dir: str,
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         task_sum, fast_sections = 0, 0
         for pdf in batches:
-            for bf, cf, nf, bs, cs, ns in zip(
+            for cid, bf, cf, nf, bs, cs, ns in zip(
+                    pdf["chunk_id"],
                     pdf["blob_f"], pdf["codec"], pdf["null_count"],
                     pdf["blob_s"], pdf["s_codec"], pdf["s_nulls"]):
-                if cf in vec_codecs and cs in vec_codecs and not nf and not ns:
+                km = keep_masks.get(cid)
+                if (km is None and cf in vec_codecs and cs in vec_codecs
+                        and not nf and not ns):
                     kf = "u64" if cf == "vec_u64" else "u32"
                     ks = "u64" if cs == "vec_u64" else "u32"
                     masks = filters.range_mask(_unwrap_vec(bf), kf, lo, hi)
                     t, st = filters.masked_sum(_unwrap_vec(bs), ks, masks,
                                                return_stats=True)
                     fast_sections += st["summed_without_decode"]
-                else:  # nullable or non-vec codec: decoded fallback
+                else:  # nullable, non-vec codec, or delete-affected:
                     fv = pd.Series(chunk_codec.decode_column(bytes(bf)))
                     sv = pd.Series(chunk_codec.decode_column(bytes(bs)))
                     m = (fv >= lo) & (fv <= hi)
                     m = m.fillna(False).to_numpy(dtype=bool)
+                    if km is not None:
+                        m &= _keep_bools(km, len(fv))
                     t = int(sv[m].dropna().astype(object).sum())
                 task_sum += t
         # exact cross-chunk accumulation: the Python-int partial rides as
@@ -911,11 +1053,18 @@ def pruned_topk(spark: SparkSession, out_dir: str, column: str,
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
     col_man = manifest.where(F.col("column") == column)
     total_chunks = col_man.count()
-    # metadata-only job: the k largest chunk maxima
+    keep_masks = _delete_keep(spark, out_dir)
+    # metadata-only job: the k largest chunk maxima.  The threshold is
+    # sound only if each contributing max is a LIVE value, so delete-
+    # affected chunks (whose manifest max may be a deleted row) are
+    # excluded from threshold DERIVATION — while remaining prunable BY
+    # it, since a manifest max is still an upper bound of live values.
+    thr_man = (col_man.where(~F.col("chunk_id").isin(list(keep_masks)))
+               if keep_masks else col_man)
     maxes = [r["max_val"] for r in
-             col_man.orderBy(F.desc("max_val")).limit(k).collect()
+             thr_man.orderBy(F.desc("max_val")).limit(k).collect()
              if r["max_val"] is not None]
-    if not maxes:
+    if not maxes and not keep_masks:
         return [], {"total_chunks": total_chunks, "scanned_chunks": 0,
                     "pruned_chunks": total_chunks}
     threshold = min(maxes) if len(maxes) >= k else None
@@ -926,18 +1075,22 @@ def pruned_topk(spark: SparkSession, out_dir: str, column: str,
     chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
               .where(F.col("column") == column)
               .join(F.broadcast(cand.select("chunk_id")), "chunk_id"))
+    keep_masks = _delete_keep(spark, out_dir)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for blob in pdf["blob"]:
+            for cid, blob in zip(pdf["chunk_id"], pdf["blob"]):
                 v = np.asarray(chunk_codec.decode_column(bytes(blob)))
+                km = keep_masks.get(cid)
+                if km is not None:
+                    v = v[_keep_bools(km, len(v))]
                 v = pd.Series(v).dropna().to_numpy()
                 if not len(v):
                     continue
                 part = np.sort(v)[-k:]  # chunk-local top-k only
                 yield pd.DataFrame({"v": part.astype(np.int64)})
 
-    top = (chunks.select("blob").mapInPandas(fn, "v long")
+    top = (chunks.select("chunk_id", "blob").mapInPandas(fn, "v long")
            .orderBy(F.desc("v")).limit(k).collect())
     return [int(r["v"]) for r in top], {
         "total_chunks": total_chunks,
@@ -950,7 +1103,11 @@ def manifest_min_max(spark: SparkSession, out_dir: str,
                      column: str) -> tuple[int | None, int | None]:
     """Global MIN/MAX of a column answered from the manifest ALONE —
     no chunk blob is ever read (min of chunk mins / max of chunk maxes;
-    SQL semantics: nulls ignored, all-null table yields (None, None))."""
+    SQL semantics: nulls ignored, all-null table yields (None, None)).
+    On a store with live position deletes the result is a BOUND, not
+    an exact live min/max (a deleted row may carry the extreme) — the
+    same contract Iceberg's file stats keep under positional deletes;
+    use read_decoded(...).agg(min, max) for the exact live answer."""
     m = (spark.read.parquet(os.path.join(out_dir, "manifest"))
          .where(F.col("column") == column)
          .agg(F.min("min_val").alias("mn"), F.max("max_val").alias("mx"))
@@ -995,21 +1152,73 @@ def manifest_null_count(spark: SparkSession, out_dir: str,
     before the column existed carry no manifest rows for it, and every
     one of their rows decodes as a back-filled NULL — those are counted
     via the store's position-0 column, which every part has (columns
-    are only ever added, never removed)."""
+    are only ever added, never removed).
+
+    On a store with live position deletes the answer stays exact and
+    stays CHEAP: clean chunks still come from the manifest; only the
+    delete-affected chunks of this column (O(affected) blob reads)
+    decode to intersect their null mask with the keep mask, and
+    evolved parts' virtual nulls subtract the part's deleted-row count
+    from the sidecar metadata."""
     m = spark.read.parquet(os.path.join(out_dir, "manifest"))
     first_col = (spark.read.parquet(os.path.join(out_dir, "table_schema"))
                  .orderBy("position").first()["name"])
     rows = (m.where(F.col("column") == first_col)
             .groupBy("part_id")
             .agg(F.sum("num_elements").alias("part_rows")))
-    col_stats = (m.where(F.col("column") == column)
-                 .groupBy("part_id")
-                 .agg(F.sum("null_count").alias("nulls"),
-                      F.sum("num_elements").alias("elems")))
-    agg = (rows.join(col_stats, "part_id", "left")
-           .agg(F.sum(F.coalesce(F.col("nulls"),
-                                 F.col("part_rows"))).alias("n"),
-                F.sum(F.coalesce(F.col("elems") - F.col("nulls"),
-                                 F.lit(0))).alias("nn"))
-           .collect()[0])
-    return int(agg["n"] or 0), int(agg["nn"] or 0)
+    col_man = m.where(F.col("column") == column)
+    from ..spark import delete_job
+    mm = delete_job.merged_masks(spark, out_dir)
+    if mm is None:
+        col_stats = (col_man.groupBy("part_id")
+                     .agg(F.sum("null_count").alias("nulls"),
+                          F.sum("num_elements").alias("elems")))
+        agg = (rows.join(col_stats, "part_id", "left")
+               .agg(F.sum(F.coalesce(F.col("nulls"),
+                                     F.col("part_rows"))).alias("n"),
+                    F.sum(F.coalesce(F.col("elems") - F.col("nulls"),
+                                     F.lit(0))).alias("nn"))
+               .collect()[0])
+        return int(agg["n"] or 0), int(agg["nn"] or 0)
+
+    side = mm.select("chunk_id", "part_id", "n_deleted", "mask").collect()
+    keep = {r["chunk_id"]: bytes(r["mask"]) for r in side}
+    del_per_part: dict[int, int] = {}
+    for r in side:
+        del_per_part[r["part_id"]] = (del_per_part.get(r["part_id"], 0)
+                                      + int(r["n_deleted"]))
+    # clean chunks: manifest stats are live
+    clean = (col_man.where(~F.col("chunk_id").isin(list(keep)))
+             .agg(F.sum("null_count").alias("n"),
+                  F.sum(F.col("num_elements")
+                        - F.col("null_count")).alias("nn")).collect()[0])
+    n = int(clean["n"] or 0)
+    nn = int(clean["nn"] or 0)
+    # affected chunks of THIS column: decode, null/keep intersect
+    aff = (spark.read.parquet(os.path.join(out_dir, "chunks"))
+           .where((F.col("column") == column)
+                  & F.col("chunk_id").isin(list(keep)))
+           .select("chunk_id", "blob"))
+
+    def live_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            a = b = 0
+            for cid, blob in zip(pdf["chunk_id"], pdf["blob"]):
+                s = pd.Series(chunk_codec.decode_column(bytes(blob)))
+                kb = _keep_bools(keep[cid], len(s))
+                isna = s.isna().to_numpy(dtype=bool)
+                a += int((isna & kb).sum())
+                b += int((~isna & kb).sum())
+            yield pd.DataFrame({"n": [a], "nn": [b]})
+
+    la = (aff.mapInPandas(live_fn, "n long, nn long")
+          .agg(F.sum("n").alias("n"), F.sum("nn").alias("nn")).collect()[0])
+    n += int(la["n"] or 0)
+    nn += int(la["nn"] or 0)
+    # evolved parts (no manifest rows for the column): all live rows
+    # are virtual NULLs — the part's deleted count comes off the top
+    virt = (rows.join(col_man.select("part_id").distinct(),
+                      "part_id", "left_anti").collect())
+    for r in virt:
+        n += int(r["part_rows"]) - del_per_part.get(int(r["part_id"]), 0)
+    return n, nn

@@ -89,12 +89,15 @@ def merged_masks(spark: SparkSession, out_dir: str,
             np.bitwise_or(acc, np.frombuffer(bytes(m), np.uint8), out=acc)
         n_rows = int(pdf["n_rows"].iloc[0])
         n_del = int(np.unpackbits(acc, count=n_rows).sum())
-        return pd.DataFrame({"chunk_id": [key[0]], "n_rows": [n_rows],
+        return pd.DataFrame({"chunk_id": [key[0]],
+                             "part_id": [int(pdf["part_id"].iloc[0])],
+                             "n_rows": [n_rows],
                              "n_deleted": [n_del], "mask": [acc.tobytes()]})
 
-    return (d.select("chunk_id", "n_rows", "mask")
+    return (d.select("chunk_id", "part_id", "n_rows", "mask")
             .groupBy("chunk_id")
-            .applyInPandas(_or, "chunk_id string, n_rows long, "
+            .applyInPandas(_or, "chunk_id string, part_id int, "
+                                "n_rows long, "
                                 "n_deleted long, mask binary"))
 
 

@@ -2238,6 +2238,40 @@ def encoded_table_delete_materialize(spark, sf_dir) -> DataFrame:
                 F.col("sum_chars").cast("long"))
 
 
+def encoded_table_delete_pushdown(spark, sf_dir) -> DataFrame:
+    """Pruned fast-path reads over a store with LIVE position deletes
+    (Iceberg-v2 read semantics, sources/encoded_table.py:_delete_keep):
+    clean chunks keep their compressed kernels untouched; ONLY the
+    delete-affected chunks fall back to a positional decode ANDed with
+    the keep mask, and manifest-answer shortcuts (covered-chunk sums,
+    top-k thresholds) exclude affected chunks whose stats may describe
+    deleted rows.  Green only if the dict-code string equality count,
+    the section-skip numeric range count, the three-level filtered SUM
+    and the threshold-pruned top-k all equal the oracle's live view."""
+    from ..sources import encoded_table
+    out = _deleted_store(spark, sf_dir)
+    cnt_de, st_eq = encoded_table.pruned_string_equals_count(
+        spark, out, "lang", "de")
+    cnt_rng, _ = encoded_table.pruned_range_count(
+        spark, out, "n_chars", 200, 400)
+    sum_ids, st_sum = encoded_table.pruned_filtered_sum(
+        spark, out, "n_chars", 200, 400, "doc_id")
+    top5, _ = encoded_table.pruned_topk(spark, out, "n_chars", 5)
+    # the delete-affected chunks must NOT have taken the manifest
+    # shortcut: their stats describe pre-delete rows
+    assert st_sum["covered_from_manifest"] + st_sum["partial_chunks"] \
+        <= st_sum["total_chunks"]
+    return spark.createDataFrame(
+        pd.DataFrame({"cnt_lang_de": [int(cnt_de)],
+                      "cnt_range": [int(cnt_rng)],
+                      "sum_ids": [int(sum_ids)],
+                      "top5_sum": [int(sum(top5))]})) \
+        .select(F.col("cnt_lang_de").cast("long"),
+                F.col("cnt_range").cast("long"),
+                F.col("sum_ids").cast("long"),
+                F.col("top5_sum").cast("long"))
+
+
 def encoded_table_upsert_count(spark, sf_dir) -> DataFrame:
     """MERGE-INTO by key (delete_job.upsert_table): matched keys are
     position-deleted (Bloom-pruned IN-mask over the stored key column

@@ -243,11 +243,89 @@ def test_upsert_matched_replace_unmatched_insert(spark, tmp_path):
     assert len(live3) == len(want) + 1  # only 'brand' is net-new
 
 
-def test_pruned_reads_unaffected_by_sidecar(spark, store):
-    """The pruned_* count kernels read the RAW chunks (documented:
-    deletes apply at the decoded-read layer); this pins that the
-    sidecar's presence doesn't break them."""
+def _live2(pdf):
+    """Logical live view after d1 (lang='en') and d2 (nch in [0, 2500]):
+    NULL predicates never delete."""
+    en = (pdf["lang"] == "en").fillna(False)
+    rng = (pdf["nch"] >= 0) & (pdf["nch"] <= 2500)
+    return pdf[~en & ~rng]
+
+
+def test_pruned_counts_subtract_deletes(spark, store):
+    """Every pruned fast-path count reflects committed deletes: clean
+    chunks keep the compressed kernel, affected chunks decode + mask."""
     out, pdf = store
+    live = _live2(pdf)
+
     hits, stats = encoded_table.pruned_string_equals_count(
         spark, out, "lang", "de")
-    assert hits == int((pdf["lang"] == "de").sum())
+    assert hits == int((live["lang"] == "de").sum())
+    assert stats["decoded_fallback_chunks"] >= 1  # affected chunks left
+    # the dict fast path; clean chunks stayed on it
+    assert stats["dict_fast_chunks"] >= 0
+
+    hits, _ = encoded_table.pruned_string_in_count(
+        spark, out, "lang", ["de", "fr"])
+    assert hits == int(live["lang"].isin(["de", "fr"]).sum())
+
+    hits, _ = encoded_table.pruned_string_prefix_count(
+        spark, out, "lang", "d")
+    assert hits == int(live["lang"].fillna("").str.startswith("d").sum())
+
+    hits, _ = encoded_table.pruned_string_range_count(
+        spark, out, "lang", "de", "fr")
+    assert hits == int(live["lang"].between("de", "fr").sum())
+
+    hits, _ = encoded_table.pruned_range_count(spark, out, "nch",
+                                               3000, 4000)
+    assert hits == int(live["nch"].between(3000, 4000).sum())
+
+    v = int(live["nch"].iloc[0])
+    hits, _ = encoded_table.pruned_equals_count(spark, out, "nch", v)
+    assert hits == int((live["nch"] == v).sum())
+
+
+def test_pruned_sum_topk_select_subtract_deletes(spark, store):
+    out, pdf = store
+    live = _live2(pdf)
+
+    total, st = encoded_table.pruned_filtered_sum(
+        spark, out, "nch", 3000, 4000, "k")
+    m = live["nch"].between(3000, 4000)
+    assert total == int(live.loc[m, "k"].sum())
+
+    top, _ = encoded_table.pruned_topk(spark, out, "nch", 3)
+    want = sorted(live["nch"].nlargest(3).tolist(), reverse=True)
+    assert top == want
+
+    rows = encoded_table.pruned_filter_select(
+        spark, out, "lang", "de", ["k"]).toPandas()
+    assert sorted(rows["k"]) == sorted(
+        live.loc[live["lang"] == "de", "k"].tolist())
+
+    k_dead = int(pdf.loc[(pdf["lang"] == "en").fillna(False), "k"].iloc[0])
+    k_live = int(live["k"].iloc[0])
+    hits, _ = encoded_table.pruned_multi_and_count(
+        spark, out, "nch", 0, 10**9, "k", k_dead)
+    assert hits == 0  # the row exists in storage but is deleted
+    hits, _ = encoded_table.pruned_multi_and_count(
+        spark, out, "nch", 0, 10**9, "k", k_live)
+    assert hits == 1
+
+
+def test_membership_and_null_count_subtract_deletes(spark, store):
+    out, pdf = store
+    live = _live2(pdf)
+
+    # 'en' rows all deleted (d1): membership over the live view is
+    # FALSE even though every 'en' chunk still stores the value
+    probes = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2], "v": ["en", "de"]}))
+    res, _ = encoded_table.store_membership(
+        spark, out, "lang", probes, "v", "pid")
+    got = {r["pid"]: r["present"] for r in res.collect()}
+    assert got == {1: False, 2: True}
+
+    n, nn = encoded_table.manifest_null_count(spark, out, "lang")
+    assert n == int(live["lang"].isna().sum())
+    assert nn == int(live["lang"].notna().sum())
