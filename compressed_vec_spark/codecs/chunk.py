@@ -132,14 +132,25 @@ def _arrow_sample_series(arr) -> pd.Series:
     if n > selector.SAMPLE:
         idx = np.linspace(0, n - 1, selector.SAMPLE).astype(np.int64)
         arr = arr.take(idx)
-    return arr.to_pandas()
+    return arrow_to_pandas_sparklike(arr)
 
 
 def arrow_to_pandas_sparklike(arr) -> pd.Series:
     """arrow -> pandas matching what Spark's mapInPandas would deliver:
     tz-aware timestamps become NAIVE wall-clock in the session timezone
-    (the arrow batch's tz is the session tz)."""
+    (the arrow batch's tz is the session tz).  Integer arrays WITH
+    nulls become pandas nullable Int64 — arrow's default float64
+    conversion would silently reroute an int column to a FLOAT codec:
+    no [min_val, max_val] zone maps (so no pruning), and lossy storage
+    for |v| > 2^53.  The NULM wrapper + _restore_nulls round-trip the
+    nullable-int form exactly (_int_values handles the extension
+    dtype)."""
     import pyarrow as pa
+    if pa.types.is_integer(arr.type) and arr.null_count:
+        vals = arr.fill_null(0).to_numpy(zero_copy_only=False)
+        mask = arr.is_null().to_numpy(zero_copy_only=False)
+        return pd.Series(pd.arrays.IntegerArray(
+            vals.astype(np.int64), mask.astype(bool)))
     s = arr.to_pandas()
     if pa.types.is_timestamp(arr.type) and arr.type.tz is not None:
         s = s.dt.tz_localize(None)

@@ -227,13 +227,22 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
                     continue
                 kind = "u64" if codec == "vec_u64" else "u32"
                 b = bytes(blob)
+                null_hits = 0
                 if b[:4] == b"NULM":  # null-mask wrapper: nulls ride the
                     n = int.from_bytes(b[4:8], "little")  # payload as 0s
-                    b = b[8 + (n + 7) // 8:]
+                    nbytes = (n + 7) // 8
+                    if lo <= 0 <= hi:
+                        # a range admitting 0 counts every null's zero
+                        # placeholder exactly once — subtract them (SQL:
+                        # NULL never matches); real zeros stay counted
+                        null_hits = int(np.unpackbits(
+                            np.frombuffer(b[8:8 + nbytes], np.uint8),
+                            count=n).sum())
+                    b = b[8 + nbytes:]
                 payload = b[4:]  # strip the chunk codec tag
                 masks, st = filters.range_mask(payload, kind, lo, hi,
                                                return_stats=True)
-                hits += filters.count_hits(masks)
+                hits += filters.count_hits(masks) - null_hits
                 skipped += st["skipped_without_decode"]
                 sections += st["sections"]
         yield pd.DataFrame({"hits": [hits], "skipped": [skipped],
@@ -905,15 +914,22 @@ def pruned_multi_and_count(spark: SparkSession, out_dir: str,
                                            pdf["blob_r"], pdf["codec_r"],
                                            pdf["blob_e"], pdf["codec_e"]):
                 km = keep_masks.get(cid)
-                if km is not None:
-                    # delete-affected chunk: positional decode of both
-                    # columns, keep mask ANDed in
-                    rv = pd.Series(chunk_codec.decode_column(bytes(br)))
-                    ev = pd.Series(chunk_codec.decode_column(bytes(be)))
+                br_b, be_b = bytes(br), bytes(be)
+                # the compressed kernels see nulls as payload zeros: a
+                # range admitting 0 or an equality against 0 on a
+                # nullable chunk would count NULL rows — decode instead
+                null_hazard = ((br_b[:4] == b"NULM" and lo <= 0 <= hi)
+                               or (be_b[:4] == b"NULM" and value == 0))
+                if km is not None or null_hazard:
+                    # positional decode of both columns; keep mask
+                    # ANDed in for delete-affected chunks
+                    rv = pd.Series(chunk_codec.decode_column(br_b))
+                    ev = pd.Series(chunk_codec.decode_column(be_b))
                     m = (((rv >= lo) & (rv <= hi)).fillna(False)
                          .to_numpy(dtype=bool))
                     m &= (ev == value).fillna(False).to_numpy(dtype=bool)
-                    m &= _keep_bools(km, len(rv))
+                    if km is not None:
+                        m &= _keep_bools(km, len(rv))
                     hits += int(m.sum())
                     continue
                 kr = "u64" if cr == "vec_u64" else "u32"

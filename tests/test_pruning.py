@@ -299,3 +299,47 @@ def test_pruned_filter_select_rows(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="string"):
         encoded_table.pruned_range_select(spark, out, "host", "a", "b", ["k"])
+
+
+def test_nullable_int_column_stays_integer(spark, tmp_path):
+    """A nullable int64 column must encode as an INT codec with zone
+    maps, round-trip 2^62-scale values exactly (a float64 detour would
+    be lossy above 2^53 and unprunable), and its nulls must never
+    satisfy a range or equality predicate even though the compressed
+    payload carries them as zeros."""
+    import numpy as np
+    import pandas as pd
+
+    big = 2**62 + 12345
+    pdf = pd.DataFrame({
+        "a": pd.array([0, 1, 2, None, None, 5, 600, big] * 50,
+                      dtype="Int64"),
+        "b": np.arange(400, dtype=np.int64)})
+    out = str(tmp_path / "nullable_int")
+    encode_job.encode_table(
+        spark, spark.createDataFrame(pdf).repartition(2), out,
+        url_col=None, resume=False)
+
+    man = (spark.read.parquet(os.path.join(out, "manifest"))
+           .where(F.col("column") == "a").collect())
+    assert all(r["codec"] in ("vec_u64", "vec_u32", "rle") for r in man)
+    assert all(r["min_val"] == 0 and r["max_val"] == big for r in man)
+
+    # exact JVM-side round trip of the 2^62-scale value
+    dec = encoded_table.read_decoded(spark, out)
+    assert dec.where(F.col("a") == big).count() == 50
+    assert dec.where(F.col("a").isNull()).count() == 100
+
+    # range admitting 0: nulls (payload zeros) must not count
+    hits, _ = encoded_table.pruned_range_count(spark, out, "a", 0, 10)
+    assert hits == int(pdf["a"].between(0, 10).sum())
+    hits, _ = encoded_table.pruned_range_count(spark, out, "a", 1, 10)
+    assert hits == int(pdf["a"].between(1, 10).sum())
+
+    # equality against 0 on the nullable column inside multi-AND
+    h, _ = encoded_table.pruned_multi_and_count(
+        spark, out, "b", 0, 10**6, "a", 0)
+    assert h == int((pdf["a"] == 0).sum())
+    h, _ = encoded_table.pruned_multi_and_count(
+        spark, out, "a", 0, 10, "b", 8)
+    assert h == 1
