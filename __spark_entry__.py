@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_filter_count": q.prefix_filter_count,
         "encoded_table_pruned_count": q.encoded_table_pruned_count,
         "encoded_table_range_count": q.encoded_table_range_count,
+        "encoded_table_cluster_layout": q.encoded_table_cluster_layout,
         "encoded_table_multi_and_count": q.encoded_table_multi_and_count,
         "encoded_table_string_filter_count": q.encoded_table_string_filter_count,
         "encoded_table_string_range_count":
@@ -169,6 +170,9 @@ def oracle_sql() -> dict[str, str]:
         "encoded_table_range_count":
             "SELECT count(*) AS hits FROM orders "
             "WHERE o_orderkey BETWEEN 1000 AND 5000",
+        "encoded_table_cluster_layout":
+            "SELECT count(*) AS hits FROM orders "
+            "WHERE o_custkey BETWEEN 100 AND 160",
         "encoded_table_multi_and_count":
             "SELECT count(*) AS hits FROM orders "
             "WHERE o_orderkey BETWEEN 1000 AND 20000 AND o_custkey = 605",

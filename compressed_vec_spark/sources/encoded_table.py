@@ -206,24 +206,42 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
     keep_masks = {} if as_of is not None else _delete_keep(spark, out_dir)
 
     chunks = (chunks_src
-              .where((F.col("column") == column)
-                     & F.col("codec").isin(["vec_u64", "vec_u32"]))
+              .where(F.col("column") == column)
               .join(F.broadcast(cand_ids), "chunk_id"))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codecs import rle as rle_codec
         hits = skipped = sections = 0
         for pdf in batches:
             for cid, blob, codec in zip(pdf["chunk_id"], pdf["blob"],
                                         pdf["codec"]):
                 km = keep_masks.get(cid)
-                if km is not None:
-                    # delete-affected chunk: the section kernel's counts
-                    # cannot be masked, so decode positionally
+                nulm = bytes(blob[:4]) == b"NULM"
+                if km is not None or codec not in (
+                        "vec_u64", "vec_u32", "rle"):
+                    # delete-affected chunks (section counts can't be
+                    # masked) and codecs with no order-preserving
+                    # compressed domain (zigzag interleaves negatives):
+                    # decode positionally — never silently dropped
                     s = pd.Series(chunk_codec.decode_column(bytes(blob)))
                     m = ((s >= lo) & (s <= hi)).fillna(False) \
                         .to_numpy(dtype=bool)
-                    m &= _keep_bools(km, len(s))
+                    if km is not None:
+                        m &= _keep_bools(km, len(s))
                     hits += int(m.sum())
+                    continue
+                if codec == "rle":
+                    if nulm and lo <= 0 <= hi:
+                        # nulls ride as run zeros; a 0-admitting range
+                        # would count them — decode restores NULL
+                        s = pd.Series(chunk_codec.decode_column(bytes(blob)))
+                        hits += int(((s >= lo) & (s <= hi))
+                                    .fillna(False).sum())
+                        continue
+                    # run-level count: R runs touched, never n rows —
+                    # the natural fast path of a clustered/sorted store
+                    hits += rle_codec.count_in_range(
+                        _unwrap_vec(blob), lo, hi)
                     continue
                 kind = "u64" if codec == "vec_u64" else "u32"
                 b = bytes(blob)
@@ -895,12 +913,10 @@ def pruned_multi_and_count(spark: SparkSession, out_dir: str,
 
     chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
     vec_codecs = ["vec_u64", "vec_u32"]
-    a = (chunks.where((F.col("column") == range_col)
-                      & F.col("codec").isin(vec_codecs))
+    a = (chunks.where(F.col("column") == range_col)
          .select("chunk_id", F.col("blob").alias("blob_r"),
                  F.col("codec").alias("codec_r")))
-    b = (chunks.where((F.col("column") == eq_col)
-                      & F.col("codec").isin(vec_codecs))
+    b = (chunks.where(F.col("column") == eq_col)
          .select("chunk_id", F.col("blob").alias("blob_e"),
                  F.col("codec").alias("codec_e")))
     paired = (a.join(F.broadcast(cand), "chunk_id")
@@ -920,7 +936,10 @@ def pruned_multi_and_count(spark: SparkSession, out_dir: str,
                 # nullable chunk would count NULL rows — decode instead
                 null_hazard = ((br_b[:4] == b"NULM" and lo <= 0 <= hi)
                                or (be_b[:4] == b"NULM" and value == 0))
-                if km is not None or null_hazard:
+                # non-vec codecs (rle / zigzag) take the decoded path
+                # instead of being silently dropped from the join
+                if (km is not None or null_hazard
+                        or cr not in vec_codecs or ce not in vec_codecs):
                     # positional decode of both columns; keep mask
                     # ANDed in for delete-affected chunks
                     rv = pd.Series(chunk_codec.decode_column(br_b))

@@ -222,3 +222,68 @@ def compact_store(spark: SparkSession, src_dir: str, dst_dir: str,
         "merged_groups": int((sizes > 1).sum()),
         "passthrough_chunks": int((sizes == 1).sum()),
     }
+
+
+def cluster_store(spark: SparkSession, src_dir: str, dst_dir: str,
+                  cluster_by: list[str] | str,
+                  target_part_rows: int = 262144,
+                  num_parts: int | None = None,
+                  codec_overrides: dict[str, str] | None = None) -> dict:
+    """Re-layout src_dir into dst_dir GLOBALLY SORTED on `cluster_by` —
+    the sort-order rewrite every zone-map store needs when queries
+    filter a column the ingest order scattered (Iceberg's
+    rewrite_data_files with a sort order; Delta's OPTIMIZE ZORDER for
+    the single-key case).  Compaction (above) merges chunks WITHIN the
+    existing row order; clustering moves rows ACROSS parts so that each
+    chunk covers a narrow [min, max] slice of the sort key and the
+    manifest prune — useless on a scattered column, where every chunk's
+    range spans the domain — starts skipping almost everything.
+
+    Mechanics: decoded view -> `repartitionByRange` on the sort key
+    (one range-exchange shuffle; Spark samples the key distribution, so
+    skewed keys still split into balanced parts) -> sortWithinPartitions
+    -> the SAME encode pipeline as the original ingest (stats-driven
+    codec selection per chunk; re-sorted data may legitimately pick
+    cheaper codecs — long runs become RLE/Const, deltas shrink).
+
+    Contract differences from compact_store, both inherent to moving
+    rows across parts:
+      * live position deletes are MATERIALIZED (the decoded view
+        already subtracts them), not refused — dst is born clean;
+      * the append_log does NOT carry over: snapshot history is keyed
+        on part ranges, which a global re-sort redefines.  dst is a
+        fresh single-snapshot store, like any engine's rewrite commit.
+
+    Returns {'rows', 'parts', 'cluster_by'}."""
+    import math
+    ver = encode_job._store_version(spark, src_dir)
+    if ver != encode_job.STORE_FORMAT_VERSION:
+        raise ValueError(
+            f"cluster_store: {src_dir} has store format v{ver}; this build "
+            f"handles v{encode_job.STORE_FORMAT_VERSION} only")
+    if encode_job._fs_exists(spark, os.path.join(dst_dir, "chunks")):
+        raise ValueError(
+            f"cluster_store: {dst_dir} already has chunks; clustering "
+            "writes a fresh store — use a new/empty output dir")
+    from ..sources.encoded_table import read_decoded, stored_schema
+    ddl, _ = stored_schema(spark, src_dir)
+    names = [f.split()[0] for f in ddl.split(", ")]
+    cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    missing = [c for c in cols if c not in names]
+    if missing:
+        raise ValueError(f"cluster_store: sort key(s) {missing} not in "
+                         f"store columns {names}")
+
+    # part sizing from the manifest alone (row count = sum of the first
+    # column's chunk sizes; deletes only shrink parts, never grow them)
+    rows = (spark.read.parquet(os.path.join(src_dir, "manifest"))
+            .where(F.col("column") == names[0])
+            .agg(F.sum("num_elements")).collect()[0][0]) or 0
+    n_parts = num_parts or max(1, math.ceil(rows / target_part_rows))
+
+    clustered = (read_decoded(spark, src_dir)
+                 .repartitionByRange(n_parts, *[F.col(c) for c in cols])
+                 .sortWithinPartitions(*cols))
+    encode_job.encode_table(spark, clustered, dst_dir, url_col=None,
+                            resume=False, codec_overrides=codec_overrides)
+    return {"rows": int(rows), "parts": int(n_parts), "cluster_by": cols}

@@ -171,6 +171,40 @@ def encoded_table_range_count(spark, sf_dir) -> DataFrame:
         pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
 
 
+def encoded_table_cluster_layout(spark, sf_dir) -> DataFrame:
+    """Sort-order rewrite (compact_job.cluster_store) making zone maps
+    effective on a column the ingest order scattered: the orders store
+    is sorted on o_orderkey, so every chunk's o_custkey [min, max]
+    spans nearly the whole domain and a custkey range prunes ~nothing;
+    clustering on o_custkey (range-exchange + sort + the same encode
+    pipeline) gives each chunk a narrow custkey slice and the SAME
+    pruned_range_count machinery skips most chunks — the Iceberg
+    rewrite_data_files(sort_order) / Delta OPTIMIZE ZORDER step of a
+    100-TB layout lifecycle, verified in-query by comparing prune
+    counts across the two layouts of identical rows."""
+    from ..sources import encoded_table
+    from . import compact_job
+    src = _orders_store(spark, sf_dir)
+    key = (id(spark.sparkContext), sf_dir, "orders_by_custkey")
+    if key not in _STORE_CACHE:
+        dst = _scratch_dir(spark, "cvx_clu_")
+        compact_job.cluster_store(spark, src, dst, "o_custkey", num_parts=8)
+        _STORE_CACHE[key] = dst
+    dst = _STORE_CACHE[key]
+    lo, hi = 100, 160
+    hits_src, st_src = encoded_table.pruned_range_count(
+        spark, src, "o_custkey", lo, hi)
+    hits, st = encoded_table.pruned_range_count(
+        spark, dst, "o_custkey", lo, hi)
+    # identical answer from both layouts; the clustered one must prune
+    # strictly more chunks than the scattered one AND a real fraction
+    assert hits == hits_src, (hits, hits_src)
+    assert st["pruned_chunks"] > st_src["pruned_chunks"], (st, st_src)
+    assert st["pruned_chunks"] > st["total_chunks"] // 3, st
+    return spark.createDataFrame(
+        pd.DataFrame({"hits": [hits]})).select(F.col("hits").cast("long"))
+
+
 def encoded_table_multi_and_count(spark, sf_dir) -> DataFrame:
     """MultiVectorFilter over the persisted store: range AND equality
     across two columns' chunks with manifest pruning intersected across

@@ -92,6 +92,20 @@ def main(argv: list[str] | None = None) -> int:
                       help="keep a forced codec on merged chunks "
                            "(repeatable; pass what encode used)")
 
+    clu = sub.add_parser(
+        "cluster", help="rewrite globally sorted on a column so zone "
+                        "maps prune it (Iceberg sort rewrite analog; "
+                        "new store dir, deletes materialized)")
+    clu.add_argument("--input", required=True, help="source store dir")
+    clu.add_argument("--output", required=True, help="clustered store dir")
+    clu.add_argument("--by", required=True, nargs="+", metavar="COL",
+                     help="sort key column(s), major first")
+    clu.add_argument("--target-part-rows", type=int, default=262144)
+    clu.add_argument("--codec-override", action="append", default=[],
+                     metavar="COL=CODEC",
+                     help="keep a forced codec on rewritten chunks "
+                          "(repeatable; pass what encode used)")
+
     dele = sub.add_parser(
         "delete", help="row-level DELETE via position deletion vectors "
                        "(no chunk rewritten; idempotent per --delete-id)")
@@ -193,6 +207,17 @@ def main(argv: list[str] | None = None) -> int:
         stats = compact_job.compact_store(
             spark, args.input, args.output,
             target_elements=args.target_elements,
+            codec_overrides=overrides or None)
+        print(json.dumps(stats))
+    elif args.cmd == "cluster":
+        from compressed_vec_spark.spark import compact_job
+        bad = [kv for kv in args.codec_override if "=" not in kv]
+        if bad:
+            p.error(f"--codec-override must be COL=CODEC, got {bad[0]!r}")
+        overrides = dict(kv.split("=", 1) for kv in args.codec_override)
+        stats = compact_job.cluster_store(
+            spark, args.input, args.output, args.by,
+            target_part_rows=args.target_part_rows,
             codec_overrides=overrides or None)
         print(json.dumps(stats))
     elif args.cmd == "delete":

@@ -219,3 +219,85 @@ def test_compact_rejects_foreign_version(spark, tmp_path):
         .write.parquet(os.path.join(src, "store_meta")))
     with pytest.raises(ValueError, match="format v1"):
         compact_job.compact_store(spark, src, str(tmp_path / "dst3"))
+
+
+def _scrambled_df(spark, n=4000):
+    """k-sorted rows whose v2 column is value-scrambled: every chunk of
+    a k-ordered store spans nearly the whole v2 domain, so zone maps on
+    v2 prune nothing until the store is re-clustered on it."""
+    pdf = pd.DataFrame({"k": range(n)})
+    pdf["v2"] = (pdf["k"] * 2654435761) % n
+    pdf["host"] = ["h%02d" % (k % 20) for k in range(n)]
+    return (spark.createDataFrame(pdf)
+            .repartitionByRange(4, "k").sortWithinPartitions("k"))
+
+
+def test_cluster_store_tightens_zone_maps(spark, tmp_path):
+    src = str(tmp_path / "src_cl")
+    dst = str(tmp_path / "dst_cl")
+    encode_job.encode_table(spark, _scrambled_df(spark), src, url_col=None,
+                            codec_overrides={"host": "dict"})
+
+    # scattered layout: the [100, 300] slice of v2 appears in every
+    # chunk's [min, max], so the manifest prune skips nothing
+    cnt_src, st_src = encoded_table.pruned_range_count(
+        spark, src, "v2", 100, 300)
+    assert st_src["pruned_chunks"] == 0, st_src
+
+    stats = compact_job.cluster_store(spark, src, dst, "v2", num_parts=4,
+                                      codec_overrides={"host": "dict"})
+    assert stats == {"rows": 4000, "parts": 4, "cluster_by": ["v2"]}
+
+    cnt_dst, st_dst = encoded_table.pruned_range_count(
+        spark, dst, "v2", 100, 300)
+    expect = sum(1 for k in range(4000)
+                 if 100 <= (k * 2654435761) % 4000 <= 300)
+    assert cnt_src == cnt_dst == expect
+    # clustered layout: most chunks' v2 ranges miss [100, 300] entirely
+    assert st_dst["pruned_chunks"] > st_dst["total_chunks"] // 2, st_dst
+
+    # same rows, new order; forced codec survives the rewrite
+    ddl, _ = encoded_table.stored_schema(spark, dst)
+    src_rows = decode_job.decode_chunks(
+        spark.read.parquet(os.path.join(src, "chunks")), ddl) \
+        .toPandas().sort_values("k").reset_index(drop=True)
+    dst_rows = decode_job.decode_chunks(
+        spark.read.parquet(os.path.join(dst, "chunks")), ddl) \
+        .toPandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(src_rows, dst_rows)
+    host_codecs = {r["codec"] for r in spark.read.parquet(
+        os.path.join(dst, "manifest"))
+        .where(F.col("column") == "host").collect()}
+    assert host_codecs == {"dict"}
+
+
+def test_cluster_store_materializes_deletes(spark, tmp_path):
+    from compressed_vec_spark.spark import delete_job
+    src = str(tmp_path / "src_cld")
+    dst = str(tmp_path / "dst_cld")
+    encode_job.encode_table(spark, _scrambled_df(spark, 2000), src,
+                            url_col=None, codec_overrides={"host": "dict"})
+    d = delete_job.delete_where_equals(spark, src, "host", "h03", "d1")
+    assert d["rows_deleted"] == 100
+    stats = compact_job.cluster_store(spark, src, dst, "v2", num_parts=2)
+    assert stats["parts"] == 2
+    # dst is born clean: deleted rows gone from the data, no sidecar
+    assert not delete_job.has_deletes(spark, dst)
+    ddl, _ = encoded_table.stored_schema(spark, dst)
+    dst_rows = decode_job.decode_chunks(
+        spark.read.parquet(os.path.join(dst, "chunks")), ddl).toPandas()
+    assert len(dst_rows) == 1900
+    assert not (dst_rows["host"] == "h03").any()
+
+
+def test_cluster_store_guards(spark, tmp_path):
+    src = str(tmp_path / "src_clg")
+    encode_job.encode_table(spark, _scrambled_df(spark, 500), src,
+                            url_col=None)
+    with pytest.raises(ValueError, match="not in store columns"):
+        compact_job.cluster_store(spark, src, str(tmp_path / "dst_clg"),
+                                  "no_such_col")
+    dst = str(tmp_path / "dst_clg2")
+    compact_job.cluster_store(spark, src, dst, "v2", num_parts=1)
+    with pytest.raises(ValueError, match="already has chunks"):
+        compact_job.cluster_store(spark, src, dst, "v2")

@@ -343,3 +343,44 @@ def test_nullable_int_column_stays_integer(spark, tmp_path):
     h, _ = encoded_table.pruned_multi_and_count(
         spark, out, "a", 0, 10, "b", 8)
     assert h == 1
+
+
+def test_pruned_counts_on_rle_coded_store(spark, tmp_path):
+    """A clustered/sorted store legitimately RLE-codes its sort column;
+    the pruned readers must answer from the runs (or decode), never
+    silently drop non-vec chunks from the scan."""
+    import pandas as pd
+    out = str(tmp_path / "enc_rle")
+    pdf = pd.DataFrame({"k": [i // 100 for i in range(10000)],
+                        "v": list(range(10000))})
+    df = (spark.createDataFrame(pdf)
+          .repartitionByRange(4, "k").sortWithinPartitions("k"))
+    encode_job.encode_table(spark, df, out, url_col=None,
+                            codec_overrides={"k": "rle"})
+    codecs = {r["codec"] for r in spark.read.parquet(
+        os.path.join(out, "manifest"))
+        .where(F.col("column") == "k").collect()}
+    assert codecs == {"rle"}
+
+    # run-level range count over the rle column (was silently 0)
+    cnt, st = encoded_table.pruned_range_count(spark, out, "k", 17, 23)
+    assert cnt == 700, st
+    assert st["pruned_chunks"] > 0, st
+
+    # AND across (rle range col, vec equality col): decoded fallback
+    cnt, st = encoded_table.pruned_multi_and_count(
+        spark, out, "k", 17, 23, "v", 1750)
+    assert cnt == 1, st
+
+    # rle under NULM with a 0-admitting range: nulls must not count
+    out2 = str(tmp_path / "enc_rle_null")
+    pdf2 = pd.DataFrame({"k": [i // 50 for i in range(2000)]})
+    pdf2["n"] = pdf2["k"].astype("Int64")
+    pdf2.loc[pdf2.index % 10 == 0, "n"] = None
+    df2 = spark.createDataFrame(pdf2).coalesce(1)
+    encode_job.encode_table(spark, df2, out2, url_col=None,
+                            codec_overrides={"n": "rle"})
+    cnt, _ = encoded_table.pruned_range_count(spark, out2, "n", 0, 3)
+    expect = sum(1 for i in range(2000)
+                 if i % 10 != 0 and 0 <= i // 50 <= 3)
+    assert cnt == expect
