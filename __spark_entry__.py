@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_table_null_count": q.encoded_table_null_count,
         "encoded_table_sum_pushdown": q.encoded_table_sum_pushdown,
         "encoded_table_group_count": q.encoded_table_group_count,
+        "encoded_table_dim_join_count": q.encoded_table_dim_join_count,
         "encoded_table_distinct_pushdown": q.encoded_table_distinct_pushdown,
         "encoded_table_group_sum": q.encoded_table_group_sum,
         "encoded_table_topk_pushdown": q.encoded_table_topk_pushdown,
@@ -276,6 +277,13 @@ def oracle_sql() -> dict[str, str]:
         "encoded_table_group_count":
             "SELECT source, count(*) AS doc_count FROM documents "
             "WHERE source IS NOT NULL GROUP BY source",
+        "encoded_table_dim_join_count":
+            "WITH dim AS (SELECT printf('src%02d', i) AS source, "
+            "CASE WHEN i % 2 = 0 THEN 'even' ELSE 'odd' END AS tier "
+            "FROM range(100) t(i)) "
+            "SELECT tier, CAST(count(*) AS BIGINT) AS docs "
+            "FROM documents JOIN dim USING(source) "
+            "GROUP BY tier ORDER BY tier",
         "encoded_table_distinct_pushdown":
             "SELECT CAST(count(DISTINCT source) AS BIGINT) "
             "AS distinct_sources FROM documents",

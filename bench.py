@@ -213,7 +213,8 @@ def run_queries(cores: int) -> dict:
                      "encoded_table_float_range_count",
                      "snapshot_as_of_count",
                      "encoded_table_delete_count",
-                     "encoded_table_delete_materialize"):
+                     "encoded_table_delete_materialize",
+                     "encoded_table_cluster_layout"):
             qs[warm](spark, SF_DIR) \
                 .write.format("noop").mode("overwrite").save()
         for name, fn in qs.items():

@@ -594,6 +594,28 @@ def encoded_table_group_count(spark, sf_dir) -> DataFrame:
             .agg(F.sum("cnt").cast("long").alias("doc_count")))
 
 
+def encoded_table_dim_join_count(spark, sf_dir) -> DataFrame:
+    """Dimension join over the compressed store with the aggregate
+    pushed BELOW the join: the per-chunk bincount over dict codes
+    (encoded_table_group_count's kernel) first collapses the corpus to
+    (distinct source x chunk) tiny rows, and only THAT aggregate joins
+    the broadcast dimension (source -> tier) before re-aggregating per
+    tier.  The classic group-below-join rewrite at the storage layer:
+    at 100 TB the join input is the distinct-value domain, not N rows,
+    and the dimension rides one broadcast — no corpus shuffle, no
+    per-row string ever materialized."""
+    per_source = encoded_table_group_count(spark, sf_dir)
+    # static lookup dimension (superset of the source domain), the
+    # table a warehouse would broadcast-join against the fact scan
+    dim = spark.createDataFrame(
+        [("src%02d" % i, "even" if i % 2 == 0 else "odd")
+         for i in range(100)], "source string, tier string")
+    return (per_source.join(F.broadcast(dim), "source")
+            .groupBy("tier")
+            .agg(F.sum("doc_count").cast("long").alias("docs"))
+            .orderBy("tier"))
+
+
 def exact_weighted_bincount(codes: np.ndarray, weights) -> np.ndarray:
     """Exact int64 per-group sums of int64 weights: each weight splits
     into hi/lo 32-bit halves (w == (w >> 32) * 2^32 + (w & 0xFFFFFFFF)
