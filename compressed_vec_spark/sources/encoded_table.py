@@ -131,9 +131,14 @@ def pruned_float_range_count(spark: SparkSession, out_dir: str,
 
 def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
                         value: int) -> tuple[int, dict]:
-    """count(column == value) over an encoded table, decoding ONLY the
-    chunks whose [min,max] admits the value.  Returns (count, stats on
-    chunks pruned vs scanned)."""
+    """count(column == value) over an encoded table: manifest [min,max]
+    stats prune chunks, and surviving chunks answer on the COMPRESSED
+    bytes — EqualsSink section masks for vec codecs (Null/Const
+    sections from their headers), run-level counting for RLE chunks —
+    decoding only when the compressed domain can't answer (zigzag,
+    delete-affected chunks, a 0-probe against a nullable chunk whose
+    null placeholders ride as payload zeros).  Returns (count, stats
+    on chunks pruned / answered compressed / decoded)."""
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
     total_chunks = manifest.where(F.col("column") == column).count()
     candidates = manifest.where(
@@ -151,23 +156,52 @@ def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
               .join(F.broadcast(cand_ids), "chunk_id"))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codecs import rle as rle_codec
+        n = fast = dec = 0
         for pdf in batches:
-            n = 0
-            for cid, blob in zip(pdf["chunk_id"], pdf["blob"]):
-                vals = np.asarray(chunk_codec.decode_column(bytes(blob)))
-                m = vals.astype(np.int64) == value
+            for cid, blob, codec in zip(pdf["chunk_id"], pdf["blob"],
+                                        pdf["codec"]):
                 km = keep_masks.get(cid)
-                if km is not None:
-                    m &= _keep_bools(km, len(vals))
-                n += int(m.sum())
-            yield pd.DataFrame({"hits": [n]})
+                b = bytes(blob)
+                nulm = b[:4] == b"NULM"
+                if (km is not None
+                        or codec not in ("vec_u64", "vec_u32", "rle")
+                        or (nulm and value == 0)):
+                    s = pd.Series(chunk_codec.decode_column(b))
+                    if s.dtype.kind == "M":  # timestamps probe as µs
+                        m = (s.astype("datetime64[us]").to_numpy()
+                             .view(np.int64) == value) & \
+                            s.notna().to_numpy(dtype=bool)
+                    else:
+                        m = (s == value).fillna(False) \
+                            .to_numpy(dtype=bool)
+                    if km is not None:
+                        m &= _keep_bools(km, len(s))
+                    n += int(m.sum())
+                    dec += 1
+                    continue
+                # value != 0 here whenever nulls exist, so null
+                # placeholders (zeros) can never be counted as hits
+                fast += 1
+                if codec == "rle":
+                    n += rle_codec.count_in_range(_unwrap_vec(b),
+                                                  value, value)
+                    continue
+                kind = "u64" if codec == "vec_u64" else "u32"
+                n += filters.count_hits(filters.equals_mask(
+                    _unwrap_vec(b), kind, value))
+        yield pd.DataFrame({"hits": [n], "fast": [fast], "dec": [dec]})
 
-    agg = chunks.select("chunk_id", "blob").mapInPandas(fn, "hits long") \
-        .agg(F.sum("hits")).collect()[0][0]
-    return int(agg or 0), {
+    agg = (chunks.select("chunk_id", "blob", "codec")
+           .mapInPandas(fn, "hits long, fast long, dec long")
+           .agg(F.sum("hits").alias("h"), F.sum("fast").alias("f"),
+                F.sum("dec").alias("d")).collect()[0])
+    return int(agg["h"] or 0), {
         "total_chunks": total_chunks,
         "scanned_chunks": scanned_chunks,
         "pruned_chunks": total_chunks - scanned_chunks,
+        "compressed_kernel_chunks": int(agg["f"] or 0),
+        "decoded_chunks": int(agg["d"] or 0),
     }
 
 

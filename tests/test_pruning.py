@@ -384,3 +384,45 @@ def test_pruned_counts_on_rle_coded_store(spark, tmp_path):
     expect = sum(1 for i in range(2000)
                  if i % 10 != 0 and 0 <= i // 50 <= 3)
     assert cnt == expect
+
+
+def test_pruned_equals_count_compressed_kernels(spark, tmp_path):
+    """Equality counts answer from the compressed bytes: vec chunks via
+    EqualsSink section masks, rle chunks at run granularity; decode only
+    where the compressed domain can't answer (0-probe on a nullable
+    chunk)."""
+    import pandas as pd
+    out = str(tmp_path / "enc_eqk")
+    pdf = pd.DataFrame({"k": [i // 100 for i in range(8000)],
+                        "v": list(range(8000))})
+    pdf["n"] = pdf["v"].astype("Int64")
+    pdf.loc[pdf.index % 10 == 0, "n"] = 0
+    pdf.loc[pdf.index % 20 == 5, "n"] = None
+    df = (spark.createDataFrame(pdf)
+          .repartitionByRange(4, "v").sortWithinPartitions("v"))
+    encode_job.encode_table(spark, df, out, url_col=None,
+                            codec_overrides={"k": "rle"})
+
+    # vec column: compressed kernel, no decode
+    cnt, st = encoded_table.pruned_equals_count(spark, out, "v", 4321)
+    assert cnt == 1, st
+    assert st["compressed_kernel_chunks"] >= 1, st
+    assert st["decoded_chunks"] == 0, st
+
+    # rle column: run-level equality
+    cnt, st = encoded_table.pruned_equals_count(spark, out, "k", 17)
+    assert cnt == 100, st
+    assert st["decoded_chunks"] == 0, st
+
+    # 0-probe against the nullable column: nulls ride as payload zeros,
+    # so those chunks must decode — and NULLs never count as hits
+    cnt, st = encoded_table.pruned_equals_count(spark, out, "n", 0)
+    expect = sum(1 for i in range(8000)
+                 if i % 20 != 5 and (i % 10 == 0 or i == 0))
+    assert cnt == expect, (cnt, expect, st)
+    assert st["decoded_chunks"] >= 1, st
+
+    # non-zero probe on the same nullable column stays compressed
+    cnt, st = encoded_table.pruned_equals_count(spark, out, "n", 4321)
+    assert cnt == 1, st
+    assert st["decoded_chunks"] == 0, st
