@@ -214,7 +214,9 @@ def run_queries(cores: int) -> dict:
                      "snapshot_as_of_count",
                      "encoded_table_delete_count",
                      "encoded_table_delete_materialize",
-                     "encoded_table_cluster_layout"):
+                     "encoded_table_cluster_layout",
+                     "encoded_table_point_lookup",
+                     "encoded_table_null_count"):
             qs[warm](spark, SF_DIR) \
                 .write.format("noop").mode("overwrite").save()
         for name, fn in qs.items():

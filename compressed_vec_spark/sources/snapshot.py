@@ -104,6 +104,76 @@ def read_snapshot(spark: SparkSession, out_dir: str,
         snapshot_chunks(spark, out_dir, as_of), schema, dtypes)
 
 
+def _consumer_path(out_dir: str, consumer_id: str) -> str:
+    return os.path.join(out_dir, "consumers", consumer_id, "cursor")
+
+
+def consumer_position(spark: SparkSession, out_dir: str,
+                      consumer_id: str) -> int:
+    """The consumer's committed cursor: every part_id below it has been
+    processed.  0 = nothing consumed yet (the base snapshot pending)."""
+    from ..spark.encode_job import _fs_exists
+    path = _consumer_path(out_dir, consumer_id)
+    if not _fs_exists(spark, path):
+        return 0
+    row = spark.read.parquet(path).collect()
+    return int(row[0]["part_hi"]) if row else 0
+
+
+def pending_batches(spark: SparkSession, out_dir: str,
+                    consumer_id: str) -> list[dict]:
+    """Snapshots this consumer has not committed yet, in commit order,
+    STOPPING at the first incomplete batch: append_table reserves its
+    part range in the append_log BEFORE writing chunks, so a crashed or
+    in-flight append is visible in the history with part directories
+    missing — consuming it would silently drop its rows forever once
+    the cursor moves past.  Completeness is a directory-listing check
+    (part_id is the partition column), no chunk is opened."""
+    pos = consumer_position(spark, out_dir, consumer_id)
+    pend = [s for s in list_snapshots(spark, out_dir)
+            if s["part_hi"] > pos]
+    if not pend:
+        return []
+    present = {int(r["part_id"]) for r in
+               spark.read.parquet(os.path.join(out_dir, "chunks"))
+               .select("part_id").distinct().collect()}
+    out = []
+    for s in pend:
+        if all(p in present for p in range(s["part_lo"], s["part_hi"])):
+            out.append(s)
+        else:
+            break
+    return out
+
+
+def consume_new_batches(spark: SparkSession, out_dir: str,
+                        consumer_id: str, fn) -> dict:
+    """Exactly-once incremental consumption of the store's history —
+    the read-side completion of the living-corpus loop whose write side
+    is append_table (ingest) and store_membership (dedup): each call
+    hands every not-yet-consumed batch's decoded rows to
+    `fn(batch_id, DataFrame)` in commit order and commits the cursor
+    AFTER fn returns, one batch at a time.  A crash mid-batch therefore
+    replays exactly that batch on retry (at-least-once per batch;
+    exactly-once end-to-end when fn is idempotent per batch_id — the
+    same contract Structured Streaming's foreachBatch gives, without a
+    streaming runtime: the append log IS the offset log).  The cursor
+    lives under {out_dir}/consumers/{consumer_id} on the store's own
+    filesystem, so independent consumers track independent positions.
+
+    Returns {'processed': [batch_ids], 'position': part_hi}."""
+    processed = []
+    for s in pending_batches(spark, out_dir, consumer_id):
+        fn(s["batch_id"], snapshot_diff(spark, out_dir, s["batch_id"]))
+        (spark.createDataFrame([(s["batch_id"], s["part_hi"])],
+                               "batch_id string, part_hi int")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(_consumer_path(out_dir, consumer_id)))
+        processed.append(s["batch_id"])
+    return {"processed": processed,
+            "position": consumer_position(spark, out_dir, consumer_id)}
+
+
 def snapshot_diff(spark: SparkSession, out_dir: str,
                   batch_id: str) -> DataFrame:
     """Only the decoded rows `batch_id` ADDED — the incremental-consumer

@@ -214,3 +214,65 @@ def test_manifest_null_count_on_evolved_store(spark, tmp_path):
     assert dec.where(F.col("extra").isNull()).count() == 136
     # non-evolved column: plain manifest stats
     assert encoded_table.manifest_null_count(spark, out, "k") == (0, 200)
+
+
+def test_consume_new_batches_exactly_once(spark, store):
+    out, urls = store
+    seen = {}
+    res = snapshot.consume_new_batches(
+        spark, out, "trainer", lambda b, df: seen.__setitem__(b, _urls(df)))
+    assert res["processed"] == [snapshot.BASE_SNAPSHOT,
+                                "crawl-b1", "crawl-b2"]
+    assert seen[snapshot.BASE_SNAPSHOT] == urls[0]
+    assert seen["crawl-b1"] == urls[1]
+    assert seen["crawl-b2"] == urls[2]
+
+    # nothing pending on the next call; fn must not run
+    def never(b, df):
+        raise AssertionError("no batch should be pending")
+    assert snapshot.consume_new_batches(
+        spark, out, "trainer", never)["processed"] == []
+    # an independent consumer has its own cursor
+    assert snapshot.consumer_position(spark, out, "other-consumer") == 0
+
+
+def test_consume_crash_replays_only_failed_batch(spark, store):
+    out, _ = store
+    calls = []
+
+    def boom(b, df):
+        calls.append(b)
+        if b == "crawl-b1":
+            raise RuntimeError("downstream crash")
+
+    with pytest.raises(RuntimeError, match="downstream crash"):
+        snapshot.consume_new_batches(spark, out, "c-crash", boom)
+    assert calls == [snapshot.BASE_SNAPSHOT, "crawl-b1"]
+    # cursor committed through BASE only -> retry replays exactly the
+    # failed batch, then continues
+    replay = []
+    snapshot.consume_new_batches(spark, out, "c-crash",
+                                 lambda b, df: replay.append(b))
+    assert replay == ["crawl-b1", "crawl-b2"]
+
+
+def test_pending_stops_at_incomplete_batch(spark, tmp_path):
+    from compressed_vec_spark.spark import webtable as wt
+    out = str(tmp_path / "store_inc")
+    web = wt.webpages(spark, 600, partitions=2)
+    encode_job.encode_table(spark, web, out, num_partitions=2)
+    # a reserved-but-unwritten append (crash before any chunk write):
+    # the log row exists, its part directories don't
+    (spark.createDataFrame(
+        [("ghost", 2, 2)],
+        "batch_id string, part_offset int, n_parts int")
+        .coalesce(1).write.mode("append")
+        .parquet(os.path.join(out, "append_log")))
+    pend = snapshot.pending_batches(spark, out, "c-inc")
+    assert [s["batch_id"] for s in pend] == [snapshot.BASE_SNAPSHOT]
+    res = snapshot.consume_new_batches(spark, out, "c-inc",
+                                       lambda b, df: None)
+    assert res["processed"] == [snapshot.BASE_SNAPSHOT]
+    # the cursor stops BELOW the ghost range: its rows are consumed
+    # after the retry fills them, never skipped over
+    assert res["position"] == 2
