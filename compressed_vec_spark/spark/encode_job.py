@@ -467,6 +467,62 @@ def append_table(spark: SparkSession, df: DataFrame, out_dir: str,
     return written
 
 
+def store_stats(spark: SparkSession, out_dir: str) -> dict:
+    """DESCRIBE/ANALYZE for an encoded store from METADATA alone — no
+    chunk blob is read at any store size.  Per column: declared type,
+    codecs in use, chunk count, raw/encoded bytes + ratio, rows, null
+    count, and the type-matched global [min, max] bounds (int columns
+    min_val/max_val, strings min_str/max_str, floats min_f64/max_f64 —
+    the same zone-map columns the pruned readers consult, so the output
+    doubles as a pruning-health check: a scattered column shows
+    domain-wide bounds on every chunk).  Plus store format version,
+    part and snapshot counts, and live-delete totals."""
+    from ..sources import snapshot as snap
+    from ..sources.encoded_table import stored_schema
+    from . import delete_job
+    m = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    rows = (m.groupBy("column")
+            .agg(F.collect_set("codec").alias("codecs"),
+                 F.count("*").alias("chunks"),
+                 F.sum("raw_bytes").alias("raw"),
+                 F.sum("encoded_bytes").alias("enc"),
+                 F.sum("num_elements").alias("rows"),
+                 F.sum("null_count").alias("nulls"),
+                 F.min("min_val").alias("mn_i"), F.max("max_val").alias("mx_i"),
+                 F.min("min_str").alias("mn_s"), F.max("max_str").alias("mx_s"),
+                 F.min("min_f64").alias("mn_f"), F.max("max_f64").alias("mx_f"))
+            .collect())
+    ddl, _ = stored_schema(spark, out_dir)
+    dtypes = dict(f.split(None, 1) for f in ddl.split(", "))
+    cols = {}
+    for r in rows:
+        mn, mx = r["mn_i"], r["mx_i"]
+        if mn is None and r["mn_s"] is not None:
+            mn, mx = r["mn_s"], r["mx_s"]
+        if mn is None and r["mn_f"] is not None:
+            mn, mx = r["mn_f"], r["mx_f"]
+        cols[r["column"]] = {
+            "dtype": dtypes.get(r["column"]),
+            "codecs": sorted(r["codecs"]),
+            "chunks": int(r["chunks"]),
+            "raw_bytes": int(r["raw"]), "encoded_bytes": int(r["enc"]),
+            "ratio": (r["raw"] / r["enc"]) if r["enc"] else None,
+            "rows": int(r["rows"]), "nulls": int(r["nulls"] or 0),
+            "min": mn, "max": mx,
+        }
+    raw = sum(c["raw_bytes"] for c in cols.values())
+    enc = sum(c["encoded_bytes"] for c in cols.values())
+    return {
+        "format_version": _store_version(spark, out_dir),
+        "columns": cols,
+        "raw_bytes": raw, "encoded_bytes": enc,
+        "ratio": raw / enc if enc else None,
+        "parts": m.select("part_id").distinct().count(),
+        "snapshots": len(snap.list_snapshots(spark, out_dir)),
+        **delete_job.delete_stats(spark, out_dir),
+    }
+
+
 def manifest_summary(spark: SparkSession, out_dir: str) -> dict:
     m = spark.read.parquet(os.path.join(out_dir, "manifest"))
     agg = (m.groupBy("column", "codec")

@@ -92,6 +92,11 @@ def main(argv: list[str] | None = None) -> int:
                       help="keep a forced codec on merged chunks "
                            "(repeatable; pass what encode used)")
 
+    sts = sub.add_parser(
+        "stats", help="DESCRIBE/ANALYZE a store from metadata alone "
+                      "(codecs, bytes, nulls, bounds, snapshots, deletes)")
+    sts.add_argument("--encoded", required=True, help="store dir")
+
     clu = sub.add_parser(
         "cluster", help="rewrite globally sorted on a column so zone "
                         "maps prune it (Iceberg sort rewrite analog; "
@@ -209,6 +214,8 @@ def main(argv: list[str] | None = None) -> int:
             target_elements=args.target_elements,
             codec_overrides=overrides or None)
         print(json.dumps(stats))
+    elif args.cmd == "stats":
+        print(json.dumps(encode_job.store_stats(spark, args.encoded)))
     elif args.cmd == "cluster":
         from compressed_vec_spark.spark import compact_job
         bad = [kv for kv in args.codec_override if "=" not in kv]

@@ -242,3 +242,34 @@ def test_append_table_refuses_mismatches(spark, tmp_path):
      .write.mode("overwrite").parquet(os.path.join(out, "store_meta")))
     with pytest.raises(ValueError, match="format_version"):
         encode_job.append_table(spark, web, out, batch_id="b2")
+
+
+def test_store_stats_metadata_only(spark, tmp_path):
+    """DESCRIBE/ANALYZE from the manifest alone: per-column codecs,
+    bytes, rows, nulls, and type-matched zone-map bounds."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    out = str(tmp_path / "stats_store")
+    pdf = pd.DataFrame({"k": range(2000)})
+    pdf["s"] = ["s%02d" % (i % 30) for i in range(2000)]
+    pdf["f"] = pdf["k"] / 8.0
+    pdf["n"] = pdf["k"].astype("Int64")
+    pdf.loc[pdf.index % 5 == 0, "n"] = None
+    df = (spark.createDataFrame(pdf)
+          .repartitionByRange(2, "k").sortWithinPartitions("k"))
+    encode_job.encode_table(spark, df, out, url_col=None,
+                            codec_overrides={"s": "dict"})
+    st = encode_job.store_stats(spark, out)
+    assert st["format_version"] == encode_job.STORE_FORMAT_VERSION
+    assert st["parts"] == 2 and st["snapshots"] == 1
+    assert st["total_rows"] == 2000 and st["deleted_rows"] == 0
+    k = st["columns"]["k"]
+    assert k["dtype"] == "bigint" and (k["min"], k["max"]) == (0, 1999)
+    assert k["rows"] == 2000 and k["nulls"] == 0
+    s = st["columns"]["s"]
+    assert s["codecs"] == ["dict"]
+    assert (s["min"], s["max"]) == ("s00", "s29")
+    f = st["columns"]["f"]
+    assert (f["min"], f["max"]) == (0.0, 1999 / 8.0)
+    assert st["columns"]["n"]["nulls"] == 400
+    assert st["ratio"] and st["ratio"] > 1.0
