@@ -167,14 +167,12 @@ def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
                 if (km is not None
                         or codec not in ("vec_u64", "vec_u32", "rle")
                         or (nulm and value == 0)):
+                    # decode_column without a target dtype yields int
+                    # carriers for every numeric codec (timestamps as
+                    # raw epoch-µs uint64), so one int compare covers
+                    # all of them
                     s = pd.Series(chunk_codec.decode_column(b))
-                    if s.dtype.kind == "M":  # timestamps probe as µs
-                        m = (s.astype("datetime64[us]").to_numpy()
-                             .view(np.int64) == value) & \
-                            s.notna().to_numpy(dtype=bool)
-                    else:
-                        m = (s == value).fillna(False) \
-                            .to_numpy(dtype=bool)
+                    m = (s == value).fillna(False).to_numpy(dtype=bool)
                     if km is not None:
                         m &= _keep_bools(km, len(s))
                     n += int(m.sum())

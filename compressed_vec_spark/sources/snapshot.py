@@ -111,12 +111,22 @@ def _consumer_path(out_dir: str, consumer_id: str) -> str:
 def consumer_position(spark: SparkSession, out_dir: str,
                       consumer_id: str) -> int:
     """The consumer's committed cursor: every part_id below it has been
-    processed.  0 = nothing consumed yet (the base snapshot pending)."""
+    processed.  0 = nothing consumed yet (the base snapshot pending).
+    The cursor is read with an EXPLICIT schema and any unreadable state
+    degrades to 0: the commit is a non-atomic parquet overwrite, so a
+    crash mid-commit may leave an empty/partial directory — degrading
+    re-delivers earlier batches (at-least-once, safe under the
+    idempotent-fn contract) instead of wedging the consumer on a
+    schema-inference error."""
     from ..spark.encode_job import _fs_exists
     path = _consumer_path(out_dir, consumer_id)
     if not _fs_exists(spark, path):
         return 0
-    row = spark.read.parquet(path).collect()
+    try:
+        row = (spark.read.schema("batch_id string, part_hi int")
+               .parquet(path).collect())
+    except Exception:
+        return 0
     return int(row[0]["part_hi"]) if row else 0
 
 
@@ -129,17 +139,36 @@ def pending_batches(spark: SparkSession, out_dir: str,
     missing — consuming it would silently drop its rows forever once
     the cursor moves past.  Completeness is a directory-listing check
     (part_id is the partition column), no chunk is opened."""
+    from ..spark.encode_job import _fs_exists
     pos = consumer_position(spark, out_dir, consumer_id)
     pend = [s for s in list_snapshots(spark, out_dir)
             if s["part_hi"] > pos]
     if not pend:
         return []
+    commits_path = os.path.join(out_dir, "append_commits")
+    committed_ids = ({r["batch_id"] for r in
+                      spark.read.schema("batch_id string")
+                      .parquet(commits_path).collect()}
+                     if _fs_exists(spark, commits_path) else set())
     present = {int(r["part_id"]) for r in
                spark.read.parquet(os.path.join(out_dir, "chunks"))
                .select("part_id").distinct().collect()}
     out = []
     for s in pend:
-        if all(p in present for p in range(s["part_lo"], s["part_hi"])):
+        # a batch is proven complete by its COMMIT MARKER (written by
+        # encode/append AFTER the chunks land — covers batches whose
+        # every Spark partition was empty and so left no part dir at
+        # all).  Pre-marker stores fall back to part presence: the
+        # chunks write is one job (its non-empty partitions commit
+        # together), so any part of the range present, or an empty
+        # reserved range, means committed; ZERO parts present with a
+        # non-empty range means the append crashed before its chunks —
+        # halt, its retry will fill the range.
+        committed = (s["batch_id"] in committed_ids
+                     or s["part_lo"] >= s["part_hi"]
+                     or any(p in present
+                            for p in range(s["part_lo"], s["part_hi"])))
+        if committed:
             out.append(s)
         else:
             break

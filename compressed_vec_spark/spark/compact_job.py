@@ -204,10 +204,11 @@ def compact_store(spark: SparkSession, src_dir: str, dst_dir: str,
     # the append_log's reserved part ranges stay valid verbatim —
     # compaction merges chunks WITHIN parts only — so snapshot history
     # (sources/snapshot.py) carries over to the compacted store
-    src_log = os.path.join(src_dir, "append_log")
-    if encode_job._fs_exists(spark, src_log):
-        (spark.read.parquet(src_log).coalesce(1).write.mode("overwrite")
-            .parquet(os.path.join(dst_dir, "append_log")))
+    for hist in ("append_log", "append_commits"):
+        src_log = os.path.join(src_dir, hist)
+        if encode_job._fs_exists(spark, src_log):
+            (spark.read.parquet(src_log).coalesce(1).write.mode("overwrite")
+                .parquet(os.path.join(dst_dir, hist)))
     (out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("part_id").parquet(os.path.join(dst_dir, "chunks")))
@@ -274,11 +275,10 @@ def cluster_store(spark: SparkSession, src_dir: str, dst_dir: str,
         raise ValueError(f"cluster_store: sort key(s) {missing} not in "
                          f"store columns {names}")
 
-    # part sizing from the manifest alone (row count = sum of the first
-    # column's chunk sizes; deletes only shrink parts, never grow them)
-    rows = (spark.read.parquet(os.path.join(src_dir, "manifest"))
-            .where(F.col("column") == names[0])
-            .agg(F.sum("num_elements")).collect()[0][0]) or 0
+    # part sizing from metadata alone: LIVE rows (deletes are
+    # materialized by this rewrite, so dst holds exactly these)
+    from .delete_job import delete_stats
+    rows = delete_stats(spark, src_dir)["live_rows"]
     n_parts = num_parts or max(1, math.ceil(rows / target_part_rows))
 
     clustered = (read_decoded(spark, src_dir)

@@ -431,10 +431,11 @@ def materialize_deletes(spark: SparkSession, src_dir: str, dst_dir: str,
     (spark.read.parquet(os.path.join(src_dir, "table_schema"))
         .coalesce(1).write.mode("overwrite")
         .parquet(os.path.join(dst_dir, "table_schema")))
-    src_log = os.path.join(src_dir, "append_log")
-    if encode_job._fs_exists(spark, src_log):
-        (spark.read.parquet(src_log).coalesce(1).write.mode("overwrite")
-            .parquet(os.path.join(dst_dir, "append_log")))
+    for hist in ("append_log", "append_commits"):
+        src_log = os.path.join(src_dir, hist)
+        if encode_job._fs_exists(spark, src_log):
+            (spark.read.parquet(src_log).coalesce(1).write.mode("overwrite")
+                .parquet(os.path.join(dst_dir, hist)))
     (out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("part_id").parquet(os.path.join(dst_dir, "chunks")))

@@ -339,6 +339,8 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
     written = spark.read.parquet(chunks_path)
     (written.select(*MANIFEST_COLS)
             .write.mode("overwrite").parquet(manifest_path))
+    from ..sources.snapshot import BASE_SNAPSHOT
+    _write_commit_marker(spark, out_dir, BASE_SNAPSHOT)
     return spark.read.parquet(chunks_path)
 
 
@@ -464,7 +466,21 @@ def append_table(spark: SparkSession, df: DataFrame, out_dir: str,
     written = spark.read.parquet(chunks_path)
     (written.select(*MANIFEST_COLS)
             .write.mode("overwrite").parquet(os.path.join(out_dir, "manifest")))
+    _write_commit_marker(spark, out_dir, batch_id)
     return written
+
+
+def _write_commit_marker(spark: SparkSession, out_dir: str,
+                         batch_id: str) -> None:
+    """Record that a batch's chunks are FULLY committed — written after
+    the chunks + manifest land, so incremental consumers
+    (sources/snapshot.py pending_batches) can tell a committed batch
+    whose every Spark partition was empty (no part directory at all)
+    from an append that crashed before its chunks.  Retries append a
+    duplicate row; readers treat the log as a set."""
+    (spark.createDataFrame([(batch_id,)], "batch_id string")
+        .coalesce(1).write.mode("append")
+        .parquet(os.path.join(out_dir, "append_commits")))
 
 
 def store_stats(spark: SparkSession, out_dir: str) -> dict:
@@ -480,6 +496,13 @@ def store_stats(spark: SparkSession, out_dir: str) -> dict:
     from ..sources import snapshot as snap
     from ..sources.encoded_table import stored_schema
     from . import delete_job
+    ver = _store_version(spark, out_dir)
+    if ver != STORE_FORMAT_VERSION:
+        # older manifests lack stats columns this aggregation reads —
+        # refuse cleanly like every sibling operation
+        raise ValueError(
+            f"store_stats: {out_dir} has store format v{ver}; this build "
+            f"handles v{STORE_FORMAT_VERSION} only")
     m = spark.read.parquet(os.path.join(out_dir, "manifest"))
     rows = (m.groupBy("column")
             .agg(F.collect_set("codec").alias("codecs"),
@@ -510,10 +533,21 @@ def store_stats(spark: SparkSession, out_dir: str) -> dict:
             "rows": int(r["rows"]), "nulls": int(r["nulls"] or 0),
             "min": mn, "max": mx,
         }
+    # schema-evolved columns: parts encoded before a column existed
+    # carry no manifest rows for it, yet every one of their rows
+    # decodes as a back-filled NULL — count those against the column
+    # (total rows = the position-0 column, which every part has)
+    first = ddl.split(", ")[0].split()[0]
+    total = cols[first]["rows"] if first in cols else 0
+    for c in cols.values():
+        virtual = total - c["rows"]
+        if virtual > 0:
+            c["rows"] = total
+            c["nulls"] += virtual
     raw = sum(c["raw_bytes"] for c in cols.values())
     enc = sum(c["encoded_bytes"] for c in cols.values())
     return {
-        "format_version": _store_version(spark, out_dir),
+        "format_version": ver,
         "columns": cols,
         "raw_bytes": raw, "encoded_bytes": enc,
         "ratio": raw / enc if enc else None,

