@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -91,6 +92,16 @@ def main(argv: list[str] | None = None) -> int:
                       metavar="COL=CODEC",
                       help="keep a forced codec on merged chunks "
                            "(repeatable; pass what encode used)")
+
+    con = sub.add_parser(
+        "consume", help="exactly-once export of not-yet-consumed append "
+                        "batches to parquet (cursor per --consumer-id)")
+    con.add_argument("--encoded", required=True, help="store dir")
+    con.add_argument("--consumer-id", required=True,
+                     help="stable consumer name; each id has its own cursor")
+    con.add_argument("--output", required=True,
+                     help="export root; each batch lands under "
+                          "batch_id=<id>/ (overwrite => idempotent replay)")
 
     sts = sub.add_parser(
         "stats", help="DESCRIBE/ANALYZE a store from metadata alone "
@@ -214,6 +225,20 @@ def main(argv: list[str] | None = None) -> int:
             target_elements=args.target_elements,
             codec_overrides=overrides or None)
         print(json.dumps(stats))
+    elif args.cmd == "consume":
+        import re as _re
+        from compressed_vec_spark.sources import snapshot as snap
+
+        def _export(batch_id: str, df):
+            # filesystem-safe dir per batch; overwrite makes the
+            # crash-replay of a half-written batch idempotent
+            safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", batch_id)
+            df.write.mode("overwrite").parquet(
+                os.path.join(args.output, f"batch_id={safe}"))
+
+        res = snap.consume_new_batches(spark, args.encoded,
+                                       args.consumer_id, _export)
+        print(json.dumps(res))
     elif args.cmd == "stats":
         print(json.dumps(encode_job.store_stats(spark, args.encoded)))
     elif args.cmd == "cluster":
