@@ -48,9 +48,11 @@ def _delete_keep(spark: SparkSession, out_dir: str) -> dict[str, bytes]:
 
 
 def _keep_bools(packed: bytes, n: int) -> np.ndarray:
-    """Packed delete mask -> boolean KEEP vector of length n."""
-    return ~np.unpackbits(np.frombuffer(packed, np.uint8),
-                          count=n).astype(bool)
+    """Packed delete mask -> boolean KEEP vector of length n (the
+    sidecar's single mask decoding, owned by delete_job so the two
+    layers can never drift)."""
+    from ..spark.delete_job import _keep_mask
+    return _keep_mask(packed, n)
 
 
 def chunk_stats_for(series: pd.Series) \
@@ -500,10 +502,10 @@ def pruned_string_in_count(spark: SparkSession, out_dir: str,
          the COMPRESSED u32 code vector (`one_of_mask`); non-dict
          chunks decode once and compare against the value set.
     """
-    from functools import reduce
-    from operator import or_
     from ..codecs import dictionary
 
+    # SQL IN semantics: a NULL element never matches anything
+    values = [v for v in values if v is not None]
     if not values:  # SQL: x IN () is a syntax error; treat as no match
         return 0, {"total_chunks": 0, "scanned_chunks": 0,
                    "pruned_chunks": 0, "bloom_pruned_chunks": 0}
@@ -521,10 +523,13 @@ def pruned_string_in_count(spark: SparkSession, out_dir: str,
         vset = set(_align_bounds(s, *values))
         return int(s.isin(vset).sum()), False
 
+    # one [min(values), max(values)] interval instead of a per-value OR:
+    # a thousand-value list would otherwise put 2N expressions in the
+    # manifest filter (Catalyst analysis cost), and the Bloom probe
+    # right behind it already prunes per-value exactly
     return _pruned_count_scan(
         spark, out_dir, column,
-        reduce(or_, [(F.col("min_str") <= v) & (F.col("max_str") >= v)
-                     for v in values]),
+        (F.col("min_str") <= max(values)) & (F.col("max_str") >= min(values)),
         kernel, bloom_value=values,
         decode_pred=_string_pred(lambda v, *bs: v.isin(set(bs)), *values))
 
@@ -809,8 +814,10 @@ def store_membership(spark: SparkSession, out_dir: str, column: str,
                 "pid": (np.concatenate(id_out) if id_out
                         else np.empty(0, dtype=np.int64))})
 
+    # persist: the Bloom pass over every chunk's filter would otherwise
+    # re-run for each of the two stats counts AND the verify join below
     cand = (manifest.select(*man_cols)
-            .mapInPandas(probe_fn, "chunk_id string, pid long"))
+            .mapInPandas(probe_fn, "chunk_id string, pid long")).persist()
     candidate_pairs = cand.count()
     candidate_chunks = cand.select("chunk_id").distinct().count()
 
@@ -1117,6 +1124,14 @@ def pruned_topk(spark: SparkSession, out_dir: str, column: str,
     kept: the prune is strict-less-than).  Surviving chunks emit only a
     k-row partial top-k each, so the final shuffle is k x chunks rows.
     """
+    _, dtypes = stored_schema(spark, out_dir)
+    if dtypes.get(column) != "int64":
+        # float columns have NULL int zone maps (empty threshold =>
+        # silent []), and the int64 partials below would truncate —
+        # refuse loudly like pruned_range_select does
+        raise ValueError(
+            f"pruned_topk: column {column!r} has dtype "
+            f"{dtypes.get(column)!r}; integer columns only")
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
     col_man = manifest.where(F.col("column") == column)
     total_chunks = col_man.count()
@@ -1142,7 +1157,6 @@ def pruned_topk(spark: SparkSession, out_dir: str, column: str,
     chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
               .where(F.col("column") == column)
               .join(F.broadcast(cand.select("chunk_id")), "chunk_id"))
-    keep_masks = _delete_keep(spark, out_dir)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

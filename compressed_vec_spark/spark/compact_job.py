@@ -204,11 +204,7 @@ def compact_store(spark: SparkSession, src_dir: str, dst_dir: str,
     # the append_log's reserved part ranges stay valid verbatim —
     # compaction merges chunks WITHIN parts only — so snapshot history
     # (sources/snapshot.py) carries over to the compacted store
-    for hist in ("append_log", "append_commits"):
-        src_log = os.path.join(src_dir, hist)
-        if encode_job._fs_exists(spark, src_log):
-            (spark.read.parquet(src_log).coalesce(1).write.mode("overwrite")
-                .parquet(os.path.join(dst_dir, hist)))
+    encode_job.copy_store_history(spark, src_dir, dst_dir)
     (out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("part_id").parquet(os.path.join(dst_dir, "chunks")))

@@ -216,6 +216,7 @@ def delete_where_equals(spark: SparkSession, out_dir: str, column: str,
     NULL values never match (SQL equality semantics)."""
     from ..codecs import dictionary
     from ..sources.encoded_table import _align_bounds
+    _require_string_column(spark, out_dir, column, "delete_where_equals")
 
     def mask_fn(blob: bytes, codec: str):
         if codec == "dict":
@@ -233,6 +234,21 @@ def delete_where_equals(spark: SparkSession, out_dir: str, column: str,
         spark, out_dir, column,
         (F.col("min_str") <= value) & (F.col("max_str") >= value),
         mask_fn, delete_id, bloom_value=value)
+
+
+def _require_string_column(spark: SparkSession, out_dir: str,
+                           column: str, op: str) -> None:
+    """The string-key paths (equality/IN deletes, upserts) hash keys as
+    UTF-8 and prune on [min_str, max_str]; an int column would crash in
+    the Bloom probe on v5 stores and SILENTLY no-op on pre-v5 ones
+    (NULL string zone maps admit no chunk) — refuse loudly instead,
+    like delete_where_range does for its numeric contract."""
+    from ..sources.encoded_table import stored_schema
+    _, dtypes = stored_schema(spark, out_dir)
+    if dtypes.get(column) != "string":
+        raise ValueError(
+            f"{op}: column {column!r} has dtype {dtypes.get(column)!r}; "
+            "string columns only (use delete_where_range for numerics)")
 
 
 def delete_where_in(spark: SparkSession, out_dir: str, column: str,
@@ -258,6 +274,7 @@ def delete_where_in(spark: SparkSession, out_dir: str, column: str,
         return {"total_chunks": 0, "scanned_chunks": 0,
                 "pruned_chunks": 0, "affected_chunks": 0,
                 "rows_deleted": 0, "bloom_pruned_chunks": 0}
+    _require_string_column(spark, out_dir, column, "delete_where_in")
 
     def mask_fn(blob: bytes, codec: str):
         if codec == "dict":
@@ -431,11 +448,10 @@ def materialize_deletes(spark: SparkSession, src_dir: str, dst_dir: str,
     (spark.read.parquet(os.path.join(src_dir, "table_schema"))
         .coalesce(1).write.mode("overwrite")
         .parquet(os.path.join(dst_dir, "table_schema")))
-    for hist in ("append_log", "append_commits"):
-        src_log = os.path.join(src_dir, hist)
-        if encode_job._fs_exists(spark, src_log):
-            (spark.read.parquet(src_log).coalesce(1).write.mode("overwrite")
-                .parquet(os.path.join(dst_dir, hist)))
+    # parts are preserved, so history AND consumer cursors stay valid:
+    # dst is documented as a drop-in replacement, and losing a cursor
+    # re-delivers the whole history to an exactly-once consumer
+    encode_job.copy_store_history(spark, src_dir, dst_dir)
     (out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("part_id").parquet(os.path.join(dst_dir, "chunks")))

@@ -483,6 +483,34 @@ def _write_commit_marker(spark: SparkSession, out_dir: str,
         .parquet(os.path.join(out_dir, "append_commits")))
 
 
+def copy_store_history(spark: SparkSession, src_dir: str,
+                       dst_dir: str) -> None:
+    """Carry a store's append history (append_log part reservations +
+    append_commits markers) AND its consumer cursors into a rewritten
+    copy whose part ids are preserved (compaction, delete
+    materialization).  Losing a cursor would re-deliver the whole
+    history to an exactly-once consumer; losing the log would erase
+    snapshot time travel.  NOT for cluster_store, which moves rows
+    across parts and so resets history by design."""
+    for hist in ("append_log", "append_commits"):
+        src_log = os.path.join(src_dir, hist)
+        if _fs_exists(spark, src_log):
+            (spark.read.parquet(src_log).coalesce(1).write
+                .mode("overwrite").parquet(os.path.join(dst_dir, hist)))
+    src_cons = os.path.join(src_dir, "consumers")
+    if _fs_exists(spark, src_cons):
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(src_cons).getFileSystem(
+            spark._jsc.hadoopConfiguration())
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(src_cons)):
+            cid = st.getPath().getName()
+            (spark.read.schema("batch_id string, part_hi int")
+                .parquet(os.path.join(src_cons, cid, "cursor"))
+                .coalesce(1).write.mode("overwrite")
+                .parquet(os.path.join(dst_dir, "consumers", cid,
+                                      "cursor")))
+
+
 def store_stats(spark: SparkSession, out_dir: str) -> dict:
     """DESCRIBE/ANALYZE for an encoded store from METADATA alone — no
     chunk blob is read at any store size.  Per column: declared type,

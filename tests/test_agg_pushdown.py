@@ -145,3 +145,16 @@ def test_manifest_min_max(spark, tmp_path):
     encode_job.encode_table(spark, df, out, url_col=None, num_partitions=4)
     assert encoded_table.manifest_min_max(spark, out, "v") == (5, 101)
     assert encoded_table.manifest_min_max(spark, out, "k") == (0, 2999)
+
+
+def test_pruned_topk_refuses_non_int_columns(spark, tmp_path):
+    import pandas as pd
+    out = str(tmp_path / "topk_guard")
+    pdf = pd.DataFrame({"k": range(500)})
+    pdf["f"] = pdf["k"] / 3.0
+    pdf["s"] = "x"
+    encode_job.encode_table(spark, spark.createDataFrame(pdf).coalesce(1),
+                            out, url_col=None)
+    for col in ("f", "s"):
+        with pytest.raises(ValueError, match="integer columns only"):
+            encoded_table.pruned_topk(spark, out, col, 3)

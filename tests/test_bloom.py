@@ -206,7 +206,10 @@ def test_pruned_string_in_count(spark, tmp_path):
           .repartitionByRange(8, "k").sortWithinPartitions("k"))
     encode_job.encode_table(spark, df, out, url_col=None)
 
-    probe = [vals[100], vals[4000], vals[8000], "no-such-value-1"]
+    # a NULL element never matches (SQL IN semantics) and must
+    # not crash the dict heap search
+    probe = [vals[100], vals[4000], vals[8000], "no-such-value-1",
+             None]
     count, st = encoded_table.pruned_string_in_count(spark, out, "s", probe)
     assert count == 3
     assert st["bloom_pruned_chunks"] > 0, st

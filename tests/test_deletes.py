@@ -329,3 +329,38 @@ def test_membership_and_null_count_subtract_deletes(spark, store):
     n, nn = encoded_table.manifest_null_count(spark, out, "lang")
     assert n == int(live["lang"].isna().sum())
     assert nn == int(live["lang"].notna().sum())
+
+
+def test_string_key_ops_refuse_int_columns(spark, store):
+    out, _ = store
+    with pytest.raises(ValueError, match="string columns only"):
+        delete_job.delete_where_equals(spark, out, "k", "5", "dk1")
+    with pytest.raises(ValueError, match="string columns only"):
+        delete_job.delete_where_in(spark, out, "k", ["5"], "dk2")
+
+
+def test_materialize_preserves_consumer_cursor(spark, tmp_path):
+    """dst is a drop-in replacement: an exactly-once consumer's cursor
+    must carry over, or the whole history re-delivers."""
+    import pandas as pd
+    from compressed_vec_spark.sources import snapshot
+    src = str(tmp_path / "mat_src")
+    dst = str(tmp_path / "mat_dst")
+    pdf = pd.DataFrame({"k": range(1000),
+                        "lang": ["l%d" % (i % 5) for i in range(1000)]})
+    df = (spark.createDataFrame(pdf)
+          .repartitionByRange(2, "lang", "k")
+          .sortWithinPartitions("lang", "k"))
+    encode_job.encode_table(spark, df, src, url_col=None,
+                            codec_overrides={"lang": "dict"})
+    seen = []
+    snapshot.consume_new_batches(spark, src, "c-mat",
+                                 lambda b, d: seen.append(b))
+    assert seen == [snapshot.BASE_SNAPSHOT]
+    delete_job.delete_where_equals(spark, src, "lang", "l3", "dm1")
+    delete_job.materialize_deletes(spark, src, dst)
+    assert (snapshot.consumer_position(spark, dst, "c-mat")
+            == snapshot.consumer_position(spark, src, "c-mat") > 0)
+    res = snapshot.consume_new_batches(spark, dst, "c-mat",
+                                       lambda b, d: seen.append(b))
+    assert res["processed"] == []  # nothing re-delivered
