@@ -25,13 +25,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver checks at most the FIRST 50 entries
+    # per round (dict order).  The front of this dict therefore carries
+    # (a) every entry that had not yet earned a green driver row by r4
+    # (entries 51-74 of the r4 dict: 12 never-checked r4 additions plus
+    # 12 r3-green entries that went stale), (b) the r4 red row
+    # encoded_table_null_count with its determinism fix, (c) the new r5
+    # entries, then (d) core reference-parity rows.  Long-green storage
+    # rows rotate to the back; all 74+ remain covered by the local
+    # oracle mirror (tests/test_entry_oracle.py).
     return {
-        # compressed-domain filter family (reference src/filter.rs)
+        # --- never driver-checked before r5 (added in r4) ---
+        "near_dup_clusters": q.near_dup_clusters,
+        "dedup_keep_best": q.dedup_keep_best,
+        "semantic_dedup_clusters": q.semantic_dedup_clusters,
+        # as-of join: click -> latest prior view per user, one shuffle
+        "events_asof_join": q.events_asof_join,
+        # url canonicalization dedup (web-corpus first pass); JVM
+        # regexp built-ins, oracle re-derives in SQL
+        "url_canonical_dedup": q.url_canonical_dedup,
+        # PII scrubbing pass: byte-exact scrubbed text vs the oracle
+        "pii_scrub": q.pii_scrub,
+        # Gopher-rules quality signal: within-doc token repetition
+        "repetition_ratio": q.repetition_ratio,
+        # corpus-frequency boilerplate line removal, byte-exact
+        "boilerplate_removal": q.boilerplate_removal,
+        # benchmark decontamination: 13-gram overlap vs the eval set
+        "decontaminate_ngram_overlap": q.decontaminate_ngram_overlap,
+        # C4-style line-level cleaning, byte-exact cleaned pages
+        "c4_line_filter": q.c4_line_filter,
+        # Gopher quality rules as exact integer signals + pass flag
+        "gopher_quality_flags": q.gopher_quality_flags,
+        # exact repeated-span removal (substring dedup, Lee et al.)
+        "duplicate_span_removal": q.duplicate_span_removal,
+        # --- r3-green entries that sat outside the r4 window ---
+        "stratified_sample": q.stratified_sample,
+        "minhash_near_dup": q.minhash_near_dup,
+        "events_windowed_stats": q.events_windowed_stats,
+        "top_users_by_value": q.top_users_by_value,
+        "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
+        "embedding_near_dup": q.embedding_near_dup,
+        "simhash_signatures": q.simhash_signatures_query,
+        "ann_cosine_topk": q.ann_cosine_topk,
+        "ann_ivf_topk": q.ann_ivf_topk,
+        "lang_id_stopword": q.lang_id_stopword,
+        "doc_fingerprint": q.doc_fingerprint,
+        # multimodal: real container parsers cross-checked against the
+        # metadata columns by the oracle
+        "media_inventory": q.media_inventory,
+        # --- r4's one red row (hash nondeterminism), now ordered on
+        # both sides + write-once fixture ---
+        "encoded_table_null_count": q.encoded_table_null_count,
+        # --- core reference-parity rows (src/filter.rs, sink.rs,
+        # nibblepacking.rs, section.rs) ---
         "filter_equals_count": q.count_hits_equals,
         "filter_in_count": q.count_hits_one_of,
         "multi_vector_and_count": q.multi_vector_and_count,
         "range_filter_count": q.range_filter_count,
         "prefix_filter_count": q.prefix_filter_count,
+        "match_positions": q.match_positions_query,
+        "add_const_sum": q.add_const_sum,
+        "delta_cumsum": q.delta_cumsum_query,
+        "minmax_stats": q.minmax_stats,
+        "codec_histogram": q.codec_histogram,
+        "xor_f64_sum": q.xor_f64_sum,
+        "histogram_2d_delta": q.histogram_2d_delta,
+        # north-rule codecs
+        "dict_filter_count": q.dict_filter_count,
+        "rle_run_count": q.rle_run_count,
+        "fsst_text_roundtrip": q.fsst_text_roundtrip,
+        "rle_range_count": q.rle_range_count,
+        "analytics_over_encoded": q.analytics_over_encoded,
+        # training-data pipeline operators
+        "exact_dedup": q.exact_dedup,
+        "token_count_per_doc": q.token_count_per_doc,
+        "quality_score": q.quality_score,
+        "corpus_clean_pipeline": q.corpus_clean_pipeline,
+        "token_budget_shards": q.token_budget_shards,
+        # --- storage-engine rows, all green in r4; rotated behind the
+        # 50-entry window (still mirror-gated in tests) ---
         "encoded_table_pruned_count": q.encoded_table_pruned_count,
         "encoded_table_range_count": q.encoded_table_range_count,
         "encoded_table_cluster_layout": q.encoded_table_cluster_layout,
@@ -74,72 +146,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q.encoded_table_float_range_count,
         "encoded_table_filter_select": q.encoded_table_filter_select,
         "encoded_table_range_select": q.encoded_table_range_select,
-        "encoded_table_null_count": q.encoded_table_null_count,
         "encoded_table_sum_pushdown": q.encoded_table_sum_pushdown,
         "encoded_table_group_count": q.encoded_table_group_count,
         "encoded_table_dim_join_count": q.encoded_table_dim_join_count,
         "encoded_table_distinct_pushdown": q.encoded_table_distinct_pushdown,
         "encoded_table_group_sum": q.encoded_table_group_sum,
         "encoded_table_topk_pushdown": q.encoded_table_topk_pushdown,
-        "rle_range_count": q.rle_range_count,
         "encoded_table_minmax_pushdown": q.encoded_table_minmax_pushdown,
-        "analytics_over_encoded": q.analytics_over_encoded,
-        "match_positions": q.match_positions_query,
-        # sink/transform family (reference src/sink.rs, nibblepacking.rs)
-        "add_const_sum": q.add_const_sum,
-        "delta_cumsum": q.delta_cumsum_query,
-        "minmax_stats": q.minmax_stats,
-        # stats-driven codec selection (reference src/section.rs AutoEncoder)
-        "codec_histogram": q.codec_histogram,
-        # f64 XOR stream + 2D-delta histograms (reference nibblepacking/histogram)
-        "xor_f64_sum": q.xor_f64_sum,
-        "histogram_2d_delta": q.histogram_2d_delta,
-        # north-rule codecs
-        "dict_filter_count": q.dict_filter_count,
-        "rle_run_count": q.rle_run_count,
-        "fsst_text_roundtrip": q.fsst_text_roundtrip,
-        # training-data pipeline operators
-        "exact_dedup": q.exact_dedup,
-        "token_count_per_doc": q.token_count_per_doc,
-        "quality_score": q.quality_score,
-        "corpus_clean_pipeline": q.corpus_clean_pipeline,
-        "token_budget_shards": q.token_budget_shards,
-        "stratified_sample": q.stratified_sample,
-        "minhash_near_dup": q.minhash_near_dup,
-        "near_dup_clusters": q.near_dup_clusters,
-        "dedup_keep_best": q.dedup_keep_best,
-        "events_windowed_stats": q.events_windowed_stats,
-        # as-of join: click -> latest prior view per user, one shuffle
-        "events_asof_join": q.events_asof_join,
-        "top_users_by_value": q.top_users_by_value,
-        "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
-        "embedding_near_dup": q.embedding_near_dup,
-        "semantic_dedup_clusters": q.semantic_dedup_clusters,
-        "simhash_signatures": q.simhash_signatures_query,
-        "ann_cosine_topk": q.ann_cosine_topk,
-        "ann_ivf_topk": q.ann_ivf_topk,
-        "lang_id_stopword": q.lang_id_stopword,
-        "doc_fingerprint": q.doc_fingerprint,
-        # multimodal: real container parsers cross-checked against the
-        # metadata columns by the oracle
-        "media_inventory": q.media_inventory,
-        # url canonicalization dedup (web-corpus first pass); JVM
-        # regexp built-ins, oracle re-derives in SQL
-        "url_canonical_dedup": q.url_canonical_dedup,
-        # PII scrubbing pass: byte-exact scrubbed text vs the oracle
-        "pii_scrub": q.pii_scrub,
-        # Gopher-rules quality signal: within-doc token repetition
-        "repetition_ratio": q.repetition_ratio,
-        # corpus-frequency boilerplate line removal, byte-exact
-        "boilerplate_removal": q.boilerplate_removal,
-        # benchmark decontamination: 13-gram overlap vs the eval set
-        "decontaminate_ngram_overlap": q.decontaminate_ngram_overlap,
-        # C4-style line-level cleaning, byte-exact cleaned pages
-        "c4_line_filter": q.c4_line_filter,
-        # Gopher quality rules as exact integer signals + pass flag
-        "gopher_quality_flags": q.gopher_quality_flags,
-        # exact repeated-span removal (substring dedup, Lee et al.)
-        "duplicate_span_removal": q.duplicate_span_removal,
     }
 
 

@@ -466,13 +466,19 @@ def encoded_table_null_count(spark, sf_dir) -> DataFrame:
     NULLs, which would make this row vacuous)."""
     from ..spark import encode_job
     pq = os.path.join(_nulls_oracle_dir(), "rows.parquet")
-    pdf = pd.DataFrame({"k": range(NULLS_ORACLE_ROWS)})
-    pdf["v"] = pdf["k"] * 3
-    pdf.loc[pdf.index % 7 == 0, "v"] = None
-    pdf["s"] = ["s%02d" % (k % 40) for k in range(NULLS_ORACLE_ROWS)]
-    pdf.loc[pdf.index % 11 == 0, "s"] = None
-    spark.createDataFrame(pdf).coalesce(1).write \
-        .mode("overwrite").parquet(pq)
+    # Write-once fixture: the content is a pure function of
+    # (NULLS_GEN_VERSION, NULLS_ORACLE_ROWS), which key the path — so a
+    # completed write never needs refreshing, and skipping the rewrite
+    # means the oracle can never race a mode("overwrite") that briefly
+    # deletes the files it is reading (r4's only hash-mismatch row).
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):
+        pdf = pd.DataFrame({"k": range(NULLS_ORACLE_ROWS)})
+        pdf["v"] = pdf["k"] * 3
+        pdf.loc[pdf.index % 7 == 0, "v"] = None
+        pdf["s"] = ["s%02d" % (k % 40) for k in range(NULLS_ORACLE_ROWS)]
+        pdf.loc[pdf.index % 11 == 0, "s"] = None
+        spark.createDataFrame(pdf).coalesce(1).write \
+            .mode("overwrite").parquet(pq)
 
     key = (id(spark.sparkContext), "nulls_store")
     if key not in _STORE_CACHE:
@@ -487,7 +493,9 @@ def encoded_table_null_count(spark, sf_dir) -> DataFrame:
            .agg(F.sum("null_count").cast("long").alias("null_rows"),
                 (F.sum("num_elements") - F.sum("null_count"))
                 .cast("long").alias("non_null_rows")))
-    return agg.where(F.col("column").isin("v", "s"))
+    # deterministic row order on BOTH sides (oracle ORDER BY column):
+    # a 2-row unordered groupBy can hash differently run to run
+    return agg.where(F.col("column").isin("v", "s")).orderBy("column")
 
 
 def encoded_table_null_count_oracle() -> str:
@@ -505,6 +513,7 @@ FROM (
   FROM '{_nulls_oracle_dir()}/rows.parquet/*.parquet'
 )
 GROUP BY col
+ORDER BY col
 """
 
 
