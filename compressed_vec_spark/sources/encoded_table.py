@@ -26,25 +26,39 @@ _I64MAX = (1 << 63) - 1
 _I64MIN = -(1 << 63)
 
 
-def _delete_keep(spark: SparkSession, out_dir: str) -> dict[str, bytes]:
-    """chunk_id -> OR-merged packed DELETE bitmask for every
-    delete-affected chunk; {} for a store with no live deletes.
-    Driver-collected and shipped into the scan closures: the sidecar is
-    O(affected chunks) bytes (ceil(n_rows/8) per chunk) — the same
-    broadcast bound store_membership's probe hashes already use.
+def _keep_mask_df(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """(chunk_id, keep_mask) DataFrame of OR-merged DELETE bitmasks for
+    every delete-affected chunk; None for a store with no live deletes.
 
-    Every pruned_* reader consults this so current-table reads reflect
-    committed position deletes (Iceberg-v2 read semantics): chunks with
-    no deletes keep their compressed fast path untouched; only the
-    affected chunks fall back to a positional decode ANDed with the
-    keep mask.  Snapshot (as_of) reads skip it by design — deletes
-    apply to the current table only (spark/delete_job.py contract)."""
+    The masks stay DISTRIBUTED: every pruned_* reader left-joins this on
+    chunk_id into its chunk scan (mirroring the write path,
+    spark/delete_job.py delete_rows), so each task sees only its own
+    chunks' masks.  The earlier driver-collected dict put
+    O(affected_chunks x rows/8) bytes on the driver and in every task
+    closure — ~125 GB for a corpus-wide delete at 10^12 rows; the join
+    is AQE-planned (broadcast when small, shuffle when wide) and has no
+    driver ceiling.
+
+    Chunks with no deletes keep their compressed fast path untouched
+    (keep_mask is NULL after the left join); only affected chunks fall
+    back to a positional decode ANDed with the keep mask.  Snapshot
+    (as_of) reads skip the join by design — deletes apply to the
+    current table only (spark/delete_job.py contract)."""
     from ..spark import delete_job
     m = delete_job.merged_masks(spark, out_dir)
     if m is None:
-        return {}
-    return {r["chunk_id"]: bytes(r["mask"])
-            for r in m.select("chunk_id", "mask").collect()}
+        return None
+    return m.select("chunk_id", F.col("mask").alias("keep_mask"))
+
+
+def _join_keep(chunks_df: DataFrame, masks: DataFrame | None) -> DataFrame:
+    """Attach the `keep_mask` column to a chunk scan: left join when the
+    store has live deletes, a NULL literal otherwise (so kernels read
+    one uniform column either way)."""
+    if masks is None:
+        return chunks_df.withColumn("keep_mask",
+                                    F.lit(None).cast("binary"))
+    return chunks_df.join(masks, "chunk_id", "left")
 
 
 def _keep_bools(packed: bytes, n: int) -> np.ndarray:
@@ -151,19 +165,20 @@ def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
     # (which would put millions of literals in the plan at scale)
     scanned_chunks = candidates.count()
     cand_ids = candidates.select("chunk_id")
-    keep_masks = _delete_keep(spark, out_dir)
 
-    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
-              .where(F.col("column") == column)
-              .join(F.broadcast(cand_ids), "chunk_id"))
+    chunks = _join_keep(
+        (spark.read.parquet(os.path.join(out_dir, "chunks"))
+         .where(F.col("column") == column)
+         .join(F.broadcast(cand_ids), "chunk_id")),
+        _keep_mask_df(spark, out_dir))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..codecs import rle as rle_codec
         n = fast = dec = 0
         for pdf in batches:
-            for cid, blob, codec in zip(pdf["chunk_id"], pdf["blob"],
-                                        pdf["codec"]):
-                km = keep_masks.get(cid)
+            for blob, codec, km in zip(pdf["blob"], pdf["codec"],
+                                       pdf["keep_mask"]):
+                km = None if km is None else bytes(km)
                 b = bytes(blob)
                 nulm = b[:4] == b"NULM"
                 if (km is not None
@@ -192,7 +207,7 @@ def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
                     _unwrap_vec(b), kind, value))
         yield pd.DataFrame({"hits": [n], "fast": [fast], "dec": [dec]})
 
-    agg = (chunks.select("chunk_id", "blob", "codec")
+    agg = (chunks.select("blob", "codec", "keep_mask")
            .mapInPandas(fn, "hits long, fast long, dec long")
            .agg(F.sum("hits").alias("h"), F.sum("fast").alias("f"),
                 F.sum("dec").alias("d")).collect()[0])
@@ -235,21 +250,22 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
         & (F.col("min_val") <= hi) & (F.col("max_val") >= lo))
     scanned_chunks = candidates.count()
     cand_ids = candidates.select("chunk_id")
-    # snapshot reads predate deletes by contract (delete_job docstring);
-    # current-table reads subtract them
-    keep_masks = {} if as_of is not None else _delete_keep(spark, out_dir)
 
-    chunks = (chunks_src
-              .where(F.col("column") == column)
-              .join(F.broadcast(cand_ids), "chunk_id"))
+    # snapshot reads predate deletes by contract (delete_job docstring);
+    # current-table reads subtract them via the distributed mask join
+    chunks = _join_keep(
+        (chunks_src
+         .where(F.col("column") == column)
+         .join(F.broadcast(cand_ids), "chunk_id")),
+        None if as_of is not None else _keep_mask_df(spark, out_dir))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..codecs import rle as rle_codec
         hits = skipped = sections = 0
         for pdf in batches:
-            for cid, blob, codec in zip(pdf["chunk_id"], pdf["blob"],
-                                        pdf["codec"]):
-                km = keep_masks.get(cid)
+            for blob, codec, km in zip(pdf["blob"], pdf["codec"],
+                                       pdf["keep_mask"]):
+                km = None if km is None else bytes(km)
                 nulm = bytes(blob[:4]) == b"NULM"
                 if km is not None or codec not in (
                         "vec_u64", "vec_u32", "rle"):
@@ -300,7 +316,7 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
         yield pd.DataFrame({"hits": [hits], "skipped": [skipped],
                             "sections": [sections]})
 
-    agg = (chunks.select("chunk_id", "blob", "codec").mapInPandas(
+    agg = (chunks.select("blob", "codec", "keep_mask").mapInPandas(
         fn, "hits long, skipped long, sections long")
         .agg(F.sum("hits").alias("h"), F.sum("skipped").alias("sk"),
              F.sum("sections").alias("se")).collect()[0])
@@ -339,7 +355,6 @@ def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
     their rows must be ANDed with the keep mask, so the compressed
     kernel (whose counts cannot be masked) is bypassed for exactly
     those chunks."""
-    keep_masks = _delete_keep(spark, out_dir)
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
     total_chunks = manifest.where(F.col("column") == column).count()
     candidates = manifest.where((F.col("column") == column) & manifest_pred)
@@ -366,16 +381,18 @@ def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
         scanned_chunks = candidates.count()
     cand_ids = candidates.select("chunk_id")
 
-    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
-              .where(F.col("column") == column)
-              .join(F.broadcast(cand_ids), "chunk_id"))
+    chunks = _join_keep(
+        (spark.read.parquet(os.path.join(out_dir, "chunks"))
+         .where(F.col("column") == column)
+         .join(F.broadcast(cand_ids), "chunk_id")),
+        _keep_mask_df(spark, out_dir))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hits = fast = decoded = 0
         for pdf in batches:
-            for cid, blob, codec in zip(pdf["chunk_id"], pdf["blob"],
-                                        pdf["codec"]):
-                km = keep_masks.get(cid)
+            for blob, codec, km in zip(pdf["blob"], pdf["codec"],
+                                       pdf["keep_mask"]):
+                km = None if km is None else bytes(km)
                 if km is not None:
                     if decode_pred is None:
                         raise ValueError(
@@ -395,7 +412,7 @@ def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
                     decoded += 1
         yield pd.DataFrame({"hits": [hits], "fast": [fast], "dec": [decoded]})
 
-    agg = (chunks.select("chunk_id", "blob", "codec")
+    agg = (chunks.select("blob", "codec", "keep_mask")
            .mapInPandas(fn, "hits long, fast long, dec long")
            .agg(F.sum("hits").alias("h"), F.sum("fast").alias("f"),
                 F.sum("dec").alias("d")).collect()[0])
@@ -641,7 +658,7 @@ def _pruned_select(spark: SparkSession, out_dir: str, filter_col: str,
         f"{c} {dtypes.get(c, 'string').replace('int64', 'long')}"
         for c in project_cols)
 
-    keep_masks = _delete_keep(spark, out_dir)
+    paired = _join_keep(paired, _keep_mask_df(spark, out_dir))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -649,9 +666,9 @@ def _pruned_select(spark: SparkSession, out_dir: str, filter_col: str,
                 mask = mask_fn(bytes(row.f_blob), row.f_codec)
                 if mask is None or not mask.any():
                     continue
-                km = keep_masks.get(row.chunk_id)
+                km = row.keep_mask
                 if km is not None:
-                    mask = mask & _keep_bools(km, len(mask))
+                    mask = mask & _keep_bools(bytes(km), len(mask))
                     if not mask.any():
                         continue
                 cols = {}
@@ -828,20 +845,21 @@ def store_membership(spark: SparkSession, out_dir: str, column: str,
     grouped = pairs.groupBy("chunk_id").agg(
         F.collect_list(F.struct(F.col("pid"), F.col(value_col).alias("v")))
         .alias("plist"))
-    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
-              .where(F.col("column") == column)
-              .select("chunk_id", "codec", "blob")
-              .join(grouped, "chunk_id"))
-    keep_masks = _delete_keep(spark, out_dir)
+    chunks = _join_keep(
+        (spark.read.parquet(os.path.join(out_dir, "chunks"))
+         .where(F.col("column") == column)
+         .select("chunk_id", "codec", "blob")
+         .join(grouped, "chunk_id")),
+        _keep_mask_df(spark, out_dir))
 
     def verify_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for cid, blob, codec, plist in zip(pdf["chunk_id"],
-                                               pdf["blob"], pdf["codec"],
-                                               pdf["plist"]):
+            for blob, codec, plist, km in zip(pdf["blob"], pdf["codec"],
+                                              pdf["plist"],
+                                              pdf["keep_mask"]):
                 pid = np.array([r["pid"] for r in plist], dtype=np.int64)
                 vals = [r["v"] for r in plist]
-                km = keep_masks.get(cid)
+                km = None if km is None else bytes(km)
                 if codec == "dict" and km is None:
                     # every dictionary entry was built from a value the
                     # chunk actually holds: heap search IS membership
@@ -958,17 +976,17 @@ def pruned_multi_and_count(spark: SparkSession, out_dir: str,
     b = (chunks.where(F.col("column") == eq_col)
          .select("chunk_id", F.col("blob").alias("blob_e"),
                  F.col("codec").alias("codec_e")))
-    paired = (a.join(F.broadcast(cand), "chunk_id")
-              .join(b, "chunk_id"))
-    keep_masks = _delete_keep(spark, out_dir)
+    paired = _join_keep((a.join(F.broadcast(cand), "chunk_id")
+                         .join(b, "chunk_id")),
+                        _keep_mask_df(spark, out_dir))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hits = skipped_sections = 0
         for pdf in batches:
-            for cid, br, cr, be, ce in zip(pdf["chunk_id"],
-                                           pdf["blob_r"], pdf["codec_r"],
-                                           pdf["blob_e"], pdf["codec_e"]):
-                km = keep_masks.get(cid)
+            for br, cr, be, ce, km in zip(pdf["blob_r"], pdf["codec_r"],
+                                          pdf["blob_e"], pdf["codec_e"],
+                                          pdf["keep_mask"]):
+                km = None if km is None else bytes(km)
                 br_b, be_b = bytes(br), bytes(be)
                 # the compressed kernels see nulls as payload zeros: a
                 # range admitting 0 or an equality against 0 on a
@@ -1000,8 +1018,8 @@ def pruned_multi_and_count(spark: SparkSession, out_dir: str,
                 hits += filters.count_hits(m1 & m2)
         yield pd.DataFrame({"hits": [hits], "skipped": [skipped_sections]})
 
-    agg = (paired.select("chunk_id", "blob_r", "codec_r", "blob_e",
-                         "codec_e")
+    agg = (paired.select("blob_r", "codec_r", "blob_e",
+                         "codec_e", "keep_mask")
            .mapInPandas(fn, "hits long, skipped long")
            .agg(F.sum("hits").alias("h"), F.sum("skipped").alias("s"))
            .collect()[0])
@@ -1043,14 +1061,14 @@ def pruned_filtered_sum(spark: SparkSession, out_dir: str,
              .select("chunk_id", F.col("sum_val").alias("s_sum"),
                      F.col("null_count").alias("s_nulls"),
                      F.col("codec").alias("s_codec")))
-    j = overlap.join(s_man, "chunk_id")
-    keep_masks = _delete_keep(spark, out_dir)
+    masks = _keep_mask_df(spark, out_dir)
+    j = _join_keep(overlap.join(s_man, "chunk_id"), masks)
+    # a delete-affected chunk's manifest sum includes deleted rows: it
+    # must take the decoded path whatever its stats say (keep_mask is
+    # non-NULL exactly for affected chunks after the left join)
     covered = ((F.col("min_val") >= lo) & (F.col("max_val") <= hi)
-               & (F.col("null_count") == 0) & F.col("s_sum").isNotNull())
-    if keep_masks:
-        # a delete-affected chunk's manifest sum includes deleted rows:
-        # it must take the decoded path whatever its stats say
-        covered = covered & ~F.col("chunk_id").isin(list(keep_masks))
+               & (F.col("null_count") == 0) & F.col("s_sum").isNotNull()
+               & F.col("keep_mask").isNull())
     agg = j.agg(
         F.sum(F.when(covered, F.col("s_sum")).otherwise(F.lit(0))
               .cast("decimal(38,0)")).alias("manifest_sum"),
@@ -1067,18 +1085,20 @@ def pruned_filtered_sum(spark: SparkSession, out_dir: str,
           .select("chunk_id", F.col("blob").alias("blob_f")))
     sb = (chunks.where(F.col("column") == sum_col)
           .select("chunk_id", F.col("blob").alias("blob_s")))
-    paired = (fb.join(F.broadcast(partial_ids), "chunk_id").join(sb, "chunk_id"))
+    paired = _join_keep(
+        fb.join(F.broadcast(partial_ids), "chunk_id").join(sb, "chunk_id"),
+        masks)
 
     vec_codecs = ("vec_u64", "vec_u32")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         task_sum, fast_sections = 0, 0
         for pdf in batches:
-            for cid, bf, cf, nf, bs, cs, ns in zip(
-                    pdf["chunk_id"],
+            for bf, cf, nf, bs, cs, ns, km in zip(
                     pdf["blob_f"], pdf["codec"], pdf["null_count"],
-                    pdf["blob_s"], pdf["s_codec"], pdf["s_nulls"]):
-                km = keep_masks.get(cid)
+                    pdf["blob_s"], pdf["s_codec"], pdf["s_nulls"],
+                    pdf["keep_mask"]):
+                km = None if km is None else bytes(km)
                 if (km is None and cf in vec_codecs and cs in vec_codecs
                         and not nf and not ns):
                     kf = "u64" if cf == "vec_u64" else "u32"
@@ -1135,18 +1155,19 @@ def pruned_topk(spark: SparkSession, out_dir: str, column: str,
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
     col_man = manifest.where(F.col("column") == column)
     total_chunks = col_man.count()
-    keep_masks = _delete_keep(spark, out_dir)
+    masks = _keep_mask_df(spark, out_dir)
     # metadata-only job: the k largest chunk maxima.  The threshold is
     # sound only if each contributing max is a LIVE value, so delete-
     # affected chunks (whose manifest max may be a deleted row) are
     # excluded from threshold DERIVATION — while remaining prunable BY
     # it, since a manifest max is still an upper bound of live values.
-    thr_man = (col_man.where(~F.col("chunk_id").isin(list(keep_masks)))
-               if keep_masks else col_man)
+    thr_man = (col_man.join(masks.select("chunk_id"),
+                            "chunk_id", "left_anti")
+               if masks is not None else col_man)
     maxes = [r["max_val"] for r in
              thr_man.orderBy(F.desc("max_val")).limit(k).collect()
              if r["max_val"] is not None]
-    if not maxes and not keep_masks:
+    if not maxes and masks is None:
         return [], {"total_chunks": total_chunks, "scanned_chunks": 0,
                     "pruned_chunks": total_chunks}
     threshold = min(maxes) if len(maxes) >= k else None
@@ -1154,24 +1175,25 @@ def pruned_topk(spark: SparkSession, out_dir: str, column: str,
         col_man.where(F.col("max_val") >= threshold)
     scanned = cand.count()
 
-    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
-              .where(F.col("column") == column)
-              .join(F.broadcast(cand.select("chunk_id")), "chunk_id"))
+    chunks = _join_keep(
+        (spark.read.parquet(os.path.join(out_dir, "chunks"))
+         .where(F.col("column") == column)
+         .join(F.broadcast(cand.select("chunk_id")), "chunk_id")),
+        masks)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for cid, blob in zip(pdf["chunk_id"], pdf["blob"]):
+            for blob, km in zip(pdf["blob"], pdf["keep_mask"]):
                 v = np.asarray(chunk_codec.decode_column(bytes(blob)))
-                km = keep_masks.get(cid)
                 if km is not None:
-                    v = v[_keep_bools(km, len(v))]
+                    v = v[_keep_bools(bytes(km), len(v))]
                 v = pd.Series(v).dropna().to_numpy()
                 if not len(v):
                     continue
                 part = np.sort(v)[-k:]  # chunk-local top-k only
                 yield pd.DataFrame({"v": part.astype(np.int64)})
 
-    top = (chunks.select("chunk_id", "blob").mapInPandas(fn, "v long")
+    top = (chunks.select("blob", "keep_mask").mapInPandas(fn, "v long")
            .orderBy(F.desc("v")).limit(k).collect())
     return [int(r["v"]) for r in top], {
         "total_chunks": total_chunks,

@@ -2305,7 +2305,7 @@ def encoded_table_delete_materialize(spark, sf_dir) -> DataFrame:
 
 def encoded_table_delete_pushdown(spark, sf_dir) -> DataFrame:
     """Pruned fast-path reads over a store with LIVE position deletes
-    (Iceberg-v2 read semantics, sources/encoded_table.py:_delete_keep):
+    (Iceberg-v2 read semantics, sources/encoded_table.py:_keep_mask_df):
     clean chunks keep their compressed kernels untouched; ONLY the
     delete-affected chunks fall back to a positional decode ANDed with
     the keep mask, and manifest-answer shortcuts (covered-chunk sums,

@@ -364,3 +364,47 @@ def test_materialize_preserves_consumer_cursor(spark, tmp_path):
     res = snapshot.consume_new_batches(spark, dst, "c-mat",
                                        lambda b, d: seen.append(b))
     assert res["processed"] == []  # nothing re-delivered
+
+
+def test_wide_delete_every_chunk_distributed_masks(spark, tmp_path):
+    """Corpus-wide DELETE: the mask sidecar covers EVERY chunk, and the
+    pruned readers must still be exact — with the masks applied via a
+    distributed chunk_id join, never a driver-side collect (the old
+    dict put O(affected_chunks x rows/8) on the driver; a corpus-wide
+    delete at 10^12 rows would be ~125 GB there)."""
+    import inspect
+
+    out = str(tmp_path / "widedel")
+    n = 3000
+    pdf = pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                        "v": (np.arange(n, dtype=np.int64) * 7) % 1000})
+    df = spark.createDataFrame(pdf).coalesce(2)
+    encode_job.encode_table(spark, df, out, url_col=None, resume=False)
+
+    def mask_fn(blob, codec):
+        from compressed_vec_spark.codecs import chunk as chunk_codec
+        vals = np.asarray(chunk_codec.decode_column(blob))
+        return (vals % 3) == 0  # hits every 500-row chunk
+
+    stats = delete_job.delete_rows(spark, out, "k", F.lit(True),
+                                   mask_fn, "wd1")
+    assert stats["rows_deleted"] == int(((pdf["k"] % 3) == 0).sum())
+
+    manifest = spark.read.parquet(os.path.join(out, "manifest"))
+    k_chunks = manifest.where(F.col("column") == "k").count()
+    masks = encoded_table._keep_mask_df(spark, out)
+    assert masks is not None and masks.count() == k_chunks  # all wide
+
+    live = pdf[(pdf["k"] % 3) != 0]
+    hits, _ = encoded_table.pruned_range_count(spark, out, "k", 0, n)
+    assert hits == len(live)
+    hits, _ = encoded_table.pruned_equals_count(spark, out, "v",
+                                               int(live["v"].iloc[0]))
+    assert hits == int((live["v"] == live["v"].iloc[0]).sum())
+
+    # masks stay distributed: the reader-side mask plumbing has no
+    # driver collect; application is a chunk_id join (left) per scan
+    for fn in (encoded_table._keep_mask_df, encoded_table._join_keep):
+        assert ".collect()" not in inspect.getsource(fn)
+    assert 'join(masks, "chunk_id", "left")' in inspect.getsource(
+        encoded_table._join_keep)
