@@ -52,6 +52,14 @@ ESCAPE = 255
 MAX_SYMBOLS = 255
 
 
+def _pos_dtype(n: int):
+    """Emit-position dtype for an n-byte input whose output can reach
+    2n bytes: int32 (half the cumsum write traffic) while that provably
+    fits, int64 for the rare >1 GiB batch — degrade, never abort or
+    silently wrap.  Shared by the word and pair encode paths."""
+    return np.int32 if 2 * n < (1 << 31) else np.int64
+
+
 def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """Zero-copy concatenated bytes + value offsets of a pyarrow
     string/binary array (nulls treated as empty)."""
@@ -392,7 +400,7 @@ def _encode_words(data: np.ndarray,
     # with escapes the emitted stream can reach ~2N bytes: int32 (half
     # the cumsum write traffic) while that provably fits, int64 for the
     # rare >1 GiB batch — never a silent overflow either way
-    pos = np.empty(N + 1, dtype=np.int32 if 2 * N < (1 << 31) else np.int64)
+    pos = np.empty(N + 1, dtype=_pos_dtype(N))
     pos[0] = 0
     np.cumsum(sizes, out=pos[1:])
     total = int(pos[-1])
@@ -631,10 +639,10 @@ def _encode_raw(data: np.ndarray, offsets: np.ndarray) -> bytes:
     if N > 1:
         sizes[1:] -= taken_mask.view(np.uint8)
     sizes += esc_mask.view(np.uint8)
-    # output <= 2N; fail loudly (instead of corrupting via int32 wrap)
-    # on a >1 GiB chunk — chunks are Arrow-batch sized, far below this
-    assert 2 * N < (1 << 31), "chunk too large for int32 emit positions"
-    pos = np.empty(N + 1, dtype=np.int32)
+    # output <= 2N: int32 (half the cumsum write traffic) while that
+    # provably fits, int64 for the rare >1 GiB batch — degrade, never
+    # abort, matching the word path above
+    pos = np.empty(N + 1, dtype=_pos_dtype(N))
     pos[0] = 0
     np.cumsum(sizes, out=pos[1:])
     total = int(pos[-1])

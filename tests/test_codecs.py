@@ -231,3 +231,17 @@ def test_fsst_take_expand_edges():
     b = [bytes([0, 255, 0, 32, 65, 66]) * 10, b"", bytes(range(256))]
     arr = pa.array(b, type=pa.large_binary())
     assert fsst.decode(fsst.encode(arr)).to_pylist() == b
+
+
+def test_fsst_pos_dtype_degrades_not_aborts():
+    """Emit-position dtype: int32 while 2n provably fits (half the
+    cumsum write traffic), int64 above — BOTH encode paths share the
+    helper, so a >1 GiB chunk degrades instead of asserting out."""
+    import inspect
+    import numpy as np
+    assert fsst._pos_dtype(0) is np.int32
+    assert fsst._pos_dtype((1 << 30) - 1) is np.int32   # 2n = 2^31-2
+    assert fsst._pos_dtype(1 << 30) is np.int64         # 2n = 2^31
+    src = inspect.getsource(fsst)
+    assert src.count("_pos_dtype(N)") == 2  # word + pair paths
+    assert "chunk too large" not in src     # the old assert is gone
