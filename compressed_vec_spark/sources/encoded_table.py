@@ -891,8 +891,18 @@ def store_membership(spark: SparkSession, out_dir: str, column: str,
                                      dtype=bool)
                 yield pd.DataFrame({"pid": pid, "found": found})
 
-    found_df = (chunks.mapInPandas(verify_fn, "pid long, found boolean")
-                .groupBy("pid").agg(F.max("found").alias("present")))
+    # materialize the verify verdicts NOW — ≤ n_probes rows, the same
+    # driver bound the broadcast probe hashes already assume — so the
+    # Bloom-candidate cache can be released before return; leaving it
+    # persisted accumulated cached partitions for the session lifetime
+    # when callers never unpersisted (they couldn't: the handle was
+    # internal)
+    found_pdf = (chunks.mapInPandas(verify_fn, "pid long, found boolean")
+                 .groupBy("pid").agg(F.max("found").alias("present"))
+                 .toPandas())
+    cand.unpersist()
+    found_df = spark.createDataFrame(found_pdf,
+                                     "pid long, present boolean")
     result = (nn.select(F.col(id_col).alias("pid"))
               .join(found_df, "pid", "left")
               .select(F.col("pid").alias(id_col),

@@ -29,6 +29,7 @@ the same contract append_table itself states.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -122,11 +123,20 @@ def consumer_position(spark: SparkSession, out_dir: str,
     path = _consumer_path(out_dir, consumer_id)
     if not _fs_exists(spark, path):
         return 0
+    from pyspark.errors import AnalysisException
     try:
         row = (spark.read.schema("batch_id string, part_hi int")
                .parquet(path).collect())
-    except Exception:
+    except AnalysisException as e:
+        # structural: empty/partial cursor dir from a crashed commit —
+        # the case the degrade exists for
+        warnings.warn(f"consumer cursor unreadable at {path} ({e}); "
+                      "degrading to position 0 (full replay)")
         return 0
+    # anything else (transient FS fault, permissions, corrupt footer)
+    # propagates: silently replaying the entire store history on an
+    # I/O hiccup is safe but potentially enormous at scale — the
+    # caller should see the fault and retry the read instead
     return int(row[0]["part_hi"]) if row else 0
 
 
@@ -164,6 +174,19 @@ def pending_batches(spark: SparkSession, out_dir: str,
         # reserved range, means committed; ZERO parts present with a
         # non-empty range means the append crashed before its chunks —
         # halt, its retry will fill the range.
+        #
+        # COMMIT-PROTOCOL ASSUMPTION (pre-marker fallback only): the
+        # "partitions commit together" step requires an atomic job
+        # commit — FileOutputCommitter algorithm v1 (the Spark
+        # default) or an S3A/magic-style atomic committer.  Under a
+        # DIRECT or v2 committer on an object store, task outputs
+        # become visible one by one, so a crashed append could be half
+        # visible and this fallback would consume it, skipping its
+        # missing rows forever once the cursor passes part_hi.  Stores
+        # written by this library always carry markers (encode_job
+        # writes append_commits after the chunks), so the fallback is
+        # only reached for stores predating them — migrate those with
+        # one no-op append, or avoid non-atomic committers for them.
         committed = (s["batch_id"] in committed_ids
                      or s["part_lo"] >= s["part_hi"]
                      or any(p in present

@@ -231,8 +231,15 @@ def main(argv: list[str] | None = None) -> int:
 
         def _export(batch_id: str, df):
             # filesystem-safe dir per batch; overwrite makes the
-            # crash-replay of a half-written batch idempotent
+            # crash-replay of a half-written batch idempotent.  The
+            # char-substitution alone is non-injective ('b/1' and 'b_1'
+            # both map to 'b_1'), so a stable hash of the RAW id is
+            # appended — distinct batches can never overwrite each
+            # other's exports
+            import hashlib
             safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", batch_id)
+            safe += "-" + hashlib.sha256(
+                batch_id.encode("utf-8")).hexdigest()[:8]
             df.write.mode("overwrite").parquet(
                 os.path.join(args.output, f"batch_id={safe}"))
 
