@@ -2,6 +2,7 @@
 LSH and IVF approximate scale paths, and dedup signature operators."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 from pyspark.sql import functions as F
@@ -325,3 +326,48 @@ def test_cc_plan_stays_flat_and_shuffle_only(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
         + plan.count("BroadcastHashJoin") == 0, plan
     assert len(plan.splitlines()) < 40, len(plan.splitlines())
+
+
+def test_ivf_recall_at_nprobe_4_planted(spark):
+    """Recall harness at nprobe < all lists (r4 verdict: the index was
+    only ever exactness-tested at nprobe=all): a planted fixture of 8
+    well-separated clusters, query inside cluster 0, true top-10 =
+    the 10 planted near-copies.  recall@10 >= 0.95 at nprobe=4 (of 16
+    lists), deterministically."""
+    rng = np.random.default_rng(1234)
+    dim, n_clusters, per = 64, 8, 120
+    bases = np.zeros((n_clusters, dim))
+    for c in range(n_clusters):          # orthogonal block directions
+        bases[c, c * 8:(c + 1) * 8] = 1.0
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    rows, ids = [], []
+    vid = 0
+    for c in range(n_clusters):
+        pts = bases[c] + 0.05 * rng.standard_normal((per, dim))
+        for p in pts:
+            rows.append([float(x) for x in p]); ids.append(vid); vid += 1
+    q = bases[0] + 0.02 * rng.standard_normal(dim)
+    planted_ids = list(range(vid, vid + 10))   # 10 near-copies of q
+    for _ in range(10):
+        rows.append([float(x) for x in q + 0.005 * rng.standard_normal(dim)])
+        ids.append(vid); vid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": rows}),
+        "vec_id long, embedding array<double>").repartition(4)
+
+    exact = [r["vec_id"] for r in
+             similarity.cosine_topk(df, "vec_id", "embedding", q, 10)
+             .collect()]
+    assert set(exact) == set(planted_ids)      # fixture is as planted
+
+    cents = similarity.train_ivf_centroids(df, "embedding",
+                                           n_centroids=16)
+    run1 = [r["vec_id"] for r in
+            similarity.ivf_topk(df, "vec_id", "embedding", cents, q,
+                                k=10, nprobe=4).collect()]
+    run2 = [r["vec_id"] for r in
+            similarity.ivf_topk(df, "vec_id", "embedding", cents, q,
+                                k=10, nprobe=4).collect()]
+    assert run1 == run2                        # deterministic
+    recall = len(set(run1) & set(exact)) / 10
+    assert recall >= 0.95, f"recall@10={recall} at nprobe=4"
