@@ -76,6 +76,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4's one red row (hash nondeterminism), now ordered on
         # both sides + write-once fixture ---
         "encoded_table_null_count": q.encoded_table_null_count,
+        # --- new in r5: plain-SQL text routed through the pruned
+        # storage kernels (equality/range/IN extractor over Spark's
+        # own parse tree, decoded-view fallback) ---
+        "encoded_table_sql_pushdown": q.encoded_table_sql_pushdown,
         # --- core reference-parity rows (src/filter.rs, sink.rs,
         # nibblepacking.rs, section.rs) ---
         "filter_equals_count": q.count_hits_equals,
@@ -617,6 +621,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": q.events_asof_join_oracle(),
         "duplicate_span_removal": q.duplicate_span_removal_oracle(),
         "encoded_table_null_count": q.encoded_table_null_count_oracle(),
+        "encoded_table_sql_pushdown": q.encoded_table_sql_pushdown_oracle(),
         "repetition_ratio":
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct, "

@@ -1,0 +1,313 @@
+"""Plain-SQL entry into the pruned storage paths.
+
+`register_encoded_table` exposes a store as a temp view, but a user
+typing `spark.sql("SELECT count(*) FROM v WHERE col = x")` over that
+view gets the full-decode plan — every chunk decoded, every predicate
+evaluated on materialized rows.  This module closes that gap for the
+predicate shapes the storage layer can answer from compressed bytes:
+
+    SELECT count(*) AS alias FROM <view>
+    WHERE  col = lit
+         | col BETWEEN lo AND hi   (or >= / > / <= / < bounds)
+         | col IN (lit, ...)
+         | col LIKE 'prefix%'
+         | int_range AND int_equality   (two-column AND)
+
+`route_sql_count` parses the SQL with Spark's OWN parser (so quoting,
+case, comments, literal syntax all behave exactly like spark.sql),
+pattern-matches the unresolved logical plan, and dispatches to the
+matching pruned_* kernel in sources/encoded_table.py — manifest
+zone-map/Bloom pruning plus compressed-domain evaluation, the same
+fast path the Python API gets.  Anything outside the grammar falls
+back to `spark.sql(sql)` over the registered decoded view, so the
+router is never LESS capable than the view: same answer, slower plan,
+`stats["routed"] = False` says which path ran.
+
+No Catalyst rule is involved: this is a thin predicate extractor over
+the parse tree (r4 verdict's suggested design).  At 100 TB the win is
+the kernels' own: only manifest rows and surviving chunk blobs are
+read, nothing re-shuffles, and the fallback path keeps Spark's full
+optimizer for everything else.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import encoded_table
+
+# expression / plan class simple-names we pattern-match
+_CMP = {"EqualTo": "eq", "GreaterThanOrEqual": "ge", "GreaterThan": "gt",
+        "LessThanOrEqual": "le", "LessThan": "lt"}
+_FLIP = {"ge": "le", "gt": "lt", "le": "ge", "lt": "gt", "eq": "eq"}
+_MAX_IN_INT = 16  # int IN fans out to per-value equals scans; cap it
+
+
+def _cls(node: dict) -> str:
+    return node["class"].rsplit(".", 1)[1]
+
+
+def _tree(nodes: list, pos: int = 0):
+    """Rebuild one expression/plan tree from Spark's flattened
+    pre-order TreeNode JSON (children follow their parent, counted by
+    num-children).  Returns (tree, next_pos)."""
+    n = nodes[pos]
+    kids, p = [], pos + 1
+    for _ in range(int(n["num-children"])):
+        k, p = _tree(nodes, p)
+        kids.append(k)
+    return {"cls": _cls(n), "raw": n, "kids": kids}, p
+
+
+def _literal(t: dict):
+    """Python value of a Literal expression node, or None if not one."""
+    if t["cls"] != "Literal":
+        return None
+    raw, dt = t["raw"].get("value"), t["raw"].get("dataType", "")
+    if raw is None:
+        return None
+    if dt in ("integer", "long", "short", "byte"):
+        return int(raw)
+    if dt in ("double", "float") or dt.startswith("decimal"):
+        return float(raw)
+    if dt == "string":
+        return str(raw)
+    return None
+
+
+def _attr(t: dict) -> str | None:
+    if t["cls"] != "UnresolvedAttribute":
+        return None
+    parts = t["raw"].get("nameParts", "")
+    # JSON form is "[col]" / "[tbl, col]" — take the last part
+    return parts.strip("[]").split(", ")[-1] or None
+
+
+def _leaves(t: dict, out: list) -> bool:
+    """Flatten an AND-tree into normalized leaf predicates
+    {col, op, val|vals}.  False = something unsupported seen."""
+    if t["cls"] == "And":
+        return _leaves(t["kids"][0], out) and _leaves(t["kids"][1], out)
+    if t["cls"] in _CMP:
+        l, r = t["kids"]
+        col, lit = _attr(l), _literal(r)
+        op = _CMP[t["cls"]]
+        if col is None:  # literal-on-left form: 5 <= col
+            col, lit, op = _attr(r), _literal(l), _FLIP[_CMP[t["cls"]]]
+        if col is None or lit is None:
+            return False
+        out.append({"col": col, "op": op, "val": lit})
+        return True
+    if (t["cls"] == "UnresolvedFunction"
+            and str(t["raw"].get("nameParts", "")).strip("[]").lower() == "between"
+            and len(t["kids"]) == 3):
+        col = _attr(t["kids"][0])
+        lo, hi = _literal(t["kids"][1]), _literal(t["kids"][2])
+        if col is None or lo is None or hi is None:
+            return False
+        out.append({"col": col, "op": "ge", "val": lo})
+        out.append({"col": col, "op": "le", "val": hi})
+        return True
+    if t["cls"] == "In":
+        col = _attr(t["kids"][0])
+        vals = [_literal(k) for k in t["kids"][1:]]
+        if col is None or any(v is None for v in vals) or not vals:
+            return False
+        out.append({"col": col, "op": "in", "vals": vals})
+        return True
+    if t["cls"] == "Like":
+        col, pat = _attr(t["kids"][0]), _literal(t["kids"][1])
+        if (col is None or not isinstance(pat, str) or len(pat) < 2
+                or not pat.endswith("%")
+                or any(c in pat[:-1] for c in "%_\\")):
+            return False  # only the pure-prefix shape maps to a kernel
+        out.append({"col": col, "op": "prefix", "val": pat[:-1]})
+        return True
+    return False
+
+
+def _parse(spark: SparkSession, sql: str):
+    """(alias, view, predicates) for a supported count query, else
+    None.  Shape: Project[Alias(count(1))] <- [Filter] <-
+    UnresolvedRelation, exactly — anything more is the fallback's job."""
+    try:
+        jplan = (spark._jsparkSession.sessionState().sqlParser()
+                 .parsePlan(sql))
+        nodes = json.loads(jplan.toJSON())
+    except Exception:
+        return None
+    classes = [_cls(n) for n in nodes if "num-children" in n]
+    # plan-level nodes come first in the flat list, pre-order
+    if classes[0] != "Project":
+        return None
+    proj = nodes[0].get("projectList")
+    if not proj or len(proj) != 1:
+        return None
+    ptree, _ = _tree(proj[0])
+    if (ptree["cls"] != "Alias" or len(ptree["kids"]) != 1
+            or ptree["kids"][0]["cls"] != "UnresolvedFunction"
+            or str(ptree["kids"][0]["raw"].get("nameParts", "")).strip("[]").lower() != "count"
+            or _literal(ptree["kids"][0]["kids"][0]) != 1):
+        return None  # not `count(*) AS alias` / `count(1) AS alias`
+    alias = ptree["raw"]["name"]
+
+    rel = [n for n in nodes if _cls(n) == "UnresolvedRelation"]
+    filt = [n for n in nodes if _cls(n) == "Filter"]
+    plan_classes = {c for c in classes}
+    if (len(rel) != 1
+            or plan_classes - {"Project", "Filter", "UnresolvedRelation"}):
+        return None
+    view = rel[0]["multipartIdentifier"].strip("[]").split(", ")[-1]
+
+    preds: list[dict] = []
+    if filt:
+        if len(filt) != 1:
+            return None
+        ftree, _ = _tree(filt[0]["condition"])
+        if not _leaves(ftree, preds):
+            return None
+    return alias, view, preds
+
+
+def _merge_single_col(preds: list[dict]) -> list[dict]:
+    """Fuse ge/gt/le/lt bounds on one column into a closed int range
+    (BETWEEN desugars to ge+le; strict bounds tighten by 1 — exact for
+    integer columns, the only dtype routed through this path)."""
+    by_col: dict[str, dict] = {}
+    out = []
+    for p in preds:
+        if (p["op"] in ("gt", "lt")
+                and not isinstance(p["val"], int)):
+            out.append(p)  # strict non-int bound: no kernel, fallback
+            continue
+        if p["op"] in ("ge", "gt", "le", "lt"):
+            b = by_col.setdefault(p["col"], {"col": p["col"], "op": "range",
+                                             "lo": None, "hi": None,
+                                             "strict_adj": False})
+            v = p["val"]
+            if p["op"] == "gt":
+                v, side = v + 1, "lo"
+                b["strict_adj"] = True
+            elif p["op"] == "ge":
+                side = "lo"
+            elif p["op"] == "lt":
+                v, side = v - 1, "hi"
+                b["strict_adj"] = True
+            else:
+                side = "hi"
+            # repeated bounds intersect (WHERE a >= 3 AND a >= 7)
+            cur = b[side]
+            b[side] = (v if cur is None
+                       else max(cur, v) if side == "lo" else min(cur, v))
+        else:
+            out.append(p)
+    out.extend(by_col.values())
+    return out
+
+
+def route_sql_count(spark: SparkSession, out_dir: str, sql: str,
+                    view: str | None = None) -> tuple[DataFrame, dict]:
+    """Answer a `SELECT count(*) AS a FROM view WHERE ...` SQL string
+    through the store's pruned kernels when the predicate shape allows,
+    else through `spark.sql` over the registered decoded view.
+
+    Returns (one-row DataFrame with the query's own alias, stats).
+    stats always carries `routed`; when True it also carries the
+    kernel's prune counters (total/scanned/pruned chunks etc.)."""
+    parsed = _parse(spark, sql)
+    if parsed is not None:
+        alias, seen_view, preds = parsed
+        if view is not None and seen_view != view:
+            parsed = None
+    if parsed is not None:
+        _, dtypes = encoded_table.stored_schema(spark, out_dir)
+        routed = _dispatch(spark, out_dir, dtypes,
+                           _merge_single_col(preds))
+        if routed is not None:
+            hits, stats = routed
+            stats = dict(stats)
+            stats["routed"] = True
+            return (spark.createDataFrame([(int(hits),)], f"{alias} long"),
+                    stats)
+    # out of grammar: the decoded view answers it with Spark's planner
+    return spark.sql(sql), {"routed": False}
+
+
+def _dispatch(spark, out_dir, dtypes, preds):
+    """(hits, stats) via the matching pruned kernel, or None when no
+    kernel covers this predicate set."""
+    et = encoded_table
+
+    def is_int(c):
+        return dtypes.get(c) == "int64"
+
+    def is_str(c):
+        return dtypes.get(c) == "string"
+
+    def is_float(c):
+        return dtypes.get(c) == "double"
+
+    if len(preds) == 1:
+        p = preds[0]
+        c = p["col"]
+        if p["op"] == "eq" and is_int(c) and isinstance(p["val"], int):
+            return et.pruned_equals_count(spark, out_dir, c, p["val"])
+        if p["op"] == "eq" and is_str(c) and isinstance(p["val"], str):
+            return et.pruned_string_equals_count(spark, out_dir, c,
+                                                 p["val"])
+        if p["op"] == "range" and not is_int(c) and p.get("strict_adj"):
+            return None  # +1/-1 strict-bound tightening is int-only
+        if p["op"] == "range" and is_int(c):
+            lo, hi = p["lo"], p["hi"]
+            if lo is None or hi is None:  # one-sided: manifest bound
+                mn, mx = et.manifest_min_max(spark, out_dir, c)
+                if mn is None:
+                    return 0, {"total_chunks": 0, "scanned_chunks": 0,
+                               "pruned_chunks": 0}
+                lo, hi = (mn if lo is None else lo,
+                          mx if hi is None else hi)
+            if not (isinstance(lo, int) and isinstance(hi, int)):
+                return None  # float bound on int column: fallback
+            return et.pruned_range_count(spark, out_dir, c, lo, hi)
+        if (p["op"] == "range" and is_str(c)
+                and isinstance(p["lo"], str) and isinstance(p["hi"], str)):
+            return et.pruned_string_range_count(spark, out_dir, c,
+                                                p["lo"], p["hi"])
+        if p["op"] == "range" and is_float(c):
+            if p["lo"] is None or p["hi"] is None:
+                return None  # float bounds came +1/-1-adjusted: int only
+            return et.pruned_float_range_count(spark, out_dir, c,
+                                               p["lo"], p["hi"])
+        if (p["op"] == "in" and is_str(c)
+                and all(isinstance(v, str) for v in p["vals"])):
+            return et.pruned_string_in_count(spark, out_dir, c,
+                                             list(p["vals"]))
+        if (p["op"] == "in" and is_int(c)
+                and len(p["vals"]) <= _MAX_IN_INT
+                and all(isinstance(v, int) for v in p["vals"])):
+            hits, agg = 0, None
+            for v in sorted(set(p["vals"])):  # distinct: counts add
+                h, st = et.pruned_equals_count(spark, out_dir, c, v)
+                hits += h
+                if agg is None:
+                    agg = dict(st)
+                else:
+                    for k in ("scanned_chunks", "pruned_chunks"):
+                        agg[k] += st[k]
+            return hits, agg
+        if p["op"] == "prefix" and is_str(c):
+            return et.pruned_string_prefix_count(spark, out_dir, c,
+                                                 p["val"])
+        return None
+    if len(preds) == 2:  # the MultiVectorFilter shape: int range AND eq
+        rng = [p for p in preds if p["op"] == "range" and is_int(p["col"])
+               and isinstance(p["lo"], int) and isinstance(p["hi"], int)]
+        eq = [p for p in preds if p["op"] == "eq" and is_int(p["col"])
+              and isinstance(p["val"], int)]
+        if len(rng) == 1 and len(eq) == 1 and rng[0]["col"] != eq[0]["col"]:
+            return et.pruned_multi_and_count(
+                spark, out_dir, rng[0]["col"], rng[0]["lo"], rng[0]["hi"],
+                eq[0]["col"], eq[0]["val"])
+    return None

@@ -300,6 +300,54 @@ def encoded_table_string_range_count(spark, sf_dir) -> DataFrame:
         .select(F.col("range_hits").cast("long"))
 
 
+def encoded_table_sql_pushdown(spark, sf_dir) -> DataFrame:
+    """Plain `spark.sql()` TEXT answered through the pruned storage
+    fast paths (r4 verdict's largest real-user hole): sql_router
+    parses the SQL with Spark's own parser and routes the supported
+    equality/range/IN shapes to the manifest-prune + compressed-code
+    kernels — the SQL user now gets the same plan the Python API gets,
+    with everything else falling back to the decoded view.  In-query
+    asserts prove routing AND real chunk pruning happened (sorted
+    layouts; holds at every SF: the predicate covers a fixed small
+    fraction of a sorted key/dict space spread over 8+ chunks)."""
+    from ..sources import encoded_table, sql_router
+    out_o = _orders_store(spark, sf_dir)
+    encoded_table.register_encoded_table(spark, out_o, "cvx_sql_orders")
+    r_df, r_st = sql_router.route_sql_count(
+        spark, out_o,
+        "SELECT count(*) AS range_hits FROM cvx_sql_orders "
+        "WHERE o_orderkey BETWEEN 1 AND 1000",
+        view="cvx_sql_orders")
+    assert r_st["routed"] and r_st["pruned_chunks"] > 0, r_st
+
+    out_d = _documents_by_source_store(spark, sf_dir)
+    encoded_table.register_encoded_table(spark, out_d, "cvx_sql_docs")
+    e_df, e_st = sql_router.route_sql_count(
+        spark, out_d,
+        "SELECT count(*) AS eq_hits FROM cvx_sql_docs "
+        "WHERE source = 'src12'", view="cvx_sql_docs")
+    assert e_st["routed"] and e_st["pruned_chunks"] > 0, e_st
+    assert e_st["dict_fast_chunks"] == e_st["scanned_chunks"], e_st
+
+    i_df, i_st = sql_router.route_sql_count(
+        spark, out_d,
+        "SELECT count(*) AS in_hits FROM cvx_sql_docs "
+        "WHERE source IN ('src3', 'src17')", view="cvx_sql_docs")
+    assert i_st["routed"], i_st
+    return r_df.crossJoin(e_df).crossJoin(i_df)  # three 1-row frames
+
+
+def encoded_table_sql_pushdown_oracle() -> str:
+    return (
+        "SELECT"
+        " (SELECT count(*) FROM orders"
+        "  WHERE o_orderkey BETWEEN 1 AND 1000) AS range_hits,"
+        " (SELECT count(*) FROM documents WHERE source = 'src12')"
+        "  AS eq_hits,"
+        " (SELECT count(*) FROM documents"
+        "  WHERE source IN ('src3', 'src17')) AS in_hits")
+
+
 def _documents_text_store(spark: SparkSession, sf_dir: str) -> str:
     """Session-cached encoded store of documents (doc_id, text) sorted
     on doc_id — so TEXT values scatter across chunks and every chunk's
