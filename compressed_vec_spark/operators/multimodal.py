@@ -66,6 +66,119 @@ def decode_ppm(payload: bytes) -> np.ndarray:
                          offset=pos).reshape(h, w, 3)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> real RGB8 PNG (pure zlib + numpy, no PIL):
+    IHDR / IDAT (filter-0 scanlines, zlib) / IEND with CRC32s — a
+    standards-compliant file any viewer opens."""
+    import zlib
+    h, w, _ = pixels.shape
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = np.ascontiguousarray(pixels).reshape(h, w * 3)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # RGB8, no ilace
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters 0-4 (None/Sub/Up/Average/Paeth).
+    raw: h rows of (1 filter byte + stride bytes).  Row-sequential by
+    spec (each row references the reconstructed row above); Sub rows
+    vectorize as per-lane cumsums, Up rows as one add, Average/Paeth
+    walk pixels (thumbnail-sized rows; exactness over speed)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rows = raw.reshape(h, 1 + stride)
+    for y in range(h):
+        f, line = int(rows[y, 0]), rows[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride,
+                                                             np.int64)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: cumsum within each byte lane mod 256
+            rec = line.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(line[lane::bpp]) % 256
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: left-dependent, walk
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 3:
+                    rec[x] = (line[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        b if pb <= pc else c
+                    rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG -> (H, W, 3) uint8: signature + chunk walk (IHDR /
+    PLTE / IDAT* / IEND), zlib inflate, scanline unfilter (all five
+    filter types), color-type normalization to RGB.  Supports bit
+    depth 8, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+A),
+    6 (RGBA), interlace 0 — the shapes a thumbnail pipeline meets;
+    Adam7 or 16-bit raise rather than mis-decode."""
+    import zlib
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (length,), tag = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, ilace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or ilace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth}/interlace={ilace} unsupported "
+            "(8-bit non-interlaced only)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    img = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if ctype == 2:
+        return img
+    if ctype == 6:
+        return np.ascontiguousarray(img[:, :, :3])
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[img[:, :, 0]]
+    return np.repeat(img[:, :, :1], 3, axis=2)  # gray / gray+alpha
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     """int16 mono PCM -> RIFF/WAVE."""
     data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
@@ -203,7 +316,10 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                                    (yy * 7 + int(i) * 5) % 256,
                                    (xx + yy + int(i) * 11) % 256],
                                   axis=-1).astype(np.uint8)
-                    payloads.append(encode_ppm(px))
+                    # alternate containers: uncompressed PPM and real
+                    # zlib-compressed PNG exercise both decode paths
+                    payloads.append(encode_png(px) if (i // 3) % 2
+                                    else encode_ppm(px))
                 elif k == "audio":
                     t = np.arange(AUDIO_SR * int(di) // 1000)
                     freq = float(int(i) % 880 + 110)
@@ -225,9 +341,10 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 "width": np.where(kinds == "audio", 0, w).astype(np.int32),
                 "height": np.where(kinds == "audio", 0, h).astype(np.int32),
                 "sample_rate": sr, "duration_ms": dur,
-                "codec": np.where(kinds == "image", "ppm",
-                                  np.where(kinds == "audio", "wav",
-                                           "rgb24avi")),
+                "codec": np.where(
+                    kinds == "image",
+                    np.where((ids // 3) % 2 == 1, "png", "ppm"),
+                    np.where(kinds == "audio", "wav", "rgb24avi")),
             })
 
     return spark.range(0, n, 1, max(spark.sparkContext.defaultParallelism, 2)) \
@@ -235,10 +352,13 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 
 def decode_image(payload: bytes, codec: str = "ppm") -> np.ndarray:
-    """Image decode dispatch: PPM is decoded natively; compressed
-    formats need PIL (import-gated — absent in this sandbox)."""
+    """Image decode dispatch: PPM and PNG decode natively (pure
+    numpy / zlib); remaining compressed formats (jpeg) need PIL
+    (import-gated — absent in this sandbox)."""
     if codec == "ppm":
         return decode_ppm(payload)
+    if codec == "png":
+        return decode_png(payload)
     try:
         import io
         from PIL import Image  # noqa: PLC0415

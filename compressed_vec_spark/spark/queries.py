@@ -1487,7 +1487,7 @@ MEDIA_ORACLE_ROWS = 300
 # bump when synthetic_media's generator or schema changes: the path is
 # keyed on (version, rows) so a changed generator can never silently
 # reuse a stale parquet written by an older build
-MEDIA_GEN_VERSION = 2  # v2: real RGB24 AVI video payloads
+MEDIA_GEN_VERSION = 3  # v3: half the images are real zlib PNGs
 
 
 def _media_oracle_dir() -> str:
@@ -1527,11 +1527,12 @@ def media_inventory(spark, sf_dir) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+            for kind, payload, codec in zip(pdf["kind"], pdf["payload"],
+                                            pdf["codec"]):
                 b = bytes(payload)
                 px = samples = 0
                 if kind == "image":
-                    img = mm.decode_ppm(b)
+                    img = mm.decode_image(b, str(codec))
                     px = int(img.shape[0]) * int(img.shape[1])
                 elif kind == "audio":
                     s, sr = mm.decode_wav(b)
@@ -1547,7 +1548,7 @@ def media_inventory(spark, sf_dir) -> DataFrame:
             yield pd.DataFrame(rows, columns=["kind", "nbytes", "sha",
                                               "px", "samples"])
 
-    parsed = df.select("kind", "payload").mapInPandas(
+    parsed = df.select("kind", "payload", "codec").mapInPandas(
         fn, "kind string, nbytes long, sha string, px long, samples long")
     return (parsed.groupBy("kind")
             .agg(F.count("*").cast("long").alias("cnt"),
