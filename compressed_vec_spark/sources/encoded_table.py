@@ -1258,6 +1258,24 @@ def register_encoded_table(spark: SparkSession, out_dir: str,
     return df
 
 
+def manifest_row_count(spark: SparkSession, out_dir: str) -> int:
+    """Total LIVE row count answered from metadata alone: sum of
+    num_elements over the store's position-0 column (every part has
+    it — columns are only ever added) minus the delete sidecar's
+    per-chunk n_deleted (exact: masks are OR-merged before counting).
+    No chunk blob is read."""
+    m = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    first_col = (spark.read.parquet(os.path.join(out_dir, "table_schema"))
+                 .orderBy("position").first()["name"])
+    total = (m.where(F.col("column") == first_col)
+             .agg(F.sum("num_elements")).collect()[0][0]) or 0
+    from ..spark import delete_job
+    mm = delete_job.merged_masks(spark, out_dir)
+    deleted = (0 if mm is None
+               else mm.agg(F.sum("n_deleted")).collect()[0][0] or 0)
+    return int(total) - int(deleted)
+
+
 def manifest_null_count(spark: SparkSession, out_dir: str,
                         column: str) -> tuple[int, int]:
     """(null_rows, non_null_rows) for a column answered from the

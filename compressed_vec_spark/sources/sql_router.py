@@ -11,7 +11,12 @@ predicate shapes the storage layer can answer from compressed bytes:
          | col BETWEEN lo AND hi   (or >= / > / <= / < bounds)
          | col IN (lit, ...)
          | col LIKE 'prefix%'
+         | col IS [NOT] NULL            (manifest null counts)
          | int_range AND int_equality   (two-column AND)
+
+    SELECT sum(col) AS a FROM <view> [WHERE lo <= f AND f <= hi]
+    SELECT count(*)|count(col)|sum(col)|min(col)|max(col) AS a, ...
+      FROM <view>                       (metadata-only aggregates)
 
 `route_sql_count` parses the SQL with Spark's OWN parser (so quoting,
 case, comments, literal syntax all behave exactly like spark.sql),
@@ -117,6 +122,13 @@ def _leaves(t: dict, out: list) -> bool:
             return False
         out.append({"col": col, "op": "in", "vals": vals})
         return True
+    if t["cls"] in ("IsNull", "IsNotNull"):
+        col = _attr(t["kids"][0])
+        if col is None:
+            return False
+        out.append({"col": col,
+                    "op": "isnull" if t["cls"] == "IsNull" else "notnull"})
+        return True
     if t["cls"] == "Like":
         col, pat = _attr(t["kids"][0]), _literal(t["kids"][1])
         if (col is None or not isinstance(pat, str) or len(pat) < 2
@@ -128,9 +140,35 @@ def _leaves(t: dict, out: list) -> bool:
     return False
 
 
+_AGG_FNS = ("count", "sum", "min", "max")
+
+
+def _agg_of(item: list) -> dict | None:
+    """{alias, fn, col} for one projectList entry of the supported
+    aggregate shapes — count(*), count(col), sum/min/max(col), each
+    explicitly aliased — else None."""
+    ptree, _ = _tree(item)
+    if ptree["cls"] != "Alias" or len(ptree["kids"]) != 1:
+        return None
+    fn_t = ptree["kids"][0]
+    fn = (str(fn_t["raw"].get("nameParts", "")).strip("[]").lower()
+          if fn_t["cls"] == "UnresolvedFunction" else "")
+    if (fn not in _AGG_FNS or len(fn_t["kids"]) != 1
+            or fn_t["raw"].get("isDistinct")):
+        return None
+    arg = fn_t["kids"][0]
+    if fn == "count" and _literal(arg) == 1:       # count(*) / count(1)
+        return {"alias": ptree["raw"]["name"], "fn": "count", "col": None}
+    col = _attr(arg)
+    if col is None:
+        return None
+    return {"alias": ptree["raw"]["name"],
+            "fn": "count_col" if fn == "count" else fn, "col": col}
+
+
 def _parse(spark: SparkSession, sql: str):
-    """(alias, view, predicates) for a supported count query, else
-    None.  Shape: Project[Alias(count(1))] <- [Filter] <-
+    """(aggs, view, predicates) for a supported aggregate query, else
+    None.  Shape: Project[Alias(agg)...] <- [Filter] <-
     UnresolvedRelation, exactly — anything more is the fallback's job."""
     try:
         jplan = (spark._jsparkSession.sessionState().sqlParser()
@@ -143,15 +181,11 @@ def _parse(spark: SparkSession, sql: str):
     if classes[0] != "Project":
         return None
     proj = nodes[0].get("projectList")
-    if not proj or len(proj) != 1:
+    if not proj:
         return None
-    ptree, _ = _tree(proj[0])
-    if (ptree["cls"] != "Alias" or len(ptree["kids"]) != 1
-            or ptree["kids"][0]["cls"] != "UnresolvedFunction"
-            or str(ptree["kids"][0]["raw"].get("nameParts", "")).strip("[]").lower() != "count"
-            or _literal(ptree["kids"][0]["kids"][0]) != 1):
-        return None  # not `count(*) AS alias` / `count(1) AS alias`
-    alias = ptree["raw"]["name"]
+    aggs = [_agg_of(item) for item in proj]
+    if any(a is None for a in aggs):
+        return None
 
     rel = [n for n in nodes if _cls(n) == "UnresolvedRelation"]
     filt = [n for n in nodes if _cls(n) == "Filter"]
@@ -168,7 +202,7 @@ def _parse(spark: SparkSession, sql: str):
         ftree, _ = _tree(filt[0]["condition"])
         if not _leaves(ftree, preds):
             return None
-    return alias, view, preds
+    return aggs, view, preds
 
 
 def _merge_single_col(preds: list[dict]) -> list[dict]:
@@ -218,19 +252,27 @@ def route_sql_count(spark: SparkSession, out_dir: str, sql: str,
     kernel's prune counters (total/scanned/pruned chunks etc.)."""
     parsed = _parse(spark, sql)
     if parsed is not None:
-        alias, seen_view, preds = parsed
+        aggs, seen_view, preds = parsed
         if view is not None and seen_view != view:
             parsed = None
     if parsed is not None:
         _, dtypes = encoded_table.stored_schema(spark, out_dir)
-        routed = _dispatch(spark, out_dir, dtypes,
-                           _merge_single_col(preds))
+        preds = _merge_single_col(preds)
+        routed = (_dispatch(spark, out_dir, dtypes, preds)
+                  if len(aggs) == 1 and aggs[0]["fn"] == "count"
+                  else None)
+        if routed is None:
+            routed = _dispatch_aggs(spark, out_dir, dtypes, aggs, preds)
         if routed is not None:
-            hits, stats = routed
+            vals, stats = routed
+            if not isinstance(vals, (list, tuple)):
+                vals = [vals]
             stats = dict(stats)
             stats["routed"] = True
-            return (spark.createDataFrame([(int(hits),)], f"{alias} long"),
-                    stats)
+            schema = ", ".join(f"{a['alias']} long" for a in aggs)
+            return (spark.createDataFrame(
+                [tuple(None if v is None else int(v) for v in vals)],
+                schema), stats)
     # out of grammar: the decoded view answers it with Spark's planner
     return spark.sql(sql), {"routed": False}
 
@@ -311,3 +353,97 @@ def _dispatch(spark, out_dir, dtypes, preds):
                 spark, out_dir, rng[0]["col"], rng[0]["lo"], rng[0]["hi"],
                 eq[0]["col"], eq[0]["val"])
     return None
+
+
+def _dispatch_aggs(spark, out_dir, dtypes, aggs, preds):
+    """Aggregate pushdown beyond the count kernels: answer the
+    supported shapes from the manifest (and, for SUM, the three-level
+    manifest-sum/partial-decode kernel).  Returns ([values...], stats)
+    or None when this set is not metadata-answerable.
+
+    Shapes:
+      no WHERE:  count(*)            -> manifest_row_count
+                 count(col)          -> manifest_null_count (exact
+                                        under deletes and evolution)
+                 sum(int col)        -> pruned_filtered_sum over the
+                                        column's own manifest range
+                 min/max(int col)    -> manifest_min_max — but ONLY on
+                                        stores without live deletes
+                                        (under deletes the manifest is
+                                        a bound, not the live extreme)
+      WHERE col IS [NOT] NULL: count(*) -> manifest_null_count
+      WHERE lo <= f <= hi: sum(int col) -> pruned_filtered_sum
+    """
+    from ..spark import delete_job
+    et = encoded_table
+    stats: dict = {"metadata_only": True}
+
+    if len(preds) == 1 and preds[0]["op"] in ("isnull", "notnull"):
+        if len(aggs) != 1 or aggs[0]["fn"] != "count":
+            return None
+        c = preds[0]["col"]
+        if c not in dtypes:
+            return None
+        nulls, non_nulls = et.manifest_null_count(spark, out_dir, c)
+        return [nulls if preds[0]["op"] == "isnull" else non_nulls], stats
+
+    if len(preds) == 1 and preds[0]["op"] == "range":
+        p = preds[0]
+        if (len(aggs) != 1 or aggs[0]["fn"] != "sum"
+                or dtypes.get(aggs[0]["col"]) != "int64"
+                or dtypes.get(p["col"]) != "int64"):
+            return None
+        lo, hi = p["lo"], p["hi"]
+        if lo is None or hi is None:
+            mn, mx = et.manifest_min_max(spark, out_dir, p["col"])
+            if mn is None:
+                return [None], stats
+            lo, hi = (mn if lo is None else lo), (mx if hi is None else hi)
+        if not (isinstance(lo, int) and isinstance(hi, int)):
+            return None
+        total, st = et.pruned_filtered_sum(spark, out_dir, p["col"],
+                                           lo, hi, aggs[0]["col"])
+        st = dict(st)
+        st["metadata_only"] = False
+        return [total], st
+
+    if preds:
+        return None
+
+    # WHERE-less aggregates: every item must be metadata-answerable,
+    # else the whole statement falls back (no partial routing)
+    minmax_ok = not delete_job.has_deletes(spark, out_dir)
+    mm_cache: dict[str, tuple] = {}
+    vals = []
+    for a in aggs:
+        if a["fn"] == "count":
+            vals.append(et.manifest_row_count(spark, out_dir))
+        elif a["fn"] == "count_col":
+            if a["col"] not in dtypes:
+                return None
+            vals.append(et.manifest_null_count(spark, out_dir,
+                                               a["col"])[1])
+        elif a["fn"] in ("min", "max"):
+            if dtypes.get(a["col"]) != "int64" or not minmax_ok:
+                return None
+            if a["col"] not in mm_cache:
+                mm_cache[a["col"]] = et.manifest_min_max(spark, out_dir,
+                                                         a["col"])
+            vals.append(mm_cache[a["col"]][0 if a["fn"] == "min" else 1])
+        elif a["fn"] == "sum":
+            if dtypes.get(a["col"]) != "int64":
+                return None
+            mn, mx = mm_cache.get(a["col"]) or et.manifest_min_max(
+                spark, out_dir, a["col"])
+            mm_cache[a["col"]] = (mn, mx)
+            if mn is None:
+                vals.append(None)
+                continue
+            total, st = et.pruned_filtered_sum(spark, out_dir, a["col"],
+                                               mn, mx, a["col"])
+            stats["metadata_only"] = (stats["metadata_only"]
+                                      and st.get("partial_chunks") == 0)
+            vals.append(total)
+        else:
+            return None
+    return vals, stats

@@ -334,7 +334,30 @@ def encoded_table_sql_pushdown(spark, sf_dir) -> DataFrame:
         "SELECT count(*) AS in_hits FROM cvx_sql_docs "
         "WHERE source IN ('src3', 'src17')", view="cvx_sql_docs")
     assert i_st["routed"], i_st
-    return r_df.crossJoin(e_df).crossJoin(i_df)  # three 1-row frames
+
+    # aggregate pushdown from SQL text: SUM routed through the
+    # three-level manifest-sum kernel, count(*) metadata-only
+    s_df, s_st = sql_router.route_sql_count(
+        spark, out_o,
+        "SELECT sum(o_custkey) AS sum_cust FROM cvx_sql_orders "
+        "WHERE o_orderkey BETWEEN 1 AND 20000", view="cvx_sql_orders")
+    assert s_st["routed"], s_st
+    c_df, c_st = sql_router.route_sql_count(
+        spark, out_o, "SELECT count(*) AS n_rows FROM cvx_sql_orders",
+        view="cvx_sql_orders")
+    assert c_st["routed"] and c_st["metadata_only"], c_st
+    # the kernels ran eagerly; each df is a 1-row local relation —
+    # assemble ONE row rather than chaining crossJoins (a 5-way
+    # cartesian of local relations plans hundreds of tiny tasks)
+    row = {}
+    for d in (r_df, e_df, i_df, s_df, c_df):
+        row.update(d.first().asDict())
+    return spark.createDataFrame(
+        [tuple(int(row[c]) for c in
+               ("range_hits", "eq_hits", "in_hits", "sum_cust",
+                "n_rows"))],
+        "range_hits long, eq_hits long, in_hits long, sum_cust long, "
+        "n_rows long")
 
 
 def encoded_table_sql_pushdown_oracle() -> str:
@@ -345,7 +368,10 @@ def encoded_table_sql_pushdown_oracle() -> str:
         " (SELECT count(*) FROM documents WHERE source = 'src12')"
         "  AS eq_hits,"
         " (SELECT count(*) FROM documents"
-        "  WHERE source IN ('src3', 'src17')) AS in_hits")
+        "  WHERE source IN ('src3', 'src17')) AS in_hits,"
+        " (SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders"
+        "  WHERE o_orderkey BETWEEN 1 AND 20000) AS sum_cust,"
+        " (SELECT count(*) FROM orders) AS n_rows")
 
 
 def _documents_text_store(spark: SparkSession, sf_dir: str) -> str:

@@ -58,7 +58,6 @@ ROUTED = [
 FALLBACK = [
     "SELECT count(*) AS c FROM enc_t WHERE k % 2 = 0",
     "SELECT count(*) AS c FROM enc_t WHERE lang = 'de' OR lang = 'fr'",
-    "SELECT sum(k) AS s FROM enc_t WHERE k < 10",
     "SELECT count(*) AS c FROM enc_t WHERE lang > 'de'",      # str strict
     "SELECT count(*) AS c FROM enc_t WHERE score > 0.9",      # flt strict
     "SELECT count(*) AS c FROM enc_t WHERE lang LIKE '%de%'",  # not prefix
@@ -108,6 +107,43 @@ def test_view_mismatch_falls_back(spark, store):
     assert st["routed"] is False
 
 
+AGG_ROUTED = [
+    "SELECT count(*) AS c FROM enc_t",
+    "SELECT count(lang) AS c FROM enc_t",
+    "SELECT count(*) AS c FROM enc_t WHERE lang IS NULL",
+    "SELECT count(*) AS c FROM enc_t WHERE lang IS NOT NULL",
+    "SELECT sum(grp) AS s FROM enc_t",
+    "SELECT min(k) AS mn, max(k) AS mx, count(*) AS c FROM enc_t",
+    "SELECT sum(grp) AS s FROM enc_t WHERE k BETWEEN 100 AND 900",
+    "SELECT sum(grp) AS s FROM enc_t WHERE k < 700",
+]
+AGG_FALLBACK = [
+    "SELECT avg(grp) AS a FROM enc_t",            # no avg kernel
+    "SELECT min(lang) AS m FROM enc_t",           # string min/max
+    "SELECT count(DISTINCT grp) AS c FROM enc_t",  # distinct
+    "SELECT sum(grp) AS s FROM enc_t WHERE lang = 'de'",  # pred shape
+]
+
+
+@pytest.mark.parametrize("sql", AGG_ROUTED)
+def test_aggregate_pushdown_matches_sparksql(spark, store, sql):
+    out, _ = store
+    got, st = sql_router.route_sql_count(spark, out, sql, view="enc_t")
+    assert st["routed"] is True, (sql, st)
+    g, w = list(got.collect()[0]), list(spark.sql(sql).collect()[0])
+    assert [int(x) for x in g] == [int(x) for x in w], sql
+    assert got.columns == spark.sql(sql).columns
+
+
+@pytest.mark.parametrize("sql", AGG_FALLBACK)
+def test_aggregate_fallback_matches_sparksql(spark, store, sql):
+    out, _ = store
+    got, st = sql_router.route_sql_count(spark, out, sql, view="enc_t")
+    assert st["routed"] is False
+    assert [str(x) for x in got.collect()[0]] \
+        == [str(x) for x in spark.sql(sql).collect()[0]]
+
+
 def test_routed_respects_deletes(spark, store):
     """The kernels apply committed position deletes, so the routed
     answer must track them exactly (the decoded view applies them
@@ -116,10 +152,19 @@ def test_routed_respects_deletes(spark, store):
     delete_job.delete_where_equals(spark, out, "lang", "zh", "sqld1")
     for sql in ("SELECT count(*) AS c FROM enc_t WHERE lang = 'zh'",
                 "SELECT count(*) AS c FROM enc_t WHERE lang IN ('zh','pt')",
-                "SELECT count(*) AS c FROM enc_t WHERE k BETWEEN 0 AND 3999"):
+                "SELECT count(*) AS c FROM enc_t WHERE k BETWEEN 0 AND 3999",
+                "SELECT count(*) AS c FROM enc_t",
+                "SELECT count(lang) AS c FROM enc_t",
+                "SELECT sum(grp) AS s FROM enc_t"):
         got, st = sql_router.route_sql_count(spark, out, sql, view="enc_t")
         assert st["routed"] is True
         # re-register: the old temp view captured the pre-delete scan
         encoded_table.register_encoded_table(spark, out, "enc_t_live")
         want = spark.sql(sql.replace("enc_t", "enc_t_live")).collect()[0][0]
         assert got.collect()[0][0] == want, sql
+    # manifest min/max is only a BOUND under live deletes: refuse the
+    # metadata answer and fall back to the (correct) decoded view
+    got, st = sql_router.route_sql_count(
+        spark, out, "SELECT min(k) AS mn FROM enc_t", view="enc_t")
+    assert st["routed"] is False
+    assert got.collect()[0][0] == 0
