@@ -80,6 +80,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # storage kernels (equality/range/IN extractor over Spark's
         # own parse tree, decoded-view fallback) ---
         "encoded_table_sql_pushdown": q.encoded_table_sql_pushdown,
+        # --- new in r5: the last unimplemented reference row, the
+        # variable-length SectionWriter (src/section.rs:83-180), driven
+        # end-to-end: NibblePacked histogram rows through SectionHeader
+        # sections with 64KB/256-element rollover, decoded back ---
+        "var_section_histogram": q.var_section_histogram,
         # --- core reference-parity rows (src/filter.rs, sink.rs,
         # nibblepacking.rs, section.rs) ---
         "filter_equals_count": q.count_hits_equals,
@@ -361,6 +366,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
             " AS total_price_cents, count(*) AS n_rows, true AS bit_exact FROM lineitem",
         "histogram_2d_delta":
+            "SELECT CAST(least(l_linenumber, 8) AS INT) AS bucket, "
+            "count(*) AS total FROM lineitem GROUP BY 1",
+        # same bucket totals; the engine side must survive the
+        # SectionWriter pack/rollover/decode round-trip to match
+        "var_section_histogram":
             "SELECT CAST(least(l_linenumber, 8) AS INT) AS bucket, "
             "count(*) AS total FROM lineitem GROUP BY 1",
         "dict_filter_count":

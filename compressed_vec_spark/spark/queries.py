@@ -2449,3 +2449,82 @@ def encoded_table_upsert_count(spark, sf_dir) -> DataFrame:
                  F.sum("n_chars").alias("sum_chars"))
             .select(F.col("live_rows").cast("long"),
                     F.col("sum_chars").cast("long")))
+
+
+def var_section_histogram(spark, sf_dir) -> DataFrame:
+    """Variable-length SectionWriter pipeline (reference src/section.rs:83-180
+    `SectionWriter::add_64kb` + :71-80 `SectionHeader`): per-order
+    l_linenumber histograms are NibblePacked a batch at a time through
+    SectionHeader-based sections (rollover at 256 elements / 64 KB), then
+    decoded back through the section iterator -> per-bucket totals.
+
+    Scale shape: range-bucketed on l_orderkey so every group encodes its
+    own independent section stream in parallel; totals are additive
+    across groups, so the final aggregate is a tiny 8-row shuffle."""
+    from ..codecs.section_writer import (
+        HEADER_LEN, SectionWriter, NotEnoughSpace, iter_sections)
+    from ..operators.scan import _bucket_col
+    from ..sections import SECT_NP_MED
+    from .. import nibblepack as npk
+
+    B = 8
+    df = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    bucket, _ = _bucket_col(df, "l_orderkey", 16)
+    d = df.withColumn("__rb", bucket)
+
+    def _decode_stream(stream: bytes) -> np.ndarray:
+        """All rows back out of a var-section stream, (N, 8) uint64.
+        Wavefront across sections: O(max groups/section) python steps."""
+        sects = [(typ, n, len(p)) for typ, n, p in iter_sections(stream)]
+        if not sects:
+            return np.zeros((0, B), np.uint64)
+        body = np.frombuffer(stream, dtype=np.uint8)
+        starts, counts, pos = [], [], 0
+        for typ, n, plen in sects:
+            assert typ == SECT_NP_MED
+            starts.append(pos + HEADER_LEN)
+            counts.append(n)
+            pos += HEADER_LEN + plen
+        starts = np.asarray(starts, np.int64)
+        counts = np.asarray(counts, np.int64)
+        offs = np.full((len(sects), int(counts.max())), -1, np.int64)
+        cur = starts.copy()
+        for g in range(offs.shape[1]):
+            active = counts > g
+            offs[active, g] = cur[active]
+            cur[active] += npk.group_sizes(body, cur[active])
+        flat = offs.ravel()
+        vals, _ = npk.unpack_groups(body, flat[flat >= 0])
+        return vals
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("l_orderkey", kind="mergesort")
+        orders, inv = np.unique(pdf["l_orderkey"].to_numpy(),
+                                return_inverse=True)
+        lns = pdf["l_linenumber"].to_numpy(np.int64)
+        hists = np.zeros((len(orders), B), dtype=np.uint64)
+        if len(pdf):
+            np.add.at(hists, (inv, np.minimum(lns - 1, B - 1)), 1)
+        R = len(hists)
+        buf = bytearray(R * 70 + (R // 256 + 2) * HEADER_LEN + 64)
+        writer = SectionWriter(buf, max_elements_per_sect=256)
+        pos = 0
+        while pos < R:
+            def filler(writable, elements_left, _pos=pos):
+                take = min(elements_left, R - _pos)
+                payload, _ = npk.pack_groups(hists[_pos:_pos + take])
+                if len(payload) > len(writable):
+                    raise NotEnoughSpace
+                writable[:len(payload)] = payload.tobytes()
+                return len(payload), take
+            _, ne = writer.add(SECT_NP_MED, filler)
+            pos += ne
+        dec = _decode_stream(writer.finish())
+        assert dec.shape == hists.shape and (dec == hists).all()
+        per_bucket = dec.sum(axis=0) if len(dec) else np.zeros(B, np.uint64)
+        return pd.DataFrame({"bucket": np.arange(1, B + 1),
+                             "total": per_bucket.astype(np.int64)})
+
+    return (d.groupBy("__rb").applyInPandas(fn, "bucket int, total long")
+             .groupBy("bucket").agg(F.sum("total").cast("long").alias("total"))
+             .where(F.col("total") > 0))
