@@ -59,14 +59,30 @@ def run_encode_bench_subprocess(cores: int, rows: int,
     return json.loads(r.stdout.strip().splitlines()[-1])
 
 
+_PROBE_FLOOR = [None]  # best (lowest) probe time this process has seen
+
+
 def contention_factor() -> float:
     """How much slower pure-CPU work is right now vs a quiet host
     (shared machine: neighbors can make everything 10-100x slower).
-    One numpy bincount pass over 50 MB takes ~0.10 s quiet."""
+
+    The quiet-host cost of the probe itself drifts between host
+    generations (measured 0.10 s on the round-3/4 host, ~0.28 s on an
+    IDLE round-5 host — loadavg 0.18 and the probe still read 2.8x,
+    which silently pinned every probe gate shut and turned the retry
+    budgets into pure sleep).  So the baseline self-calibrates: the
+    best window THIS process has observed, clamped to the plausible
+    quiet range [0.10, 0.45] s.  If the process starts contended the
+    baseline is overestimated and gates open too eagerly — fail-open;
+    the pair-plausibility filters still guard the published numbers."""
     import numpy as np
     a = np.zeros(50_000_000, dtype=np.uint8)
     best = min(_timed_bincount(a) for _ in range(3))
-    return max(best / 0.10, 1.0)
+    floor = _PROBE_FLOOR[0]
+    floor = best if floor is None else min(floor, best)
+    floor = min(max(floor, 0.10), 0.45)
+    _PROBE_FLOOR[0] = floor
+    return max(best / floor, 1.0)
 
 
 def _timed_bincount(a) -> float:
@@ -221,7 +237,8 @@ def run_queries(cores: int) -> dict:
                      "encoded_table_point_lookup",
                      "encoded_table_null_count",
                      "encoded_table_upsert_count",
-                     "schema_evolution_nulls"):
+                     "schema_evolution_nulls",
+                     "encoded_table_sql_pushdown"):
             qs[warm](spark, SF_DIR) \
                 .write.format("noop").mode("overwrite").save()
         for name, fn in qs.items():
@@ -408,22 +425,27 @@ def main() -> None:
     def wide_pair_retry(lo_c: int, hi_c: int, ceiling: float,
                         stop_at: float) -> dict | None:
         best, samples, attempts = None, [], 0
-        while attempts < 3 and time.perf_counter() - t_pairs < stop_at:
+        while attempts < 4 and time.perf_counter() - t_pairs < stop_at:
             pr = contention_factor()
             if pr > 2.2 and time.perf_counter() - t_pairs < stop_at - 60:
                 time.sleep(20)
                 continue
-            attempts += 1
             try:
                 wlo = run_encode_bench_subprocess(lo_c, rows_now, input_path)
                 whi = run_encode_bench_subprocess(hi_c, rows_now, input_path)
             except Exception:
+                attempts += 1
                 continue
             eff = round((whi["docs_per_sec"] / wlo["docs_per_sec"])
                         / (hi_c / lo_c), 3)
             samples.append(eff)
             # plausibility: efficiency above 1.1x the physical ceiling
-            # means the LOW side absorbed neighbor noise, not a pass
+            # means the LOW side absorbed neighbor noise, not a pass —
+            # that sample teaches nothing about OUR scaling, so it does
+            # not consume one of the bounded retry attempts (the
+            # wall-clock stop_at still bounds the hunt)
+            if eff <= ceiling * 1.1:
+                attempts += 1
             if eff <= ceiling * 1.1 and (
                     best is None or eff > best["efficiency"]):
                 best = {"cores": [lo_c, hi_c],
@@ -498,6 +520,7 @@ def main() -> None:
                     "to current contention (factor measured by a "
                     "numpy probe) so runs finish under any load",
             "contention_factor_at_start": round(slow, 1),
+            "probe_baseline_sec": _PROBE_FLOOR[0],
             "rows_final": rows_now,
         },
         "compression_ratio": best["compression_ratio"],
