@@ -215,8 +215,15 @@ def _decode_stored(blob: bytes) -> pa.Array:
 # stats-driven auto-selection the section codecs use).
 # ---------------------------------------------------------------------------
 
-_WCODES = np.concatenate([np.arange(1, 32), np.arange(127, 256)]).astype(np.uint8)
-_MAX_WORDS = len(_WCODES)          # 160
+# \t \n \r stay OUT of the code space: they are the only control bytes
+# common in real web text, so (a) a newline in the residual stream costs
+# 1 byte instead of a 2-byte 0x00-escape and (b) printable-plus-newline
+# chunks — i.e. virtually all real text/html — keep the no-escape fast
+# path below (3 fewer word codes is noise next to that)
+_WCODES = np.concatenate([
+    np.setdiff1d(np.arange(1, 32), [9, 10, 13]),
+    np.arange(127, 256)]).astype(np.uint8)
+_MAX_WORDS = len(_WCODES)          # 157
 _W_ESCAPE = 0                      # (0x00, byte) escapes code-space collisions
 _IS_WCODE = np.zeros(256, dtype=bool)
 _IS_WCODE[_WCODES] = True
@@ -375,15 +382,24 @@ def _encode_words(data: np.ndarray,
     # nesting depth is exactly 0/1, so an int8 running sum suffices
     # (4x less cumsum write traffic than int32)
     run = np.cumsum(d[:N], dtype=np.int8)  # 1 inside a span
-    # pure-printable chunks (byte range proves no code-space bytes —
-    # two SIMD reductions) skip the whole escape machinery AND the
-    # emit-position cumsum + full scatter: with no escapes the output
-    # is exactly "data with covered span tails deleted", so one masked
-    # select on a code-patched copy emits it, and positions are only
-    # needed at string boundaries — spans never cross strings, so
+    # code-space-free chunks (one LUT gather proves it; with \t\n\r
+    # reserved out of the code space that is virtually all real text)
+    # skip the whole escape machinery AND the emit-position cumsum +
+    # full scatter: with no escapes the output is exactly "data with
+    # covered span tails deleted", so one masked select on a
+    # code-patched copy emits it, and positions are only needed at
+    # string boundaries — spans never cross strings, so
     # dropped-bytes-before-boundary is the match-length prefix sum at
     # searchsorted(m_start, offsets).  Saves 2 of the 4 full-N passes.
-    if int(data.min()) >= 32 and int(data.max()) <= 126:
+    # tier 1: the [32,126] byte-range proof is two SIMD reductions;
+    # tier 2 (only when tier 1 fails, e.g. newlines present) is one
+    # LUT gather — the gather the escape path needs anyway, so a chunk
+    # that truly has code-space bytes pays nothing extra
+    lo, hi = int(data.min()), int(data.max())
+    is_code = None
+    if not (32 <= lo and hi <= 126):
+        is_code = _IS_WCODE[data]
+    if is_code is None or not is_code.any():
         tmp = data.copy()
         tmp[m_start] = _WCODES[rank[matched]]
         out = tmp[run == 0]
@@ -391,7 +407,7 @@ def _encode_words(data: np.ndarray,
         toffsets = offsets - prefix[np.searchsorted(m_start, offsets)]
         return head, out, toffsets
     covered = run > 0
-    esc = _IS_WCODE[data] & ~covered
+    esc = is_code & ~covered
     esc[m_start] = False
     sizes = np.ones(N, dtype=np.uint8)
     sizes[covered] = 0
