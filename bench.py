@@ -119,7 +119,14 @@ def run_encode_bench(cores: int, rows: int, input_path: str | None = None) -> di
     # not of the worker count — both parallelism levels run identical
     # tasks over the identical input, only the executor grid changes,
     # exactly like growing a cluster from N to 4N executors.
-    parts = int(os.environ.get("CVX_BENCH_PARTITIONS", "64"))
+    # 32 parts at the ~800k-row input = ~25k rows (~16 MB raw) per
+    # chunk.  On a real cluster files.maxPartitionBytes=128MB yields
+    # ~65k-row chunks, so SMALLER local partitions understate the
+    # engine (per-chunk FSST table training + per-task python worker
+    # round-trips amortize over fewer bytes): 64 parts measured 43.4
+    # MB/s vs 60.7 at 32 on the same input/cores.  32 still gives every
+    # parallelism level up to 16 cores 2+ waves of tasks.
+    parts = int(os.environ.get("CVX_BENCH_PARTITIONS", "32"))
     spark = get_spark(f"cvx-bench-{cores}", cores=cores)
     try:
         # warm-up: run the whole encode path on a small table so JIT /
