@@ -45,7 +45,7 @@ def _keep_mask_df(spark: SparkSession, out_dir: str) -> DataFrame | None:
     (as_of) reads skip the join by design — deletes apply to the
     current table only (spark/delete_job.py contract)."""
     from ..spark import delete_job
-    m = delete_job.merged_masks(spark, out_dir)
+    m = delete_job.merged_masks(spark, out_dir, check_empty=False)
     if m is None:
         return None
     return m.select("chunk_id", F.col("mask").alias("keep_mask"))
@@ -67,6 +67,23 @@ def _keep_bools(packed: bytes, n: int) -> np.ndarray:
     layers can never drift)."""
     from ..spark.delete_job import _keep_mask
     return _keep_mask(packed, n)
+
+
+def _prune_counts(manifest: DataFrame, column: str, pred,
+                  extra: dict | None = None) -> tuple[int, int, dict]:
+    """(total_chunks, scanned_chunks, extra_counts) for one column's
+    manifest rows in a SINGLE aggregate job — the separate
+    `.count()` round-trips each kernel used to make are folded into
+    one manifest pass.  `extra` maps name -> predicate column for any
+    additional conditional counts the caller wants from the same pass
+    (e.g. the bloom-probe survivor count)."""
+    aggs = [F.count(F.lit(1)).alias("__t"),
+            F.count(F.when(pred, 1)).alias("__s")]
+    for name, p in (extra or {}).items():
+        aggs.append(F.count(F.when(p, 1)).alias(name))
+    row = manifest.where(F.col("column") == column).agg(*aggs).collect()[0]
+    return (int(row["__t"]), int(row["__s"]),
+            {k: int(row[k]) for k in (extra or {})})
 
 
 def chunk_stats_for(series: pd.Series) \
@@ -156,15 +173,14 @@ def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
     null placeholders ride as payload zeros).  Returns (count, stats
     on chunks pruned / answered compressed / decoded)."""
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
-    total_chunks = manifest.where(F.col("column") == column).count()
-    candidates = manifest.where(
-        (F.col("column") == column)
-        & (F.col("min_val") <= value) & (F.col("max_val") >= value))
+    zone_pred = (F.col("min_val") <= value) & (F.col("max_val") >= value)
+    total_chunks, scanned_chunks, _ = _prune_counts(
+        manifest, column, zone_pred)
     # the candidate ids stay distributed: a broadcast join prunes the
     # chunk scan instead of collecting ids into a driver-side isin()
     # (which would put millions of literals in the plan at scale)
-    scanned_chunks = candidates.count()
-    cand_ids = candidates.select("chunk_id")
+    cand_ids = (manifest.where((F.col("column") == column) & zone_pred)
+                .select("chunk_id"))
 
     chunks = _join_keep(
         (spark.read.parquet(os.path.join(out_dir, "chunks"))
@@ -244,12 +260,11 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
         cutoff = _snapshot_bounds(spark, out_dir, as_of)["part_hi"]
         manifest = manifest.where(F.col("part_id") < cutoff)
         chunks_src = chunks_src.where(F.col("part_id") < cutoff)
-    total_chunks = manifest.where(F.col("column") == column).count()
-    candidates = manifest.where(
-        (F.col("column") == column)
-        & (F.col("min_val") <= hi) & (F.col("max_val") >= lo))
-    scanned_chunks = candidates.count()
-    cand_ids = candidates.select("chunk_id")
+    zone_pred = (F.col("min_val") <= hi) & (F.col("max_val") >= lo)
+    total_chunks, scanned_chunks, _ = _prune_counts(
+        manifest, column, zone_pred)
+    cand_ids = (manifest.where((F.col("column") == column) & zone_pred)
+                .select("chunk_id"))
 
     # snapshot reads predate deletes by contract (delete_job docstring);
     # current-table reads subtract them via the distributed mask join
@@ -356,11 +371,9 @@ def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
     kernel (whose counts cannot be masked) is bypassed for exactly
     those chunks."""
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
-    total_chunks = manifest.where(F.col("column") == column).count()
     candidates = manifest.where((F.col("column") == column) & manifest_pred)
     bloom_pruned = 0
     if bloom_value is not None and "bloom" in manifest.columns:
-        zone_survivors = candidates.count()
         import pyarrow as pa
         from ..codecs import bloom as bloom_codec
         probe_vals = ([bloom_value] if isinstance(bloom_value, str)
@@ -374,11 +387,16 @@ def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
                 bytes(b) if b is not None else None, hashes).any())
                 for b in blooms])
 
-        candidates = candidates.where(_probe(F.col("bloom")))
-        scanned_chunks = candidates.count()
+        # total / zone-survivor / bloom-survivor counts in ONE pass
+        total_chunks, zone_survivors, ex = _prune_counts(
+            manifest, column, manifest_pred,
+            extra={"__b": manifest_pred & _probe(F.col("bloom"))})
+        scanned_chunks = ex["__b"]
         bloom_pruned = zone_survivors - scanned_chunks
+        candidates = candidates.where(_probe(F.col("bloom")))
     else:
-        scanned_chunks = candidates.count()
+        total_chunks, scanned_chunks, _ = _prune_counts(
+            manifest, column, manifest_pred)
     cand_ids = candidates.select("chunk_id")
 
     chunks = _join_keep(
@@ -923,11 +941,30 @@ def store_membership(spark: SparkSession, out_dir: str, column: str,
     return result, stats
 
 
+def _schema_rows(spark: SparkSession, out_dir: str) -> list[dict]:
+    """Rows of the store's table_schema parquet, position-ordered.
+
+    table_schema is store METADATA — a handful of rows regardless of
+    table size — so the driver reads it directly with pyarrow (the
+    Iceberg-metadata pattern: no Spark job for a KB-sized file).
+    Non-local URIs fall back to a Spark read, which works everywhere."""
+    path = os.path.join(out_dir, "table_schema")
+    local = path[7:] if path.startswith("file://") else path
+    if "://" not in local:
+        try:
+            import pyarrow.parquet as pq
+            rows = pq.read_table(local).to_pylist()
+            return sorted(rows, key=lambda r: r["position"])
+        except Exception:
+            pass  # racing rewrite / exotic layout: Spark read below
+    return [r.asDict() for r in
+            spark.read.parquet(path).orderBy("position").collect()]
+
+
 def stored_schema(spark: SparkSession, out_dir: str) -> tuple[str, dict]:
     """(DDL string, decode dtypes) recovered from the store's own
     table_schema parquet — an encoded table is self-describing."""
-    rows = (spark.read.parquet(os.path.join(out_dir, "table_schema"))
-            .orderBy("position").collect())
+    rows = _schema_rows(spark, out_dir)
     ddl = ", ".join(f"{r['name']} {r['dtype']}" for r in rows)
 
     def decode_dtype(sql_type: str) -> str:
@@ -1265,12 +1302,11 @@ def manifest_row_count(spark: SparkSession, out_dir: str) -> int:
     per-chunk n_deleted (exact: masks are OR-merged before counting).
     No chunk blob is read."""
     m = spark.read.parquet(os.path.join(out_dir, "manifest"))
-    first_col = (spark.read.parquet(os.path.join(out_dir, "table_schema"))
-                 .orderBy("position").first()["name"])
+    first_col = _schema_rows(spark, out_dir)[0]["name"]
     total = (m.where(F.col("column") == first_col)
              .agg(F.sum("num_elements")).collect()[0][0]) or 0
     from ..spark import delete_job
-    mm = delete_job.merged_masks(spark, out_dir)
+    mm = delete_job.merged_masks(spark, out_dir, check_empty=False)
     deleted = (0 if mm is None
                else mm.agg(F.sum("n_deleted")).collect()[0][0] or 0)
     return int(total) - int(deleted)
@@ -1292,8 +1328,7 @@ def manifest_null_count(spark: SparkSession, out_dir: str,
     evolved parts' virtual nulls subtract the part's deleted-row count
     from the sidecar metadata."""
     m = spark.read.parquet(os.path.join(out_dir, "manifest"))
-    first_col = (spark.read.parquet(os.path.join(out_dir, "table_schema"))
-                 .orderBy("position").first()["name"])
+    first_col = _schema_rows(spark, out_dir)[0]["name"]
     rows = (m.where(F.col("column") == first_col)
             .groupBy("part_id")
             .agg(F.sum("num_elements").alias("part_rows")))

@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import encoded_table
 
@@ -269,10 +269,13 @@ def route_sql_count(spark: SparkSession, out_dir: str, sql: str,
                 vals = [vals]
             stats = dict(stats)
             stats["routed"] = True
-            schema = ", ".join(f"{a['alias']} long" for a in aggs)
-            return (spark.createDataFrame(
-                [tuple(None if v is None else int(v) for v in vals)],
-                schema), stats)
+            # single-task 1-row plan: createDataFrame([tuple]) would
+            # parallelize into defaultParallelism mostly-empty slices
+            # (~0.3-1 s of scheduler noise per call at local[32])
+            return (spark.range(0, 1, 1, 1).select(
+                *[F.lit(None if v is None else int(v)).cast("long")
+                  .alias(a["alias"]) for a, v in zip(aggs, vals)]),
+                stats)
     # out of grammar: the decoded view answers it with Spark's planner
     return spark.sql(sql), {"routed": False}
 

@@ -70,17 +70,26 @@ def _read_deletes(spark: SparkSession, out_dir: str) -> DataFrame | None:
 
 
 def merged_masks(spark: SparkSession, out_dir: str,
-                 exclude_delete_id: str | None = None) -> DataFrame | None:
+                 exclude_delete_id: str | None = None,
+                 check_empty: bool = True) -> DataFrame | None:
     """(chunk_id, n_rows, n_deleted, mask) with every delete batch
     OR-merged per chunk; None when no delete rows exist.  The merge is
     a groupBy on chunk_id over a dataset whose size is bytes-per-
-    affected-chunk — negligible next to any chunk read it guards."""
+    affected-chunk — negligible next to any chunk read it guards.
+
+    `check_empty=False` skips the eager zero-row probe (one Spark job
+    per call): a store whose deletes directory exists but holds no rows
+    then returns an EMPTY DataFrame instead of None — equivalent for
+    readers that left-join or aggregate it (NULL masks / zero sums),
+    one job cheaper on every delete-bearing store read."""
     d = _read_deletes(spark, out_dir)
     if d is None:
         return None
     if exclude_delete_id is not None:
         d = d.where(F.col("delete_id") != exclude_delete_id)
-    if not d.take(1):
+    if not check_empty:
+        pass
+    elif not d.take(1):
         return None
 
     def _or(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -370,9 +379,9 @@ def delete_stats(spark: SparkSession, out_dir: str) -> dict:
     METADATA alone — no chunk blob is read at any store size.  Row
     totals come from the store's position-0 column, which every part
     carries (schema evolution only ever adds columns)."""
+    from ..sources.encoded_table import _schema_rows
     m = spark.read.parquet(os.path.join(out_dir, "manifest"))
-    first_col = (spark.read.parquet(os.path.join(out_dir, "table_schema"))
-                 .orderBy("position").first()["name"])
+    first_col = _schema_rows(spark, out_dir)[0]["name"]
     total = int(m.where(F.col("column") == first_col)
                 .agg(F.sum("num_elements")).collect()[0][0] or 0)
     d = _read_deletes(spark, out_dir)

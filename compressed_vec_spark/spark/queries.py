@@ -352,12 +352,10 @@ def encoded_table_sql_pushdown(spark, sf_dir) -> DataFrame:
     row = {}
     for d in (r_df, e_df, i_df, s_df, c_df):
         row.update(d.first().asDict())
-    return spark.createDataFrame(
-        [tuple(int(row[c]) for c in
-               ("range_hits", "eq_hits", "in_hits", "sum_cust",
-                "n_rows"))],
-        "range_hits long, eq_hits long, in_hits long, sum_cust long, "
-        "n_rows long")
+    return spark.range(0, 1, 1, 1).select(
+        *[F.lit(int(row[c])).cast("long").alias(c)
+          for c in ("range_hits", "eq_hits", "in_hits", "sum_cust",
+                    "n_rows")])
 
 
 def encoded_table_sql_pushdown_oracle() -> str:
