@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # storage kernels (equality/range/IN extractor over Spark's
         # own parse tree, decoded-view fallback) ---
         "encoded_table_sql_pushdown": q.encoded_table_sql_pushdown,
+        # --- new in r5: SQL-text GROUP BY routed to the dict-code
+        # bincount kernel (no per-row strings ever materialize) ---
+        "encoded_table_sql_group": q.encoded_table_sql_group,
         # --- new in r5: the last unimplemented reference row, the
         # variable-length SectionWriter (src/section.rs:83-180), driven
         # end-to-end: NibblePacked histogram rows through SectionHeader
@@ -632,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_span_removal": q.duplicate_span_removal_oracle(),
         "encoded_table_null_count": q.encoded_table_null_count_oracle(),
         "encoded_table_sql_pushdown": q.encoded_table_sql_pushdown_oracle(),
+        "encoded_table_sql_group": q.encoded_table_sql_group_oracle(),
         "repetition_ratio":
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct, "

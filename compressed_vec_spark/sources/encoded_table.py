@@ -1249,6 +1249,183 @@ def pruned_topk(spark: SparkSession, out_dir: str, column: str,
     }
 
 
+def exact_weighted_bincount(codes: np.ndarray, weights) -> np.ndarray:
+    """Exact int64 per-group sums of int64 weights: each weight splits
+    into hi/lo 32-bit halves (w == (w >> 32) * 2^32 + (w & 0xFFFFFFFF)
+    for arithmetic shift), two float64-weighted bincounts accumulate the
+    halves exactly (|half| < 2^32 and <= 2^21 rows/chunk keep every
+    partial under float64's 2^53 exact range), and the halves recombine
+    in int64 — the same exact-accumulation scheme as chunk_stats_for.
+    NaN weights count as 0 (SQL SUM null semantics).  Degrades nothing
+    and asserts nothing about the VALUES — only the row count, which
+    Arrow batch sizing already bounds far below the 2^21 limit."""
+    assert len(codes) < (1 << 21), "chunk too large for exact hi/lo sums"
+    if isinstance(weights, pd.Series):  # nullable Int64 from NULM decode
+        iv = weights.fillna(0).to_numpy(dtype=np.int64)
+    else:
+        w = np.asarray(weights)
+        if w.dtype.kind == "f":  # float carrier: NaN = SQL NULL = 0
+            iv = np.nan_to_num(w, copy=True).astype(np.int64)
+        else:  # integer input stays integer end to end — exact at 2^63
+            iv = w.astype(np.int64)
+    lo = (iv & 0xFFFFFFFF).astype(np.float64)
+    hi = (iv >> 32).astype(np.float64)
+    acc_lo = np.bincount(codes, weights=lo).astype(np.int64)
+    acc_hi = np.bincount(codes, weights=hi).astype(np.int64)
+    return acc_lo + (acc_hi << 32)
+
+
+def _notna_i64(decoded) -> np.ndarray:
+    """Element-wise non-null indicator of a decoded column as int64."""
+    if isinstance(decoded, pd.Series):
+        return decoded.notna().to_numpy(dtype=np.int64)
+    a = np.asarray(decoded)
+    if a.dtype.kind == "f":
+        return (~np.isnan(a)).astype(np.int64)
+    return np.ones(len(a), dtype=np.int64)
+
+
+def grouped_dict_agg(spark: SparkSession, out_dir: str, group_col: str,
+                     aggs: list[dict]) -> tuple[DataFrame, dict] | None:
+    """GROUP BY a dict-coded string column answered straight off the
+    compressed store — the aggregation analog of the reference's
+    filter-on-codes design goal (reference README.md:83-86): per chunk
+    ONE bincount over the u32 code vector (plus one weighted bincount
+    per SUM/COUNT(col) item), so the shuffle carries (distinct values
+    x chunks) tiny partials and no row-level string ever exists.
+
+    `aggs`: [{"fn": "count" | "count_col" | "sum", "col", "alias"}].
+    Exact SQL semantics: a NULL group (code 0) is emitted, COUNT(col)
+    skips nulls, SUM over an all-null group is NULL, and live DELETE
+    masks zero out deleted rows before any bincount.  Cross-chunk SUM
+    accumulates in decimal(38,0) (no int64 wrap across chunks).
+
+    Returns (DataFrame [group_col] + aliases, stats), or None when the
+    shape is outside the kernel (group column not 100% dict-coded, a
+    chunk missing either column — e.g. pre-evolution chunks) — callers
+    fall back to the decoded view."""
+    from ..codecs import dictionary
+
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    pairs = (manifest.groupBy("column")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.when(F.col("codec") == "dict", 1).otherwise(0))
+                  .alias("n_dict")).collect())
+    by_col = {r["column"]: r for r in pairs}
+    if group_col not in by_col:
+        return None
+    g = by_col[group_col]
+    n_chunks = int(g["n"])
+    if int(g["n_dict"]) != n_chunks:
+        return None  # mixed/non-dict group encodings: fallback
+    extra_cols = []
+    for a in aggs:
+        if a["fn"] == "count" or a["col"] == group_col:
+            continue
+        c = a["col"]
+        if c not in by_col or int(by_col[c]["n"]) != n_chunks:
+            return None  # column absent for some chunks (evolution)
+        if c not in extra_cols:
+            extra_cols.append(c)
+
+    chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    scan = (chunks.where(F.col("column") == group_col)
+            .select("chunk_id", F.col("blob").alias("blob_g")))
+    for i, c in enumerate(extra_cols):
+        scan = scan.join(
+            chunks.where(F.col("column") == c)
+            .select("chunk_id", F.col("blob").alias("blob_%d" % i)),
+            "chunk_id")
+    scan = _join_keep(scan, _keep_mask_df(spark, out_dir))
+    col_ix = {c: i for i, c in enumerate(extra_cols)}
+
+    # per-agg partial columns: count -> 1 long; count_col -> 1 long;
+    # sum -> value (string: decimal-exact across chunks) + nonnull long
+    out_fields, agg_specs = ["g string"], []
+    for i, a in enumerate(aggs):
+        if a["fn"] == "sum":
+            out_fields += ["s%d string" % i, "nn%d long" % i]
+        else:
+            out_fields.append("c%d long" % i)
+        agg_specs.append((a["fn"], None if a["fn"] == "count"
+                          else col_ix.get(a["col"])))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.blob_g)[4:]  # strip chunk codec tag
+                codes = dictionary.codes(payload).astype(np.int64)
+                vals = dictionary.dictionary(payload)
+                width = len(vals) + 1  # + the code-0 null sentinel
+                km = row.keep_mask
+                keep = (None if km is None
+                        else _keep_bools(bytes(km), len(codes)))
+                ck = codes if keep is None else codes[keep]
+                counts = np.bincount(ck, minlength=width)
+                live = np.flatnonzero(counts)
+                if not len(live):
+                    continue
+                decoded = {}
+                for c, i in col_ix.items():
+                    d = chunk_codec.decode_column(
+                        bytes(getattr(row, "blob_%d" % i)))
+                    if keep is not None:
+                        d = (d[keep] if isinstance(d, np.ndarray)
+                             else d[keep].reset_index(drop=True))
+                    decoded[c] = d
+                cols = {"g": pd.Series(
+                    [None if code == 0 else vals[code - 1]
+                     for code in live], dtype=object)}
+                for i, (a, (fn_name, cix)) in enumerate(
+                        zip(aggs, agg_specs)):
+                    if fn_name == "count":
+                        part = counts
+                    elif fn_name == "count_col" and a["col"] == group_col:
+                        part = counts.copy()
+                        part[0] = 0  # COUNT(g): NULL g rows don't count
+                    else:
+                        d = decoded[a["col"]]
+                        if fn_name == "count_col":
+                            part = np.bincount(
+                                ck, weights=_notna_i64(d).astype(
+                                    np.float64),
+                                minlength=width).astype(np.int64)
+                        else:
+                            part = exact_weighted_bincount(ck, d)
+                            part = np.pad(part, (0, width - len(part)))
+                            nn = np.bincount(ck, weights=_notna_i64(d)
+                                             .astype(np.float64),
+                                             minlength=width)
+                            cols["nn%d" % i] = pd.Series(
+                                nn[live].astype(np.int64))
+                    if fn_name == "sum":
+                        cols["s%d" % i] = pd.Series(
+                            [str(int(v)) for v in part[live]],
+                            dtype=object)
+                    else:
+                        part = np.pad(part, (0, max(0, width - len(part))))
+                        cols["c%d" % i] = pd.Series(
+                            part[live].astype(np.int64))
+                yield pd.DataFrame(cols)
+
+    part = scan.mapInPandas(fn, ", ".join(out_fields))
+    final = []
+    for i, a in enumerate(aggs):
+        if a["fn"] == "sum":
+            final.append(
+                F.when(F.sum("nn%d" % i) > 0,
+                       F.sum(F.col("s%d" % i).cast("decimal(38,0)"))
+                       .cast("long"))
+                .otherwise(F.lit(None).cast("long")).alias(a["alias"]))
+        else:
+            final.append(F.sum("c%d" % i).cast("long").alias(a["alias"]))
+    res = (part.groupBy("g").agg(*final)
+           .withColumnRenamed("g", group_col))
+    return res, {"total_chunks": n_chunks, "scanned_chunks": n_chunks,
+                 "pruned_chunks": 0, "dict_fast_chunks": n_chunks,
+                 "group_kernel": True}
+
+
 def manifest_min_max(spark: SparkSession, out_dir: str,
                      column: str) -> tuple[int | None, int | None]:
     """Global MIN/MAX of a column answered from the manifest ALONE —

@@ -17,6 +17,9 @@ predicate shapes the storage layer can answer from compressed bytes:
     SELECT sum(col) AS a FROM <view> [WHERE lo <= f AND f <= hi]
     SELECT count(*)|count(col)|sum(col)|min(col)|max(col) AS a, ...
       FROM <view>                       (metadata-only aggregates)
+    SELECT g, count(*)|count(col)|sum(int col) AS a, ... FROM <view>
+      GROUP BY g [ORDER BY output cols] (dict-code bincount kernel,
+                                         route_sql entry)
 
 `route_sql_count` parses the SQL with Spark's OWN parser (so quoting,
 case, comments, literal syntax all behave exactly like spark.sql),
@@ -239,6 +242,107 @@ def _merge_single_col(preds: list[dict]) -> list[dict]:
             out.append(p)
     out.extend(by_col.values())
     return out
+
+
+def _parse_group(spark: SparkSession, sql: str):
+    """(out_spec, group_col, view, sort) for the supported GROUP BY
+    shape — `SELECT <g and aggregates> FROM view GROUP BY g [ORDER BY
+    output cols]`, single grouping column, no WHERE — else None.
+    out_spec is the SELECT list in order: ("group", None) or
+    ("agg", {alias, fn, col}); sort is [(col, ascending)] or None."""
+    try:
+        jplan = (spark._jsparkSession.sessionState().sqlParser()
+                 .parsePlan(sql))
+        nodes = json.loads(jplan.toJSON())
+    except Exception:
+        return None
+    classes = [_cls(n) for n in nodes if "num-children" in n]
+    plan_classes = {"Sort", "Aggregate", "UnresolvedRelation"}
+    agg_nodes = [n for n in nodes if _cls(n) == "Aggregate"]
+    rel = [n for n in nodes if _cls(n) == "UnresolvedRelation"]
+    sort_nodes = [n for n in nodes if _cls(n) == "Sort"]
+    if (set(classes) - plan_classes or len(agg_nodes) != 1
+            or len(rel) != 1 or len(sort_nodes) > 1):
+        return None
+    view = rel[0]["multipartIdentifier"].strip("[]").split(", ")[-1]
+
+    grp = agg_nodes[0].get("groupingExpressions") or []
+    if len(grp) != 1:
+        return None
+    gtree, _ = _tree(grp[0])
+    gcol = _attr(gtree)
+    if gcol is None:
+        return None
+
+    out_spec = []
+    for item in agg_nodes[0].get("aggregateExpressions") or []:
+        t, _ = _tree(item)
+        if _attr(t) == gcol:
+            out_spec.append(("group", None))
+            continue
+        a = _agg_of(item)
+        if a is None:
+            return None
+        out_spec.append(("agg", a))
+    if ("group", None) not in out_spec or not out_spec:
+        return None
+
+    sort = None
+    if sort_nodes:
+        if classes[0] != "Sort":
+            return None
+        out_names = {gcol} | {a["alias"] for k, a in out_spec
+                              if k == "agg"}
+        sort = []
+        for so in sort_nodes[0].get("order") or []:
+            t, _ = _tree(so)
+            if t["cls"] != "SortOrder" or not t["kids"]:
+                return None
+            col = _attr(t["kids"][0])
+            if col is None or col not in out_names:
+                return None
+            sort.append((col, "Desc" not in str(
+                t["raw"].get("direction", "Ascending"))))
+    return out_spec, gcol, view, sort
+
+
+def route_sql(spark: SparkSession, out_dir: str, sql: str,
+              view: str | None = None) -> tuple[DataFrame, dict]:
+    """General plain-SQL entry over a registered encoded table: GROUP
+    BY statements route to the compressed-domain bincount kernel
+    (`grouped_dict_agg` — dict codes are never expanded to strings),
+    single-row aggregate/count statements route through
+    `route_sql_count`'s pruned kernels, and anything out of grammar
+    falls back to Spark's planner over the decoded view."""
+    parsed = _parse_group(spark, sql)
+    if parsed is not None:
+        out_spec, gcol, seen_view, sort = parsed
+        if view is not None and seen_view != view:
+            parsed = None
+    if parsed is not None:
+        _, dtypes = encoded_table.stored_schema(spark, out_dir)
+        aggs = [a for k, a in out_spec if k == "agg"]
+        ok = dtypes.get(gcol) == "string" and all(
+            a["fn"] == "count"
+            or (a["fn"] == "count_col" and a["col"] in dtypes)
+            or (a["fn"] == "sum" and dtypes.get(a["col"]) == "int64")
+            for a in aggs)
+        routed = (encoded_table.grouped_dict_agg(spark, out_dir, gcol,
+                                                 aggs)
+                  if ok else None)
+        if routed is not None:
+            df, stats = routed
+            df = df.select(*[F.col(gcol) if k == "group"
+                             else F.col(a["alias"])
+                             for k, a in out_spec])
+            if sort:
+                df = df.orderBy(*[F.col(c).asc() if asc
+                                  else F.col(c).desc()
+                                  for c, asc in sort])
+            stats = dict(stats)
+            stats["routed"] = True
+            return df, stats
+    return route_sql_count(spark, out_dir, sql, view)
 
 
 def route_sql_count(spark: SparkSession, out_dir: str, sql: str,

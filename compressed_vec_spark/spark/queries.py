@@ -372,6 +372,37 @@ def encoded_table_sql_pushdown_oracle() -> str:
         " (SELECT count(*) FROM orders) AS n_rows")
 
 
+def encoded_table_sql_group(spark, sf_dir) -> DataFrame:
+    """Plain-SQL GROUP BY answered from the compressed store: the
+    router recognizes `SELECT g, aggs FROM v GROUP BY g ORDER BY g`
+    and dispatches to grouped_dict_agg — one bincount per chunk over
+    the u32 dict codes (count), one exact hi/lo weighted bincount for
+    SUM, with the shuffle carrying (distinct sources x chunks) tiny
+    partials instead of N decoded strings.  Extends the reference's
+    filter-on-codes design (reference README.md:83-86) to SQL-text
+    aggregation.  In-query asserts prove the kernel (not the decoded
+    view) answered."""
+    from ..sources import encoded_table, sql_router
+    out = _documents_by_source_store(spark, sf_dir)
+    encoded_table.register_encoded_table(spark, out, "cvx_sqlg_docs")
+    df, st = sql_router.route_sql(
+        spark, out,
+        "SELECT source, count(*) AS doc_count,"
+        " sum(n_chars) AS sum_chars, count(n_chars) AS chars_seen"
+        " FROM cvx_sqlg_docs GROUP BY source ORDER BY source",
+        view="cvx_sqlg_docs")
+    assert st["routed"] and st.get("group_kernel"), st
+    assert st["dict_fast_chunks"] == st["total_chunks"], st
+    return df
+
+
+def encoded_table_sql_group_oracle() -> str:
+    return ("SELECT source, count(*) AS doc_count,"
+            " CAST(sum(n_chars) AS BIGINT) AS sum_chars,"
+            " count(n_chars) AS chars_seen"
+            " FROM documents GROUP BY source ORDER BY source")
+
+
 def _documents_text_store(spark: SparkSession, sf_dir: str) -> str:
     """Session-cached encoded store of documents (doc_id, text) sorted
     on doc_id — so TEXT values scatter across chunks and every chunk's
@@ -697,30 +728,9 @@ def encoded_table_dim_join_count(spark, sf_dir) -> DataFrame:
             .orderBy("tier"))
 
 
-def exact_weighted_bincount(codes: np.ndarray, weights) -> np.ndarray:
-    """Exact int64 per-group sums of int64 weights: each weight splits
-    into hi/lo 32-bit halves (w == (w >> 32) * 2^32 + (w & 0xFFFFFFFF)
-    for arithmetic shift), two float64-weighted bincounts accumulate the
-    halves exactly (|half| < 2^32 and <= 2^21 rows/chunk keep every
-    partial under float64's 2^53 exact range), and the halves recombine
-    in int64 — the same exact-accumulation scheme as chunk_stats_for.
-    NaN weights count as 0 (SQL SUM null semantics).  Degrades nothing
-    and asserts nothing about the VALUES — only the row count, which
-    Arrow batch sizing already bounds far below the 2^21 limit."""
-    assert len(codes) < (1 << 21), "chunk too large for exact hi/lo sums"
-    if isinstance(weights, pd.Series):  # nullable Int64 from NULM decode
-        iv = weights.fillna(0).to_numpy(dtype=np.int64)
-    else:
-        w = np.asarray(weights)
-        if w.dtype.kind == "f":  # float carrier: NaN = SQL NULL = 0
-            iv = np.nan_to_num(w, copy=True).astype(np.int64)
-        else:  # integer input stays integer end to end — exact at 2^63
-            iv = w.astype(np.int64)
-    lo = (iv & 0xFFFFFFFF).astype(np.float64)
-    hi = (iv >> 32).astype(np.float64)
-    acc_lo = np.bincount(codes, weights=lo).astype(np.int64)
-    acc_hi = np.bincount(codes, weights=hi).astype(np.int64)
-    return acc_lo + (acc_hi << 32)
+# canonical home is the storage layer (the SQL router's GROUP BY kernel
+# shares it); re-exported here for the existing query/test importers
+from ..sources.encoded_table import exact_weighted_bincount  # noqa: E402
 
 
 def encoded_table_group_sum(spark, sf_dir) -> DataFrame:

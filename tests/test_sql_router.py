@@ -168,3 +168,126 @@ def test_routed_respects_deletes(spark, store):
         spark, out, "SELECT min(k) AS mn FROM enc_t", view="enc_t")
     assert st["routed"] is False
     assert got.collect()[0][0] == 0
+
+
+# --- plain-SQL GROUP BY routed to the dict-code bincount kernel ---
+
+GROUP_ROUTED = [
+    "SELECT lang, count(*) AS c FROM enc_t GROUP BY lang ORDER BY lang",
+    "SELECT lang, count(lang) AS cl FROM enc_t GROUP BY lang"
+    " ORDER BY lang",
+    "SELECT lang, sum(grp) AS s, count(*) AS c FROM enc_t"
+    " GROUP BY lang ORDER BY c DESC, lang",
+    "SELECT lang, count(grp) AS cg, sum(k) AS sk FROM enc_t"
+    " GROUP BY lang ORDER BY lang DESC",
+    "select lang, COUNT(*) as c from enc_t group by lang",  # no sort
+]
+GROUP_FALLBACK = [
+    # int group column (not dict-coded)
+    "SELECT grp, count(*) AS c FROM enc_t GROUP BY grp ORDER BY grp",
+    # avg has no compressed kernel
+    "SELECT lang, avg(grp) AS a FROM enc_t GROUP BY lang ORDER BY lang",
+    # float SUM stays on the decoded view (exactness contract is int64)
+    "SELECT lang, sum(score) AS s FROM enc_t GROUP BY lang"
+    " ORDER BY lang",
+    # WHERE + GROUP BY is outside the group grammar
+    "SELECT lang, count(*) AS c FROM enc_t WHERE k > 100"
+    " GROUP BY lang ORDER BY lang",
+    # two grouping keys
+    "SELECT lang, grp, count(*) AS c FROM enc_t GROUP BY lang, grp"
+    " ORDER BY lang, grp",
+]
+# ORDER BY a column that is neither grouped nor selected is invalid SQL
+# (Spark raises UNRESOLVED_COLUMN) — the router must refuse to route it
+# so the caller gets Spark's own analysis error, not a silent answer.
+GROUP_INVALID = \
+    "SELECT lang, count(*) AS c FROM enc_t GROUP BY lang ORDER BY grp"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("sql", GROUP_ROUTED)
+def test_group_routed_matches_sparksql(spark, store, sql):
+    out, _ = store
+    encoded_table.register_encoded_table(spark, out, "enc_t")
+    got, st = sql_router.route_sql(spark, out, sql, view="enc_t")
+    assert st["routed"] is True and st.get("group_kernel"), (sql, st)
+    want = spark.sql(sql)
+    assert got.columns == want.columns, sql
+    assert _rows(got) == _rows(want), sql
+    if "ORDER BY" in sql.upper():  # sort order preserved, not just set
+        assert [tuple(r) for r in got.collect()] \
+            == [tuple(r) for r in want.collect()], sql
+
+
+@pytest.mark.parametrize("sql", GROUP_FALLBACK)
+def test_group_fallback_matches_sparksql(spark, store, sql):
+    out, _ = store
+    encoded_table.register_encoded_table(spark, out, "enc_t")
+    got, st = sql_router.route_sql(spark, out, sql, view="enc_t")
+    assert not st.get("group_kernel"), (sql, st)
+    assert _rows(got) == _rows(spark.sql(sql)), sql
+
+
+def test_group_kernel_null_semantics(spark):
+    """NULL group key is its own emitted group; COUNT(col) skips nulls
+    inside a group; SUM over an all-null group is NULL (SQL), and the
+    exact decimal accumulation survives values near int64."""
+    # > 2^53: naive float64 accumulation would round each value, yet
+    # 150 * big stays inside int64 — isolates the hi/lo exactness
+    big = 60_000_000_000_000_001
+    pdf = pd.DataFrame({
+        "g": pd.Series(["a", None, "b", "a", None, "c", "b", "a"] * 50,
+                       dtype=object),
+        "v": pd.Series([1, 2, None, 4, 5, None, 7, 8] * 50,
+                       dtype="Int64"),
+        "w": pd.Series([big, 1, big, big, 2, big, big, big] * 50,
+                       dtype="Int64")})
+    out = tempfile.mkdtemp(prefix="cvx_sqlg_null_")
+    encode_job.encode_table(
+        spark, spark.createDataFrame(pdf).repartition(2), out,
+        url_col=None, resume=False, codec_overrides={"g": "dict"})
+    encoded_table.register_encoded_table(spark, out, "enc_gnull")
+    sql = ("SELECT g, count(*) AS c, count(v) AS cv, sum(v) AS sv,"
+           " sum(w) AS sw FROM enc_gnull GROUP BY g ORDER BY g")
+    got, st = sql_router.route_sql(spark, out, sql, view="enc_gnull")
+    assert st["routed"] is True and st.get("group_kernel"), st
+    rows = {r["g"]: r for r in got.collect()}
+    assert set(rows) == {"a", "b", "c", None}
+    assert rows["c"]["sv"] is None          # all-null SUM group
+    assert rows["c"]["c"] == 50 and rows["c"]["cv"] == 0
+    assert rows[None]["c"] == 100 and rows[None]["cv"] == 100
+    assert rows["a"]["sv"] == (1 + 4 + 8) * 50
+    assert rows["a"]["sw"] == 3 * 50 * big  # exact despite > 2^53 vals
+    want = {r["g"]: r for r in spark.sql(sql).collect()}
+    for g in rows:
+        assert tuple(rows[g]) == tuple(want[g]), g
+
+
+def test_group_kernel_respects_deletes(spark, store):
+    """Runs after test_routed_respects_deletes in file order, so the
+    store has live 'zh' position deletes — the group kernel must see
+    the same live rows the re-registered decoded view sees."""
+    out, _ = store
+    encoded_table.register_encoded_table(spark, out, "enc_t_live2")
+    sql = ("SELECT lang, count(*) AS c, sum(grp) AS s FROM {v}"
+           " GROUP BY lang ORDER BY lang")
+    got, st = sql_router.route_sql(
+        spark, out, sql.format(v="enc_t_live2"), view="enc_t_live2")
+    assert st["routed"] is True and st.get("group_kernel"), st
+    rows = _rows(got)
+    assert _rows(spark.sql(sql.format(v="enc_t_live2"))) == rows
+    assert not any(r[0] == "zh" for r in rows)  # deleted group gone
+
+
+def test_group_invalid_order_raises_like_sparksql(spark, store):
+    out, _ = store
+    encoded_table.register_encoded_table(spark, out, "enc_t")
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException):
+        df, st = sql_router.route_sql(spark, out, GROUP_INVALID,
+                                      view="enc_t")
+        assert not st.get("group_kernel"), st  # must not route...
+        df.collect()                           # ...and fallback raises
