@@ -83,6 +83,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5: SQL-text GROUP BY routed to the dict-code
         # bincount kernel (no per-row strings ever materialize) ---
         "encoded_table_sql_group": q.encoded_table_sql_group,
+        # --- new in r5: WHERE composed under the GROUP BY kernel —
+        # manifest chunk-prune + compressed-domain row masks feed the
+        # bincount, all from plain SQL text ---
+        "encoded_table_sql_where_group": q.encoded_table_sql_where_group,
         # --- new in r5: the last unimplemented reference row, the
         # variable-length SectionWriter (src/section.rs:83-180), driven
         # end-to-end: NibblePacked histogram rows through SectionHeader
@@ -636,6 +640,8 @@ def oracle_sql() -> dict[str, str]:
         "encoded_table_null_count": q.encoded_table_null_count_oracle(),
         "encoded_table_sql_pushdown": q.encoded_table_sql_pushdown_oracle(),
         "encoded_table_sql_group": q.encoded_table_sql_group_oracle(),
+        "encoded_table_sql_where_group":
+            q.encoded_table_sql_where_group_oracle(),
         "repetition_ratio":
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct, "

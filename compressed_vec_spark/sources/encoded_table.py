@@ -1286,7 +1286,9 @@ def _notna_i64(decoded) -> np.ndarray:
 
 
 def grouped_dict_agg(spark: SparkSession, out_dir: str, group_col: str,
-                     aggs: list[dict]) -> tuple[DataFrame, dict] | None:
+                     aggs: list[dict],
+                     where: list[dict] | None = None) \
+        -> tuple[DataFrame, dict] | None:
     """GROUP BY a dict-coded string column answered straight off the
     compressed store — the aggregation analog of the reference's
     filter-on-codes design goal (reference README.md:83-86): per chunk
@@ -1300,12 +1302,23 @@ def grouped_dict_agg(spark: SparkSession, out_dir: str, group_col: str,
     masks zero out deleted rows before any bincount.  Cross-chunk SUM
     accumulates in decimal(38,0) (no int64 wrap across chunks).
 
+    `where` composes predicate pushdown under the group kernel: each
+    spec is {"col", "manifest_pred", "mask_fn"} — the manifest_pred
+    (a Column over that column's manifest stats row) prunes whole
+    chunks before any blob read, and mask_fn(blob, codec) -> bool
+    ndarray | None row-masks surviving chunks (None = provably no
+    match, e.g. an absent dict code) before the bincounts — so
+    `SELECT g, aggs FROM t WHERE p GROUP BY g` keeps both the chunk
+    pruning of the count kernels and the no-row-strings property of
+    the group kernel.  Groups emptied by the WHERE are not emitted.
+
     Returns (DataFrame [group_col] + aliases, stats), or None when the
     shape is outside the kernel (group column not 100% dict-coded, a
     chunk missing either column — e.g. pre-evolution chunks) — callers
     fall back to the decoded view."""
     from ..codecs import dictionary
 
+    where = list(where or [])
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
     pairs = (manifest.groupBy("column")
              .agg(F.count(F.lit(1)).alias("n"),
@@ -1327,17 +1340,39 @@ def grouped_dict_agg(spark: SparkSession, out_dir: str, group_col: str,
             return None  # column absent for some chunks (evolution)
         if c not in extra_cols:
             extra_cols.append(c)
+    for w in where:
+        c = w["col"]
+        if c not in by_col or int(by_col[c]["n"]) != n_chunks:
+            return None  # predicate column absent for some chunks
 
     chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
     scan = (chunks.where(F.col("column") == group_col)
             .select("chunk_id", F.col("blob").alias("blob_g")))
+    scanned = n_chunks
+    if where:
+        # chunk ids surviving EVERY spec's manifest-stat predicate
+        cand = None
+        for w in where:
+            ids = (manifest.where((F.col("column") == w["col"])
+                                  & w["manifest_pred"])
+                   .select("chunk_id"))
+            cand = ids if cand is None else cand.join(ids, "chunk_id")
+        scanned = cand.count()
+        scan = scan.join(F.broadcast(cand), "chunk_id")
     for i, c in enumerate(extra_cols):
         scan = scan.join(
             chunks.where(F.col("column") == c)
             .select("chunk_id", F.col("blob").alias("blob_%d" % i)),
             "chunk_id")
+    for i, w in enumerate(where):
+        scan = scan.join(
+            chunks.where(F.col("column") == w["col"])
+            .select("chunk_id", F.col("codec").alias("wc%d" % i),
+                    F.col("blob").alias("w%d" % i)),
+            "chunk_id")
     scan = _join_keep(scan, _keep_mask_df(spark, out_dir))
     col_ix = {c: i for i, c in enumerate(extra_cols)}
+    where_fns = [w["mask_fn"] for w in where]
 
     # per-agg partial columns: count -> 1 long; count_col -> 1 long;
     # sum -> value (string: decimal-exact across chunks) + nonnull long
@@ -1360,6 +1395,16 @@ def grouped_dict_agg(spark: SparkSession, out_dir: str, group_col: str,
                 km = row.keep_mask
                 keep = (None if km is None
                         else _keep_bools(bytes(km), len(codes)))
+                dead = False
+                for i, mfn in enumerate(where_fns):
+                    m = mfn(bytes(getattr(row, "w%d" % i)),
+                            getattr(row, "wc%d" % i))
+                    if m is None:  # provably no match in this chunk
+                        dead = True
+                        break
+                    keep = m if keep is None else keep & m
+                if dead or (where_fns and not keep.any()):
+                    continue
                 ck = codes if keep is None else codes[keep]
                 counts = np.bincount(ck, minlength=width)
                 live = np.flatnonzero(counts)
@@ -1421,9 +1466,10 @@ def grouped_dict_agg(spark: SparkSession, out_dir: str, group_col: str,
             final.append(F.sum("c%d" % i).cast("long").alias(a["alias"]))
     res = (part.groupBy("g").agg(*final)
            .withColumnRenamed("g", group_col))
-    return res, {"total_chunks": n_chunks, "scanned_chunks": n_chunks,
-                 "pruned_chunks": 0, "dict_fast_chunks": n_chunks,
-                 "group_kernel": True}
+    return res, {"total_chunks": n_chunks, "scanned_chunks": scanned,
+                 "pruned_chunks": n_chunks - scanned,
+                 "dict_fast_chunks": scanned,
+                 "where_specs": len(where), "group_kernel": True}
 
 
 def manifest_min_max(spark: SparkSession, out_dir: str,

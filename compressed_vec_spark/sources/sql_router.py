@@ -18,8 +18,10 @@ predicate shapes the storage layer can answer from compressed bytes:
     SELECT count(*)|count(col)|sum(col)|min(col)|max(col) AS a, ...
       FROM <view>                       (metadata-only aggregates)
     SELECT g, count(*)|count(col)|sum(int col) AS a, ... FROM <view>
-      GROUP BY g [ORDER BY output cols] (dict-code bincount kernel,
-                                         route_sql entry)
+      [WHERE int eq/range | float range | str eq/IN, AND-combined]
+      GROUP BY g [ORDER BY output cols] (dict-code bincount kernel
+      with manifest chunk-prune + compressed-domain row masks for the
+      WHERE, route_sql entry)
 
 `route_sql_count` parses the SQL with Spark's OWN parser (so quoting,
 case, comments, literal syntax all behave exactly like spark.sql),
@@ -42,6 +44,8 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import encoded_table
@@ -245,9 +249,10 @@ def _merge_single_col(preds: list[dict]) -> list[dict]:
 
 
 def _parse_group(spark: SparkSession, sql: str):
-    """(out_spec, group_col, view, sort) for the supported GROUP BY
-    shape — `SELECT <g and aggregates> FROM view GROUP BY g [ORDER BY
-    output cols]`, single grouping column, no WHERE — else None.
+    """(out_spec, group_col, view, sort, preds) for the supported GROUP
+    BY shape — `SELECT <g and aggregates> FROM view [WHERE p] GROUP BY
+    g [ORDER BY output cols]`, single grouping column, WHERE limited to
+    the same AND-of-leaves grammar as the count router — else None.
     out_spec is the SELECT list in order: ("group", None) or
     ("agg", {alias, fn, col}); sort is [(col, ascending)] or None."""
     try:
@@ -257,14 +262,21 @@ def _parse_group(spark: SparkSession, sql: str):
     except Exception:
         return None
     classes = [_cls(n) for n in nodes if "num-children" in n]
-    plan_classes = {"Sort", "Aggregate", "UnresolvedRelation"}
+    plan_classes = {"Sort", "Aggregate", "Filter", "UnresolvedRelation"}
     agg_nodes = [n for n in nodes if _cls(n) == "Aggregate"]
     rel = [n for n in nodes if _cls(n) == "UnresolvedRelation"]
     sort_nodes = [n for n in nodes if _cls(n) == "Sort"]
+    filt = [n for n in nodes if _cls(n) == "Filter"]
     if (set(classes) - plan_classes or len(agg_nodes) != 1
-            or len(rel) != 1 or len(sort_nodes) > 1):
+            or len(rel) != 1 or len(sort_nodes) > 1 or len(filt) > 1):
         return None
     view = rel[0]["multipartIdentifier"].strip("[]").split(", ")[-1]
+
+    preds: list[dict] = []
+    if filt:
+        ftree, _ = _tree(filt[0]["condition"])
+        if not _leaves(ftree, preds):
+            return None
 
     grp = agg_nodes[0].get("groupingExpressions") or []
     if len(grp) != 1:
@@ -303,7 +315,96 @@ def _parse_group(spark: SparkSession, sql: str):
                 return None
             sort.append((col, "Desc" not in str(
                 t["raw"].get("direction", "Ascending"))))
-    return out_spec, gcol, view, sort
+    return out_spec, gcol, view, sort, preds
+
+
+def _num_range_mask(lo, hi):
+    """Row mask for lo <= col <= hi on a decoded numeric chunk; either
+    bound may be None (one-sided).  NULL/NaN rows never match."""
+    from ..codecs import chunk as chunk_codec
+
+    def mask_fn(blob: bytes, codec: str):
+        s = pd.Series(chunk_codec.decode_column(blob))
+        m = pd.Series(True, index=s.index)
+        if lo is not None:
+            m &= s >= lo
+        if hi is not None:
+            m &= s <= hi
+        return m.fillna(False).to_numpy(dtype=bool)
+    return mask_fn
+
+
+def _string_in_mask(values: list[str]):
+    """Row mask for col IN (values) — dict chunks compare u32 codes
+    (values map to codes via the sorted heap; all-absent -> None, the
+    chunk is provably matchless), non-dict chunks decode and isin."""
+    from ..codecs import chunk as chunk_codec, dictionary
+
+    def mask_fn(blob: bytes, codec: str):
+        if codec == "dict":
+            payload = blob[4:]
+            cs = [c for c in (dictionary.code_of(payload, v)
+                              for v in values) if c]
+            if not cs:
+                return None
+            codes = dictionary.codes(payload)
+            if len(cs) == 1:
+                return codes == codes.dtype.type(cs[0])
+            return np.isin(codes, np.asarray(cs, dtype=codes.dtype))
+        s = pd.Series(chunk_codec.decode_column(blob))
+        vset = set(encoded_table._align_bounds(s.dropna(), *values))
+        return s.isin(vset).fillna(False).to_numpy(dtype=bool)
+    return mask_fn
+
+
+def _group_where_specs(dtypes: dict, preds: list[dict]) \
+        -> list[dict] | None:
+    """Map merged predicates to grouped_dict_agg `where` specs —
+    {col, manifest_pred, mask_fn} — or None when any leaf is outside
+    the mask kernels (callers fall back to the decoded view).
+    Covered: int eq / int range (incl. one-sided), float range
+    (two-sided, non-strict), string eq / IN."""
+    specs = []
+    for p in preds:
+        c, dt = p["col"], dtypes.get(p["col"])
+        if p["op"] == "eq" and dt == "int64" and isinstance(p["val"], int):
+            p = {"col": c, "op": "range", "lo": p["val"], "hi": p["val"]}
+        if p["op"] == "range" and dt == "int64":
+            lo, hi = p["lo"], p["hi"]
+            if not all(isinstance(v, int) for v in (lo, hi)
+                       if v is not None):
+                return None
+            mp = None
+            if lo is not None:
+                mp = F.col("max_val") >= lo
+            if hi is not None:
+                hp = F.col("min_val") <= hi
+                mp = hp if mp is None else mp & hp
+            specs.append({"col": c, "manifest_pred": mp,
+                          "mask_fn": _num_range_mask(lo, hi)})
+        elif (p["op"] == "range" and dt == "double"
+              and not p.get("strict_adj")
+              and p["lo"] is not None and p["hi"] is not None):
+            specs.append({"col": c,
+                          "manifest_pred": (F.col("max_f64") >= p["lo"])
+                          & (F.col("min_f64") <= p["hi"]),
+                          "mask_fn": _num_range_mask(p["lo"], p["hi"])})
+        elif p["op"] == "eq" and dt == "string" \
+                and isinstance(p["val"], str):
+            specs.append({"col": c,
+                          "manifest_pred": (F.col("min_str") <= p["val"])
+                          & (F.col("max_str") >= p["val"]),
+                          "mask_fn": _string_in_mask([p["val"]])})
+        elif p["op"] == "in" and dt == "string" \
+                and all(isinstance(v, str) for v in p["vals"]):
+            vals = sorted(set(p["vals"]))
+            specs.append({"col": c,
+                          "manifest_pred": (F.col("min_str") <= vals[-1])
+                          & (F.col("max_str") >= vals[0]),
+                          "mask_fn": _string_in_mask(vals)})
+        else:
+            return None
+    return specs
 
 
 def route_sql(spark: SparkSession, out_dir: str, sql: str,
@@ -316,7 +417,7 @@ def route_sql(spark: SparkSession, out_dir: str, sql: str,
     falls back to Spark's planner over the decoded view."""
     parsed = _parse_group(spark, sql)
     if parsed is not None:
-        out_spec, gcol, seen_view, sort = parsed
+        out_spec, gcol, seen_view, sort, preds = parsed
         if view is not None and seen_view != view:
             parsed = None
     if parsed is not None:
@@ -327,9 +428,11 @@ def route_sql(spark: SparkSession, out_dir: str, sql: str,
             or (a["fn"] == "count_col" and a["col"] in dtypes)
             or (a["fn"] == "sum" and dtypes.get(a["col"]) == "int64")
             for a in aggs)
+        where = (_group_where_specs(dtypes, _merge_single_col(preds))
+                 if ok else None)
         routed = (encoded_table.grouped_dict_agg(spark, out_dir, gcol,
-                                                 aggs)
-                  if ok else None)
+                                                 aggs, where=where)
+                  if ok and where is not None else None)
         if routed is not None:
             df, stats = routed
             df = df.select(*[F.col(gcol) if k == "group"

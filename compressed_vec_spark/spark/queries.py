@@ -403,6 +403,39 @@ def encoded_table_sql_group_oracle() -> str:
             " FROM documents GROUP BY source ORDER BY source")
 
 
+def encoded_table_sql_where_group(spark, sf_dir) -> DataFrame:
+    """Plain-SQL `WHERE ... GROUP BY ...` composed onto the compressed
+    kernels: the router extracts the AND-of-leaves predicate, maps each
+    leaf to a (manifest chunk-prune, compressed-domain row mask) pair
+    — string IN answered on u32 dict codes, int range on the decoded
+    filter vector — and runs the group bincount only over surviving
+    masked rows.  The two pushdown layers the count kernels and the
+    group kernel each had separately now compose in one statement.
+    In-query asserts prove the kernel routed AND the sorted-on-source
+    layout actually pruned chunks (holds at every SF: three of twenty
+    sources spread over 8 range partitions)."""
+    from ..sources import encoded_table, sql_router
+    out = _documents_by_source_store(spark, sf_dir)
+    encoded_table.register_encoded_table(spark, out, "cvx_sqlwg_docs")
+    df, st = sql_router.route_sql(
+        spark, out,
+        "SELECT source, count(*) AS doc_count,"
+        " sum(n_chars) AS sum_chars FROM cvx_sqlwg_docs"
+        " WHERE source IN ('src3', 'src12', 'src17')"
+        " AND n_chars >= 100 GROUP BY source ORDER BY source",
+        view="cvx_sqlwg_docs")
+    assert st["routed"] and st.get("group_kernel"), st
+    assert st["where_specs"] == 2 and st["pruned_chunks"] > 0, st
+    return df
+
+
+def encoded_table_sql_where_group_oracle() -> str:
+    return ("SELECT source, count(*) AS doc_count,"
+            " CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents"
+            " WHERE source IN ('src3', 'src12', 'src17')"
+            " AND n_chars >= 100 GROUP BY source ORDER BY source")
+
+
 def _documents_text_store(spark: SparkSession, sf_dir: str) -> str:
     """Session-cached encoded store of documents (doc_id, text) sorted
     on doc_id — so TEXT values scatter across chunks and every chunk's

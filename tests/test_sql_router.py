@@ -181,6 +181,23 @@ GROUP_ROUTED = [
     "SELECT lang, count(grp) AS cg, sum(k) AS sk FROM enc_t"
     " GROUP BY lang ORDER BY lang DESC",
     "select lang, COUNT(*) as c from enc_t group by lang",  # no sort
+    # WHERE composed under the group kernel: chunk prune + row mask
+    "SELECT lang, count(*) AS c FROM enc_t WHERE k > 100"
+    " GROUP BY lang ORDER BY lang",
+    "SELECT lang, sum(grp) AS s FROM enc_t"
+    " WHERE k BETWEEN 500 AND 2600 GROUP BY lang ORDER BY lang",
+    "SELECT lang, count(*) AS c FROM enc_t WHERE lang IN ('de', 'fr')"
+    " GROUP BY lang ORDER BY lang",
+    "SELECT lang, count(grp) AS cg FROM enc_t WHERE lang = 'pt'"
+    " GROUP BY lang",
+    "SELECT lang, count(*) AS c FROM enc_t"
+    " WHERE score BETWEEN 0.2 AND 0.7 AND grp = 4"
+    " GROUP BY lang ORDER BY lang",
+    # WHERE matching NOTHING: zero groups, like spark.sql
+    "SELECT lang, count(*) AS c FROM enc_t WHERE k > 99999"
+    " GROUP BY lang",
+    "SELECT lang, count(*) AS c FROM enc_t WHERE lang = 'xx'"
+    " GROUP BY lang",
 ]
 GROUP_FALLBACK = [
     # int group column (not dict-coded)
@@ -190,12 +207,16 @@ GROUP_FALLBACK = [
     # float SUM stays on the decoded view (exactness contract is int64)
     "SELECT lang, sum(score) AS s FROM enc_t GROUP BY lang"
     " ORDER BY lang",
-    # WHERE + GROUP BY is outside the group grammar
-    "SELECT lang, count(*) AS c FROM enc_t WHERE k > 100"
-    " GROUP BY lang ORDER BY lang",
     # two grouping keys
     "SELECT lang, grp, count(*) AS c FROM enc_t GROUP BY lang, grp"
     " ORDER BY lang, grp",
+    # WHERE leaves outside the mask kernels fall back whole
+    "SELECT lang, count(*) AS c FROM enc_t WHERE k % 2 = 0"
+    " GROUP BY lang ORDER BY lang",
+    "SELECT lang, count(*) AS c FROM enc_t"
+    " WHERE lang = 'de' OR lang = 'fr' GROUP BY lang ORDER BY lang",
+    "SELECT lang, count(*) AS c FROM enc_t WHERE score > 0.5"
+    " GROUP BY lang ORDER BY lang",  # strict float bound
 ]
 # ORDER BY a column that is neither grouped nor selected is invalid SQL
 # (Spark raises UNRESOLVED_COLUMN) — the router must refuse to route it
@@ -280,6 +301,21 @@ def test_group_kernel_respects_deletes(spark, store):
     rows = _rows(got)
     assert _rows(spark.sql(sql.format(v="enc_t_live2"))) == rows
     assert not any(r[0] == "zh" for r in rows)  # deleted group gone
+
+
+def test_group_where_prunes_chunks(spark, store):
+    """The k-sorted layout must actually chunk-prune under the group
+    kernel's WHERE, and the surviving masked rows must agree with the
+    decoded view (store has live 'zh' deletes by this point — both
+    layers apply them)."""
+    out, _ = store
+    encoded_table.register_encoded_table(spark, out, "enc_t")
+    sql = ("SELECT lang, count(*) AS c, sum(grp) AS s FROM enc_t"
+           " WHERE k BETWEEN 600 AND 1150 GROUP BY lang ORDER BY lang")
+    got, st = sql_router.route_sql(spark, out, sql, view="enc_t")
+    assert st["routed"] and st.get("group_kernel"), st
+    assert st["where_specs"] == 1 and st["pruned_chunks"] > 0, st
+    assert _rows(got) == _rows(spark.sql(sql))
 
 
 def test_group_invalid_order_raises_like_sparksql(spark, store):
