@@ -1333,6 +1333,10 @@ def grouped_dict_agg(spark: SparkSession, out_dir: str, group_col: str,
         return None  # mixed/non-dict group encodings: fallback
     extra_cols = []
     for a in aggs:
+        if a["fn"] not in ("count", "count_col", "sum", "min", "max"):
+            return None
+        if a["fn"] in ("min", "max") and a["col"] == group_col:
+            return None  # string MIN/MAX of the key: decoded view's job
         if a["fn"] == "count" or a["col"] == group_col:
             continue
         c = a["col"]
@@ -1375,11 +1379,14 @@ def grouped_dict_agg(spark: SparkSession, out_dir: str, group_col: str,
     where_fns = [w["mask_fn"] for w in where]
 
     # per-agg partial columns: count -> 1 long; count_col -> 1 long;
-    # sum -> value (string: decimal-exact across chunks) + nonnull long
+    # sum -> value (string: decimal-exact across chunks) + nonnull long;
+    # min/max -> 1 nullable long (NULL partial = group all-null here)
     out_fields, agg_specs = ["g string"], []
     for i, a in enumerate(aggs):
         if a["fn"] == "sum":
             out_fields += ["s%d string" % i, "nn%d long" % i]
+        elif a["fn"] in ("min", "max"):
+            out_fields.append("m%d long" % i)
         else:
             out_fields.append("c%d long" % i)
         agg_specs.append((a["fn"], None if a["fn"] == "count"
@@ -1423,6 +1430,30 @@ def grouped_dict_agg(spark: SparkSession, out_dir: str, group_col: str,
                      for code in live], dtype=object)}
                 for i, (a, (fn_name, cix)) in enumerate(
                         zip(aggs, agg_specs)):
+                    if fn_name in ("min", "max"):
+                        d = decoded[a["col"]]
+                        if isinstance(d, pd.Series):
+                            nn_b = d.notna().to_numpy()
+                            dv = d.fillna(0).to_numpy(dtype=np.int64)
+                        else:
+                            arr = np.asarray(d)
+                            if arr.dtype.kind == "f":
+                                nn_b = ~np.isnan(arr)
+                                dv = np.nan_to_num(arr).astype(np.int64)
+                            else:
+                                nn_b = np.ones(len(arr), dtype=bool)
+                                dv = arr.astype(np.int64)
+                        info = np.iinfo(np.int64)
+                        acc = np.full(width, info.max if fn_name == "min"
+                                      else info.min, dtype=np.int64)
+                        ufn = (np.minimum if fn_name == "min"
+                               else np.maximum)
+                        ufn.at(acc, ck[nn_b], dv[nn_b])
+                        nn = np.bincount(ck[nn_b], minlength=width)
+                        s = pd.Series(acc[live], dtype="Int64")
+                        s[nn[live] == 0] = pd.NA
+                        cols["m%d" % i] = s
+                        continue
                     if fn_name == "count":
                         part = counts
                     elif fn_name == "count_col" and a["col"] == group_col:
@@ -1456,7 +1487,13 @@ def grouped_dict_agg(spark: SparkSession, out_dir: str, group_col: str,
     part = scan.mapInPandas(fn, ", ".join(out_fields))
     final = []
     for i, a in enumerate(aggs):
-        if a["fn"] == "sum":
+        if a["fn"] in ("min", "max"):
+            # NULL partials (all-null group slice) are skipped by
+            # MIN/MAX; an everywhere-null group correctly yields NULL
+            final.append((F.min if a["fn"] == "min" else F.max)
+                         (F.col("m%d" % i)).cast("long")
+                         .alias(a["alias"]))
+        elif a["fn"] == "sum":
             final.append(
                 F.when(F.sum("nn%d" % i) > 0,
                        F.sum(F.col("s%d" % i).cast("decimal(38,0)"))

@@ -17,11 +17,13 @@ predicate shapes the storage layer can answer from compressed bytes:
     SELECT sum(col) AS a FROM <view> [WHERE lo <= f AND f <= hi]
     SELECT count(*)|count(col)|sum(col)|min(col)|max(col) AS a, ...
       FROM <view>                       (metadata-only aggregates)
-    SELECT g, count(*)|count(col)|sum(int col) AS a, ... FROM <view>
+    SELECT g, count(*)|count(col)|sum|min|max(int col) AS a, ...
+      FROM <view>
       [WHERE int eq/range | float range | str eq/IN, AND-combined]
-      GROUP BY g [ORDER BY output cols] (dict-code bincount kernel
-      with manifest chunk-prune + compressed-domain row masks for the
-      WHERE, route_sql entry)
+      GROUP BY g [HAVING output-col/aggregate cmp literal, AND-comb.]
+      [ORDER BY output cols] (dict-code bincount kernel with manifest
+      chunk-prune + compressed-domain row masks for the WHERE,
+      post-aggregation filters for the HAVING, route_sql entry)
 
 `route_sql_count` parses the SQL with Spark's OWN parser (so quoting,
 case, comments, literal syntax all behave exactly like spark.sql),
@@ -150,14 +152,10 @@ def _leaves(t: dict, out: list) -> bool:
 _AGG_FNS = ("count", "sum", "min", "max")
 
 
-def _agg_of(item: list) -> dict | None:
-    """{alias, fn, col} for one projectList entry of the supported
-    aggregate shapes — count(*), count(col), sum/min/max(col), each
-    explicitly aliased — else None."""
-    ptree, _ = _tree(item)
-    if ptree["cls"] != "Alias" or len(ptree["kids"]) != 1:
-        return None
-    fn_t = ptree["kids"][0]
+def _agg_fn_of(fn_t: dict) -> dict | None:
+    """{fn, col} for an un-aliased aggregate expression tree of the
+    supported shapes — count(*), count(col), sum/min/max(col) — else
+    None."""
     fn = (str(fn_t["raw"].get("nameParts", "")).strip("[]").lower()
           if fn_t["cls"] == "UnresolvedFunction" else "")
     if (fn not in _AGG_FNS or len(fn_t["kids"]) != 1
@@ -165,12 +163,51 @@ def _agg_of(item: list) -> dict | None:
         return None
     arg = fn_t["kids"][0]
     if fn == "count" and _literal(arg) == 1:       # count(*) / count(1)
-        return {"alias": ptree["raw"]["name"], "fn": "count", "col": None}
+        return {"fn": "count", "col": None}
     col = _attr(arg)
     if col is None:
         return None
-    return {"alias": ptree["raw"]["name"],
-            "fn": "count_col" if fn == "count" else fn, "col": col}
+    return {"fn": "count_col" if fn == "count" else fn, "col": col}
+
+
+def _agg_of(item: list) -> dict | None:
+    """{alias, fn, col} for one projectList entry of the supported
+    aggregate shapes, explicitly aliased — else None."""
+    ptree, _ = _tree(item)
+    if ptree["cls"] != "Alias" or len(ptree["kids"]) != 1:
+        return None
+    a = _agg_fn_of(ptree["kids"][0])
+    if a is None:
+        return None
+    return {"alias": ptree["raw"]["name"], **a}
+
+
+def _having_leaves(t: dict, out: list) -> bool:
+    """Flatten a HAVING condition into leaves {ref|agg, op, val}:
+    comparisons of an output-column reference (group col or SELECT
+    alias — Spark resolves aliases in HAVING) or a bare aggregate
+    expression against a literal, AND-combined.  False = out of
+    grammar."""
+    if t["cls"] == "And":
+        return (_having_leaves(t["kids"][0], out)
+                and _having_leaves(t["kids"][1], out))
+    if t["cls"] not in _CMP:
+        return False
+    l, r = t["kids"]
+    op, lhs, lit = _CMP[t["cls"]], l, _literal(r)
+    if lit is None:  # literal-on-left form: 5 < count(*)
+        lhs, lit, op = r, _literal(l), _FLIP[_CMP[t["cls"]]]
+    if lit is None:
+        return False
+    ref = _attr(lhs)
+    if ref is not None:
+        out.append({"ref": ref, "agg": None, "op": op, "val": lit})
+        return True
+    agg = _agg_fn_of(lhs)
+    if agg is not None:
+        out.append({"ref": None, "agg": agg, "op": op, "val": lit})
+        return True
+    return False
 
 
 def _parse(spark: SparkSession, sql: str):
@@ -249,12 +286,14 @@ def _merge_single_col(preds: list[dict]) -> list[dict]:
 
 
 def _parse_group(spark: SparkSession, sql: str):
-    """(out_spec, group_col, view, sort, preds) for the supported GROUP
-    BY shape — `SELECT <g and aggregates> FROM view [WHERE p] GROUP BY
-    g [ORDER BY output cols]`, single grouping column, WHERE limited to
-    the same AND-of-leaves grammar as the count router — else None.
-    out_spec is the SELECT list in order: ("group", None) or
-    ("agg", {alias, fn, col}); sort is [(col, ascending)] or None."""
+    """(out_spec, group_col, view, sort, preds, having) for the
+    supported GROUP BY shape — `SELECT <g and aggregates> FROM view
+    [WHERE p] GROUP BY g [HAVING h] [ORDER BY output cols]`, single
+    grouping column, WHERE limited to the same AND-of-leaves grammar
+    as the count router, HAVING to comparisons of output columns /
+    bare aggregates vs literals — else None.  out_spec is the SELECT
+    list in order: ("group", None) or ("agg", {alias, fn, col}); sort
+    is [(col, ascending)] or None."""
     try:
         jplan = (spark._jsparkSession.sessionState().sqlParser()
                  .parsePlan(sql))
@@ -262,13 +301,16 @@ def _parse_group(spark: SparkSession, sql: str):
     except Exception:
         return None
     classes = [_cls(n) for n in nodes if "num-children" in n]
-    plan_classes = {"Sort", "Aggregate", "Filter", "UnresolvedRelation"}
+    plan_classes = {"Sort", "UnresolvedHaving", "Aggregate", "Filter",
+                    "UnresolvedRelation"}
     agg_nodes = [n for n in nodes if _cls(n) == "Aggregate"]
     rel = [n for n in nodes if _cls(n) == "UnresolvedRelation"]
     sort_nodes = [n for n in nodes if _cls(n) == "Sort"]
     filt = [n for n in nodes if _cls(n) == "Filter"]
+    hav_nodes = [n for n in nodes if _cls(n) == "UnresolvedHaving"]
     if (set(classes) - plan_classes or len(agg_nodes) != 1
-            or len(rel) != 1 or len(sort_nodes) > 1 or len(filt) > 1):
+            or len(rel) != 1 or len(sort_nodes) > 1 or len(filt) > 1
+            or len(hav_nodes) > 1):
         return None
     view = rel[0]["multipartIdentifier"].strip("[]").split(", ")[-1]
 
@@ -276,6 +318,12 @@ def _parse_group(spark: SparkSession, sql: str):
     if filt:
         ftree, _ = _tree(filt[0]["condition"])
         if not _leaves(ftree, preds):
+            return None
+
+    having: list[dict] = []
+    if hav_nodes:
+        htree, _ = _tree(hav_nodes[0]["havingCondition"])
+        if not _having_leaves(htree, having):
             return None
 
     grp = agg_nodes[0].get("groupingExpressions") or []
@@ -315,7 +363,7 @@ def _parse_group(spark: SparkSession, sql: str):
                 return None
             sort.append((col, "Desc" not in str(
                 t["raw"].get("direction", "Ascending"))))
-    return out_spec, gcol, view, sort, preds
+    return out_spec, gcol, view, sort, preds, having
 
 
 def _num_range_mask(lo, hi):
@@ -417,24 +465,53 @@ def route_sql(spark: SparkSession, out_dir: str, sql: str,
     falls back to Spark's planner over the decoded view."""
     parsed = _parse_group(spark, sql)
     if parsed is not None:
-        out_spec, gcol, seen_view, sort, preds = parsed
+        out_spec, gcol, seen_view, sort, preds, having = parsed
         if view is not None and seen_view != view:
             parsed = None
     if parsed is not None:
         _, dtypes = encoded_table.stored_schema(spark, out_dir)
         aggs = [a for k, a in out_spec if k == "agg"]
-        ok = dtypes.get(gcol) == "string" and all(
+        # HAVING leaves become post-aggregation filters on output
+        # columns; a bare aggregate not in the SELECT list rides as a
+        # hidden kernel agg (computed, filtered on, then projected out)
+        kernel_aggs, hav_cols = list(aggs), []
+        ok = True
+        for h in having:
+            if h["ref"] is not None:
+                if h["ref"] != gcol and not any(
+                        a["alias"] == h["ref"] for a in aggs):
+                    ok = False  # not an output column: Spark's call
+                    break
+                hav_cols.append((h["ref"], h["op"], h["val"]))
+                continue
+            match = [a for a in kernel_aggs
+                     if (a["fn"], a["col"]) == (h["agg"]["fn"],
+                                                h["agg"]["col"])]
+            if match:
+                alias = match[0]["alias"]
+            else:
+                alias = "__hav%d" % len(kernel_aggs)
+                kernel_aggs.append({"alias": alias, **h["agg"]})
+            hav_cols.append((alias, h["op"], h["val"]))
+        ok = ok and dtypes.get(gcol) == "string" and all(
             a["fn"] == "count"
             or (a["fn"] == "count_col" and a["col"] in dtypes)
-            or (a["fn"] == "sum" and dtypes.get(a["col"]) == "int64")
-            for a in aggs)
+            or (a["fn"] in ("sum", "min", "max")
+                and dtypes.get(a["col"]) == "int64")
+            for a in kernel_aggs)
         where = (_group_where_specs(dtypes, _merge_single_col(preds))
                  if ok else None)
         routed = (encoded_table.grouped_dict_agg(spark, out_dir, gcol,
-                                                 aggs, where=where)
+                                                 kernel_aggs,
+                                                 where=where)
                   if ok and where is not None else None)
         if routed is not None:
             df, stats = routed
+            for c, op, val in hav_cols:
+                e = F.col(c)
+                df = df.where({"eq": e == val, "ge": e >= val,
+                               "gt": e > val, "le": e <= val,
+                               "lt": e < val}[op])
             df = df.select(*[F.col(gcol) if k == "group"
                              else F.col(a["alias"])
                              for k, a in out_spec])
@@ -444,6 +521,7 @@ def route_sql(spark: SparkSession, out_dir: str, sql: str,
                                   for c, asc in sort])
             stats = dict(stats)
             stats["routed"] = True
+            stats["having_filters"] = len(hav_cols)
             return df, stats
     return route_sql_count(spark, out_dir, sql, view)
 

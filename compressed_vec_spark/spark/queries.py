@@ -409,8 +409,10 @@ def encoded_table_sql_where_group(spark, sf_dir) -> DataFrame:
     leaf to a (manifest chunk-prune, compressed-domain row mask) pair
     — string IN answered on u32 dict codes, int range on the decoded
     filter vector — and runs the group bincount only over surviving
-    masked rows.  The two pushdown layers the count kernels and the
-    group kernel each had separately now compose in one statement.
+    masked rows; per-group MIN/MAX partials and the HAVING's
+    post-aggregation filter ride the same kernel.  The pushdown layers
+    the count kernels and the group kernel each had separately now
+    compose in one statement.
     In-query asserts prove the kernel routed AND the sorted-on-source
     layout actually pruned chunks (holds at every SF: three of twenty
     sources spread over 8 range partitions)."""
@@ -420,20 +422,26 @@ def encoded_table_sql_where_group(spark, sf_dir) -> DataFrame:
     df, st = sql_router.route_sql(
         spark, out,
         "SELECT source, count(*) AS doc_count,"
-        " sum(n_chars) AS sum_chars FROM cvx_sqlwg_docs"
+        " sum(n_chars) AS sum_chars, min(n_chars) AS min_chars,"
+        " max(n_chars) AS max_chars FROM cvx_sqlwg_docs"
         " WHERE source IN ('src3', 'src12', 'src17')"
-        " AND n_chars >= 100 GROUP BY source ORDER BY source",
+        " AND n_chars >= 100 GROUP BY source"
+        " HAVING count(*) >= 5 ORDER BY source",
         view="cvx_sqlwg_docs")
     assert st["routed"] and st.get("group_kernel"), st
     assert st["where_specs"] == 2 and st["pruned_chunks"] > 0, st
+    assert st["having_filters"] == 1, st
     return df
 
 
 def encoded_table_sql_where_group_oracle() -> str:
     return ("SELECT source, count(*) AS doc_count,"
-            " CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents"
+            " CAST(sum(n_chars) AS BIGINT) AS sum_chars,"
+            " CAST(min(n_chars) AS BIGINT) AS min_chars,"
+            " CAST(max(n_chars) AS BIGINT) AS max_chars FROM documents"
             " WHERE source IN ('src3', 'src12', 'src17')"
-            " AND n_chars >= 100 GROUP BY source ORDER BY source")
+            " AND n_chars >= 100 GROUP BY source"
+            " HAVING count(*) >= 5 ORDER BY source")
 
 
 def _documents_text_store(spark: SparkSession, sf_dir: str) -> str:

@@ -198,6 +198,27 @@ GROUP_ROUTED = [
     " GROUP BY lang",
     "SELECT lang, count(*) AS c FROM enc_t WHERE lang = 'xx'"
     " GROUP BY lang",
+    # per-group MIN/MAX answered by the kernel (exact under deletes)
+    "SELECT lang, min(k) AS mn, max(k) AS mx, count(*) AS c FROM enc_t"
+    " GROUP BY lang ORDER BY lang",
+    "SELECT lang, min(grp) AS mn FROM enc_t"
+    " WHERE k BETWEEN 50 AND 1500 GROUP BY lang ORDER BY lang",
+    # HAVING: SELECT alias, bare aggregate, hidden aggregate (not in
+    # the SELECT list), group column, literal-on-left, AND-combined
+    "SELECT lang, count(*) AS c FROM enc_t GROUP BY lang HAVING c > 700"
+    " ORDER BY lang",
+    "SELECT lang, count(*) AS c FROM enc_t GROUP BY lang"
+    " HAVING count(*) > 700 ORDER BY lang",
+    "SELECT lang, count(*) AS c FROM enc_t GROUP BY lang"
+    " HAVING sum(grp) > 7000 ORDER BY lang",
+    "SELECT lang, count(*) AS c FROM enc_t GROUP BY lang"
+    " HAVING lang >= 'fr' ORDER BY lang",
+    "SELECT lang, count(*) AS c FROM enc_t GROUP BY lang"
+    " HAVING 700 < count(*) ORDER BY lang",
+    "SELECT lang, sum(grp) AS s FROM enc_t WHERE grp = 4 GROUP BY lang"
+    " HAVING count(*) >= 20 AND s < 5000 ORDER BY s",
+    "SELECT lang, max(k) AS mk FROM enc_t GROUP BY lang"
+    " HAVING min(k) < 10 ORDER BY lang",
 ]
 GROUP_FALLBACK = [
     # int group column (not dict-coded)
@@ -217,6 +238,13 @@ GROUP_FALLBACK = [
     " WHERE lang = 'de' OR lang = 'fr' GROUP BY lang ORDER BY lang",
     "SELECT lang, count(*) AS c FROM enc_t WHERE score > 0.5"
     " GROUP BY lang ORDER BY lang",  # strict float bound
+    # HAVING leaves outside the grammar fall back whole
+    "SELECT lang, count(*) AS c FROM enc_t GROUP BY lang"
+    " HAVING avg(grp) > 9 ORDER BY lang",
+    "SELECT lang, count(*) AS c FROM enc_t GROUP BY lang"
+    " HAVING c > 900 OR c < 500 ORDER BY lang",
+    # string MIN/MAX of the group key stays on the decoded view
+    "SELECT lang, min(lang) AS m FROM enc_t GROUP BY lang ORDER BY lang",
 ]
 # ORDER BY a column that is neither grouped nor selected is invalid SQL
 # (Spark raises UNRESOLVED_COLUMN) — the router must refuse to route it
@@ -272,12 +300,15 @@ def test_group_kernel_null_semantics(spark):
         url_col=None, resume=False, codec_overrides={"g": "dict"})
     encoded_table.register_encoded_table(spark, out, "enc_gnull")
     sql = ("SELECT g, count(*) AS c, count(v) AS cv, sum(v) AS sv,"
-           " sum(w) AS sw FROM enc_gnull GROUP BY g ORDER BY g")
+           " sum(w) AS sw, min(v) AS mnv, max(v) AS mxv"
+           " FROM enc_gnull GROUP BY g ORDER BY g")
     got, st = sql_router.route_sql(spark, out, sql, view="enc_gnull")
     assert st["routed"] is True and st.get("group_kernel"), st
     rows = {r["g"]: r for r in got.collect()}
     assert set(rows) == {"a", "b", "c", None}
     assert rows["c"]["sv"] is None          # all-null SUM group
+    assert rows["c"]["mnv"] is None and rows["c"]["mxv"] is None
+    assert rows["a"]["mnv"] == 1 and rows["a"]["mxv"] == 8
     assert rows["c"]["c"] == 50 and rows["c"]["cv"] == 0
     assert rows[None]["c"] == 100 and rows[None]["cv"] == 100
     assert rows["a"]["sv"] == (1 + 4 + 8) * 50
