@@ -87,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # manifest chunk-prune + compressed-domain row masks feed the
         # bincount, all from plain SQL text ---
         "encoded_table_sql_where_group": q.encoded_table_sql_where_group,
+        # --- new in r5: SELECT DISTINCT answered from the dictionary
+        # heaps (code vectors never decoded on a delete-free store) ---
+        "encoded_table_sql_distinct": q.encoded_table_sql_distinct,
         # --- new in r5: the last unimplemented reference row, the
         # variable-length SectionWriter (src/section.rs:83-180), driven
         # end-to-end: NibblePacked histogram rows through SectionHeader
@@ -642,6 +645,8 @@ def oracle_sql() -> dict[str, str]:
         "encoded_table_sql_group": q.encoded_table_sql_group_oracle(),
         "encoded_table_sql_where_group":
             q.encoded_table_sql_where_group_oracle(),
+        "encoded_table_sql_distinct":
+            q.encoded_table_sql_distinct_oracle(),
         "repetition_ratio":
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct, "

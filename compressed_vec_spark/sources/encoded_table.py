@@ -1509,6 +1509,64 @@ def grouped_dict_agg(spark: SparkSession, out_dir: str, group_col: str,
                  "where_specs": len(where), "group_kernel": True}
 
 
+def dict_distinct(spark: SparkSession, out_dir: str,
+                  column: str) -> tuple[DataFrame, dict] | None:
+    """SELECT DISTINCT column answered from the per-chunk dictionary
+    HEAPS — a chunk's sorted symbol table holds exactly the values
+    present in that chunk, so the union of heaps IS the distinct set;
+    the u32 code vectors are decoded only for delete-affected chunks
+    (surviving codes via one bincount — still no per-row strings).
+    NULL membership comes from the manifest null counts, which stay
+    exact under schema evolution and live deletes
+    (`manifest_null_count`).  Scale shape: each task ships one
+    <= |dict|-sized value set, then a single distinct over (chunks x
+    |dict|) tiny rows — never N rows.  Returns None when the column
+    is not 100% dict-coded (callers fall back)."""
+    from ..codecs import dictionary
+
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    agg = (manifest.where(F.col("column") == column)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("codec") == "dict", 1).otherwise(0))
+                .alias("n_dict")).collect()[0])
+    n_chunks = int(agg["n"])
+    if n_chunks == 0 or int(agg["n_dict"] or 0) != n_chunks:
+        return None
+
+    chunks = (spark.read.parquet(os.path.join(out_dir, "chunks"))
+              .where(F.col("column") == column)
+              .select("chunk_id", "blob"))
+    joined = _join_keep(chunks, _keep_mask_df(spark, out_dir))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vals: set[str] = set()
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.blob)[4:]  # strip chunk codec tag
+                heap = dictionary.dictionary(payload)
+                km = row.keep_mask
+                if km is None:
+                    vals.update(heap)
+                    continue
+                codes = dictionary.codes(payload)
+                kb = _keep_bools(bytes(km), len(codes))
+                counts = np.bincount(codes[kb].astype(np.int64),
+                                     minlength=len(heap) + 1)
+                vals.update(v for c, v in enumerate(heap, 1)
+                            if counts[c] > 0)
+        yield pd.DataFrame({"v": pd.Series(sorted(vals), dtype=object)})
+
+    df = (joined.mapInPandas(fn, "v string").distinct()
+          .withColumnRenamed("v", column))
+    nulls, _ = manifest_null_count(spark, out_dir, column)
+    if nulls > 0:
+        df = df.unionAll(spark.range(0, 1, 1, 1).select(
+            F.lit(None).cast("string").alias(column)))
+    return df, {"total_chunks": n_chunks, "scanned_chunks": n_chunks,
+                "pruned_chunks": 0, "dict_fast_chunks": n_chunks,
+                "distinct_kernel": True}
+
+
 def manifest_min_max(spark: SparkSession, out_dir: str,
                      column: str) -> tuple[int | None, int | None]:
     """Global MIN/MAX of a column answered from the manifest ALONE —

@@ -21,9 +21,14 @@ predicate shapes the storage layer can answer from compressed bytes:
       FROM <view>
       [WHERE int eq/range | float range | str eq/IN, AND-combined]
       GROUP BY g [HAVING output-col/aggregate cmp literal, AND-comb.]
-      [ORDER BY output cols] (dict-code bincount kernel with manifest
-      chunk-prune + compressed-domain row masks for the WHERE,
-      post-aggregation filters for the HAVING, route_sql entry)
+      [ORDER BY output cols] [LIMIT n] (dict-code bincount kernel
+      with manifest chunk-prune + compressed-domain row masks for the
+      WHERE, post-aggregation filters for the HAVING, route_sql entry)
+
+    SELECT DISTINCT col FROM <view> [ORDER BY col] [LIMIT n]
+      (union of per-chunk dictionary heaps — code vectors never
+      decoded except under live deletes; NULL membership from the
+      manifest null counts; route_sql entry)
 
 `route_sql_count` parses the SQL with Spark's OWN parser (so quoting,
 case, comments, literal syntax all behave exactly like spark.sql),
@@ -285,15 +290,31 @@ def _merge_single_col(preds: list[dict]) -> list[dict]:
     return out
 
 
-def _parse_group(spark: SparkSession, sql: str):
-    """(out_spec, group_col, view, sort, preds, having) for the
-    supported GROUP BY shape — `SELECT <g and aggregates> FROM view
-    [WHERE p] GROUP BY g [HAVING h] [ORDER BY output cols]`, single
-    grouping column, WHERE limited to the same AND-of-leaves grammar
-    as the count router, HAVING to comparisons of output columns /
-    bare aggregates vs literals — else None.  out_spec is the SELECT
-    list in order: ("group", None) or ("agg", {alias, fn, col}); sort
-    is [(col, ascending)] or None."""
+_BAD_LIMIT = object()  # sentinel: a LIMIT clause we can't route
+
+
+def _limit_of(nodes: list):
+    """LIMIT value from a parsed plan: None when absent, the int when
+    the usual GlobalLimit/LocalLimit literal pair is present,
+    _BAD_LIMIT for anything else."""
+    glim = [n for n in nodes if _cls(n) == "GlobalLimit"]
+    llim = [n for n in nodes if _cls(n) == "LocalLimit"]
+    if not glim and not llim:
+        return None
+    if len(glim) != 1 or len(llim) != 1:
+        return _BAD_LIMIT
+    gt, _ = _tree(glim[0]["limitExpr"])
+    lt, _ = _tree(llim[0]["limitExpr"])
+    v = _literal(gt)
+    if not isinstance(v, int) or _literal(lt) != v or v < 0:
+        return _BAD_LIMIT
+    return v
+
+
+def _parse_distinct(spark: SparkSession, sql: str):
+    """(col, view, sort_asc, limit) for `SELECT DISTINCT col FROM view
+    [ORDER BY col] [LIMIT n]`, single un-aliased column — else None.
+    sort_asc is None (no ORDER BY) or a bool."""
     try:
         jplan = (spark._jsparkSession.sessionState().sqlParser()
                  .parsePlan(sql))
@@ -301,16 +322,72 @@ def _parse_group(spark: SparkSession, sql: str):
     except Exception:
         return None
     classes = [_cls(n) for n in nodes if "num-children" in n]
-    plan_classes = {"Sort", "UnresolvedHaving", "Aggregate", "Filter",
-                    "UnresolvedRelation"}
+    limit = _limit_of(nodes)
+    if limit is _BAD_LIMIT:
+        return None
+    sort_nodes = [n for n in nodes if _cls(n) == "Sort"]
+    expect = ((["GlobalLimit", "LocalLimit"] if limit is not None else [])
+              + (["Sort"] if sort_nodes else [])
+              + ["Distinct", "Project", "UnresolvedRelation"])
+    if classes != expect:
+        return None
+    proj = next(n for n in nodes if _cls(n) == "Project")
+    plist = proj.get("projectList") or []
+    if len(plist) != 1:
+        return None
+    t, _ = _tree(plist[0])
+    col = _attr(t)
+    if col is None:
+        return None
+    rel = next(n for n in nodes if _cls(n) == "UnresolvedRelation")
+    view = rel["multipartIdentifier"].strip("[]").split(", ")[-1]
+    sort_asc = None
+    if sort_nodes:
+        order = sort_nodes[0].get("order") or []
+        if len(order) != 1:
+            return None
+        st, _ = _tree(order[0])
+        if (st["cls"] != "SortOrder" or not st["kids"]
+                or _attr(st["kids"][0]) != col):
+            return None
+        sort_asc = "Desc" not in str(
+            st["raw"].get("direction", "Ascending"))
+    return col, view, sort_asc, limit
+
+
+def _parse_group(spark: SparkSession, sql: str):
+    """(out_spec, group_col, view, sort, preds, having, limit) for the
+    supported GROUP BY shape — `SELECT <g and aggregates> FROM view
+    [WHERE p] GROUP BY g [HAVING h] [ORDER BY output cols] [LIMIT n]`,
+    single grouping column, WHERE limited to the same AND-of-leaves
+    grammar as the count router, HAVING to comparisons of output
+    columns / bare aggregates vs literals — else None.  out_spec is
+    the SELECT list in order: ("group", None) or
+    ("agg", {alias, fn, col}); sort is [(col, ascending)] or None;
+    limit is an int or None."""
+    try:
+        jplan = (spark._jsparkSession.sessionState().sqlParser()
+                 .parsePlan(sql))
+        nodes = json.loads(jplan.toJSON())
+    except Exception:
+        return None
+    classes = [_cls(n) for n in nodes if "num-children" in n]
     agg_nodes = [n for n in nodes if _cls(n) == "Aggregate"]
     rel = [n for n in nodes if _cls(n) == "UnresolvedRelation"]
     sort_nodes = [n for n in nodes if _cls(n) == "Sort"]
     filt = [n for n in nodes if _cls(n) == "Filter"]
     hav_nodes = [n for n in nodes if _cls(n) == "UnresolvedHaving"]
-    if (set(classes) - plan_classes or len(agg_nodes) != 1
-            or len(rel) != 1 or len(sort_nodes) > 1 or len(filt) > 1
-            or len(hav_nodes) > 1):
+    limit = _limit_of(nodes)
+    if limit is _BAD_LIMIT:
+        return None
+    expect = ((["GlobalLimit", "LocalLimit"] if limit is not None else [])
+              + (["Sort"] if sort_nodes else [])
+              + (["UnresolvedHaving"] if hav_nodes else [])
+              + ["Aggregate"]
+              + (["Filter"] if filt else [])
+              + ["UnresolvedRelation"])
+    if classes != expect or len(agg_nodes) != 1 or len(rel) != 1 \
+            or len(sort_nodes) > 1 or len(filt) > 1 or len(hav_nodes) > 1:
         return None
     view = rel[0]["multipartIdentifier"].strip("[]").split(", ")[-1]
 
@@ -349,8 +426,6 @@ def _parse_group(spark: SparkSession, sql: str):
 
     sort = None
     if sort_nodes:
-        if classes[0] != "Sort":
-            return None
         out_names = {gcol} | {a["alias"] for k, a in out_spec
                               if k == "agg"}
         sort = []
@@ -363,7 +438,7 @@ def _parse_group(spark: SparkSession, sql: str):
                 return None
             sort.append((col, "Desc" not in str(
                 t["raw"].get("direction", "Ascending"))))
-    return out_spec, gcol, view, sort, preds, having
+    return out_spec, gcol, view, sort, preds, having, limit
 
 
 def _num_range_mask(lo, hi):
@@ -463,11 +538,34 @@ def route_sql(spark: SparkSession, out_dir: str, sql: str,
     single-row aggregate/count statements route through
     `route_sql_count`'s pruned kernels, and anything out of grammar
     falls back to Spark's planner over the decoded view."""
+    pdist = _parse_distinct(spark, sql)
+    if pdist is not None:
+        dcol, seen_view, sort_asc, limit = pdist
+        _, dtypes = encoded_table.stored_schema(spark, out_dir)
+        if ((view is None or seen_view == view)
+                and dtypes.get(dcol) == "string"
+                # LIMIT without ORDER BY picks arbitrary rows — leave
+                # that arbitrariness to Spark's own planner
+                and not (limit is not None and sort_asc is None)):
+            routed = encoded_table.dict_distinct(spark, out_dir, dcol)
+            if routed is not None:
+                df, stats = routed
+                if sort_asc is not None:
+                    df = df.orderBy(F.col(dcol).asc() if sort_asc
+                                    else F.col(dcol).desc())
+                if limit is not None:
+                    df = df.limit(limit)
+                stats = dict(stats)
+                stats["routed"] = True
+                return df, stats
+
     parsed = _parse_group(spark, sql)
     if parsed is not None:
-        out_spec, gcol, seen_view, sort, preds, having = parsed
+        out_spec, gcol, seen_view, sort, preds, having, limit = parsed
         if view is not None and seen_view != view:
             parsed = None
+        elif limit is not None and not sort:
+            parsed = None  # arbitrary-k group rows: Spark's call
     if parsed is not None:
         _, dtypes = encoded_table.stored_schema(spark, out_dir)
         aggs = [a for k, a in out_spec if k == "agg"]
@@ -519,6 +617,8 @@ def route_sql(spark: SparkSession, out_dir: str, sql: str,
                 df = df.orderBy(*[F.col(c).asc() if asc
                                   else F.col(c).desc()
                                   for c, asc in sort])
+            if limit is not None:
+                df = df.limit(limit)
             stats = dict(stats)
             stats["routed"] = True
             stats["having_filters"] = len(hav_cols)

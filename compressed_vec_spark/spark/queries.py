@@ -444,6 +444,31 @@ def encoded_table_sql_where_group_oracle() -> str:
             " HAVING count(*) >= 5 ORDER BY source")
 
 
+def encoded_table_sql_distinct(spark, sf_dir) -> DataFrame:
+    """`SELECT DISTINCT col` answered from the per-chunk dictionary
+    HEAPS: a chunk's sorted symbol table holds exactly the values
+    present in that chunk, so the union of heaps (plus manifest null
+    membership) IS the distinct set — code vectors are never decoded
+    on a delete-free store, and each task ships <= |dict| values
+    instead of N rows.  ORDER BY + LIMIT compose on top.  In-query
+    assert proves the heap kernel (not a row scan) answered."""
+    from ..sources import encoded_table, sql_router
+    out = _documents_by_source_store(spark, sf_dir)
+    encoded_table.register_encoded_table(spark, out, "cvx_sqld_docs")
+    df, st = sql_router.route_sql(
+        spark, out,
+        "SELECT DISTINCT source FROM cvx_sqld_docs"
+        " ORDER BY source LIMIT 12",
+        view="cvx_sqld_docs")
+    assert st["routed"] and st.get("distinct_kernel"), st
+    return df
+
+
+def encoded_table_sql_distinct_oracle() -> str:
+    return ("SELECT DISTINCT source FROM documents"
+            " ORDER BY source LIMIT 12")
+
+
 def _documents_text_store(spark: SparkSession, sf_dir: str) -> str:
     """Session-cached encoded store of documents (doc_id, text) sorted
     on doc_id — so TEXT values scatter across chunks and every chunk's

@@ -334,6 +334,50 @@ def test_group_kernel_respects_deletes(spark, store):
     assert not any(r[0] == "zh" for r in rows)  # deleted group gone
 
 
+DISTINCT_ROUTED = [
+    "SELECT DISTINCT lang FROM enc_t ORDER BY lang",
+    "SELECT DISTINCT lang FROM enc_t ORDER BY lang DESC",
+    "SELECT DISTINCT lang FROM enc_t ORDER BY lang LIMIT 3",
+]
+DISTINCT_FALLBACK = [
+    "SELECT DISTINCT grp FROM enc_t ORDER BY grp",     # int column
+    "SELECT DISTINCT lang, grp FROM enc_t",            # two columns
+    "SELECT DISTINCT lang FROM enc_t LIMIT 2",         # limit, no order
+]
+GROUP_LIMIT_ROUTED = [
+    "SELECT lang, count(*) AS c FROM enc_t GROUP BY lang"
+    " ORDER BY c DESC, lang LIMIT 2",
+    "SELECT lang, sum(grp) AS s FROM enc_t WHERE k < 2000"
+    " GROUP BY lang ORDER BY lang LIMIT 3",
+]
+
+
+@pytest.mark.parametrize("sql", DISTINCT_ROUTED + GROUP_LIMIT_ROUTED)
+def test_distinct_and_limit_routed(spark, store, sql):
+    """SELECT DISTINCT answers from the dictionary heaps (store has
+    live 'zh' deletes by this point: the vanished value must not
+    resurface from a stale heap), and ORDER BY ... LIMIT composes on
+    the group kernel."""
+    out, _ = store
+    encoded_table.register_encoded_table(spark, out, "enc_t")
+    got, st = sql_router.route_sql(spark, out, sql, view="enc_t")
+    assert st["routed"], (sql, st)
+    assert st.get("distinct_kernel") or st.get("group_kernel"), (sql, st)
+    assert [tuple(r) for r in got.collect()] \
+        == [tuple(r) for r in spark.sql(sql).collect()], sql
+    assert got.columns == spark.sql(sql).columns, sql
+
+
+@pytest.mark.parametrize("sql", DISTINCT_FALLBACK)
+def test_distinct_fallback(spark, store, sql):
+    out, _ = store
+    encoded_table.register_encoded_table(spark, out, "enc_t")
+    got, st = sql_router.route_sql(spark, out, sql, view="enc_t")
+    assert not st.get("distinct_kernel") and not st.get("group_kernel"), \
+        (sql, st)
+    assert got.count() == spark.sql(sql).count(), sql
+
+
 def test_group_where_prunes_chunks(spark, store):
     """The k-sorted layout must actually chunk-prune under the group
     kernel's WHERE, and the surviving masked rows must agree with the
