@@ -644,14 +644,17 @@ def pruned_string_range_count(spark: SparkSession, out_dir: str,
 
 def _pruned_select(spark: SparkSession, out_dir: str, filter_col: str,
                    manifest_pred, mask_fn, project_cols: list[str],
-                   dtypes: dict | None = None) -> DataFrame:
+                   dtypes: dict | None = None,
+                   with_stats: bool = False):
     """Shared skeleton of every row-returning filtered read over the
     store: manifest-stat prune -> broadcast candidate chunk ids ->
     chunk_id join pairing the filter blob with its projection blobs ->
     per-chunk `mask_fn(blob, codec) -> bool ndarray | None` -> only
     masked rows decoded for the projection and shipped out of the task.
     Column pruning and predicate pushdown meet at the chunk level, like
-    Parquet row-group skipping but over this engine's own format."""
+    Parquet row-group skipping but over this engine's own format.
+    With with_stats=True returns (df, prune-counter stats) — one extra
+    manifest aggregate, no chunk reads."""
     from ..codecs import chunk as chunk_codec
 
     if dtypes is None:
@@ -699,12 +702,18 @@ def _pruned_select(spark: SparkSession, out_dir: str, filter_col: str,
                                else pd.Series(vals))
                 yield pd.DataFrame(cols)
 
-    return paired.mapInPandas(fn, out_schema)
+    res = paired.mapInPandas(fn, out_schema)
+    if not with_stats:
+        return res
+    total, scanned, _ = _prune_counts(manifest, filter_col, manifest_pred)
+    return res, {"total_chunks": total, "scanned_chunks": scanned,
+                 "pruned_chunks": total - scanned, "select_kernel": True}
 
 
 def pruned_filter_select(spark: SparkSession, out_dir: str,
                          filter_col: str, value: str,
-                         project_cols: list[str]) -> DataFrame:
+                         project_cols: list[str],
+                         with_stats: bool = False):
     """SELECT project_cols WHERE filter_col == value over the persisted
     store, returning decoded ROWS — the drop-in query shape a user
     migrating a SQL workload runs constantly.  Pushdown layers:
@@ -736,12 +745,13 @@ def pruned_filter_select(spark: SparkSession, out_dir: str,
     return _pruned_select(
         spark, out_dir, filter_col,
         (F.col("min_str") <= value) & (F.col("max_str") >= value),
-        mask_fn, project_cols)
+        mask_fn, project_cols, with_stats=with_stats)
 
 
 def pruned_range_select(spark: SparkSession, out_dir: str,
                         filter_col: str, lo, hi,
-                        project_cols: list[str]) -> DataFrame:
+                        project_cols: list[str],
+                        with_stats: bool = False):
     """SELECT project_cols WHERE filter_col BETWEEN lo AND hi for a
     NUMERIC filter column — the numeric sibling of
     `pruned_filter_select`: manifest interval pruning on the stats
@@ -769,7 +779,8 @@ def pruned_range_select(spark: SparkSession, out_dir: str,
         return ((s >= lo) & (s <= hi)).fillna(False).to_numpy(dtype=bool)
 
     return _pruned_select(spark, out_dir, filter_col, pred,
-                          mask_fn, project_cols, dtypes=dtypes)
+                          mask_fn, project_cols, dtypes=dtypes,
+                          with_stats=with_stats)
 
 
 def store_membership(spark: SparkSession, out_dir: str, column: str,

@@ -30,6 +30,12 @@ predicate shapes the storage layer can answer from compressed bytes:
       decoded except under live deletes; NULL membership from the
       manifest null counts; route_sql entry)
 
+    SELECT col, ... | * FROM <view> WHERE str eq | int eq/range |
+      float range [ORDER BY projected cols] [LIMIT n]
+      (row-returning: pruned_filter_select / pruned_range_select —
+      manifest chunk-prune, row mask on the filter vector, projections
+      decoded only where the mask passes; route_sql entry)
+
 `route_sql_count` parses the SQL with Spark's OWN parser (so quoting,
 case, comments, literal syntax all behave exactly like spark.sql),
 pattern-matches the unresolved logical plan, and dispatches to the
@@ -355,6 +361,64 @@ def _parse_distinct(spark: SparkSession, sql: str):
     return col, view, sort_asc, limit
 
 
+_STAR = object()  # sentinel: SELECT * projection
+
+
+def _parse_select(spark: SparkSession, sql: str):
+    """(cols, view, preds, sort, limit) for a plain row-returning
+    filtered projection — `SELECT col, ... | * FROM view WHERE p
+    [ORDER BY projected cols] [LIMIT n]`, bare un-aliased columns, the
+    WHERE in the AND-of-leaves grammar — else None.  cols is _STAR or
+    a list; sort is [(col, asc)] or None."""
+    try:
+        jplan = (spark._jsparkSession.sessionState().sqlParser()
+                 .parsePlan(sql))
+        nodes = json.loads(jplan.toJSON())
+    except Exception:
+        return None
+    classes = [_cls(n) for n in nodes if "num-children" in n]
+    limit = _limit_of(nodes)
+    if limit is _BAD_LIMIT:
+        return None
+    sort_nodes = [n for n in nodes if _cls(n) == "Sort"]
+    expect = ((["GlobalLimit", "LocalLimit"] if limit is not None else [])
+              + (["Sort"] if sort_nodes else [])
+              + ["Project", "Filter", "UnresolvedRelation"])
+    if classes != expect:
+        return None
+    proj = next(n for n in nodes if _cls(n) == "Project")
+    plist = proj.get("projectList") or []
+    items = [_tree(item)[0] for item in plist]
+    if len(items) == 1 and items[0]["cls"] == "UnresolvedStar":
+        cols = _STAR
+    else:
+        cols = [_attr(t) for t in items]
+        if not cols or any(c is None for c in cols):
+            return None
+    rel = next(n for n in nodes if _cls(n) == "UnresolvedRelation")
+    view = rel["multipartIdentifier"].strip("[]").split(", ")[-1]
+
+    filt = next(n for n in nodes if _cls(n) == "Filter")
+    preds: list[dict] = []
+    ftree, _ = _tree(filt["condition"])
+    if not _leaves(ftree, preds):
+        return None
+
+    sort = None
+    if sort_nodes:
+        sort = []
+        for so in sort_nodes[0].get("order") or []:
+            t, _ = _tree(so)
+            if t["cls"] != "SortOrder" or not t["kids"]:
+                return None
+            col = _attr(t["kids"][0])
+            if col is None:
+                return None
+            sort.append((col, "Desc" not in str(
+                t["raw"].get("direction", "Ascending"))))
+    return cols, view, preds, sort, limit
+
+
 def _parse_group(spark: SparkSession, sql: str):
     """(out_spec, group_col, view, sort, preds, having, limit) for the
     supported GROUP BY shape — `SELECT <g and aggregates> FROM view
@@ -530,6 +594,61 @@ def _group_where_specs(dtypes: dict, preds: list[dict]) \
     return specs
 
 
+def _dispatch_select(spark, out_dir, cols, preds, sort, limit):
+    """(rows-DataFrame, stats) through pruned_filter_select /
+    pruned_range_select for a single routable predicate leaf, or None
+    when outside the row-kernel shapes."""
+    et = encoded_table
+    _, dtypes = et.stored_schema(spark, out_dir)
+    if cols is _STAR:
+        cols = list(dtypes)
+    if any(c not in dtypes for c in cols):
+        return None
+    if sort is not None and any(c not in cols for c, _ in sort):
+        return None
+    if limit is not None and not sort:
+        return None  # arbitrary-k rows: Spark's call
+    preds = _merge_single_col(preds)
+    if len(preds) != 1:
+        return None
+    p = preds[0]
+    c, dt = p["col"], dtypes.get(p["col"])
+    routed = None
+    if p["op"] == "eq" and dt == "string" and isinstance(p["val"], str):
+        routed = et.pruned_filter_select(spark, out_dir, c, p["val"],
+                                         cols, with_stats=True)
+    elif p["op"] == "eq" and dt == "int64" and isinstance(p["val"], int):
+        routed = et.pruned_range_select(spark, out_dir, c, p["val"],
+                                        p["val"], cols, with_stats=True)
+    elif p["op"] == "range" and dt == "int64":
+        lo, hi = p["lo"], p["hi"]
+        if not all(isinstance(v, int) for v in (lo, hi) if v is not None):
+            return None
+        if lo is None or hi is None:  # one-sided: manifest bound
+            mn, mx = et.manifest_min_max(spark, out_dir, c)
+            if mn is None:
+                return None  # all-null column: let Spark answer
+            lo, hi = (mn if lo is None else lo), (mx if hi is None else hi)
+        routed = et.pruned_range_select(spark, out_dir, c, lo, hi, cols,
+                                        with_stats=True)
+    elif (p["op"] == "range" and dt == "double"
+          and not p.get("strict_adj")
+          and p["lo"] is not None and p["hi"] is not None):
+        routed = et.pruned_range_select(spark, out_dir, c, p["lo"],
+                                        p["hi"], cols, with_stats=True)
+    if routed is None:
+        return None
+    df, stats = routed
+    if sort:
+        df = df.orderBy(*[F.col(s).asc() if asc else F.col(s).desc()
+                          for s, asc in sort])
+    if limit is not None:
+        df = df.limit(limit)
+    stats = dict(stats)
+    stats["routed"] = True
+    return df, stats
+
+
 def route_sql(spark: SparkSession, out_dir: str, sql: str,
               view: str | None = None) -> tuple[DataFrame, dict]:
     """General plain-SQL entry over a registered encoded table: GROUP
@@ -558,6 +677,15 @@ def route_sql(spark: SparkSession, out_dir: str, sql: str,
                 stats = dict(stats)
                 stats["routed"] = True
                 return df, stats
+
+    psel = _parse_select(spark, sql)
+    if psel is not None:
+        cols, seen_view, preds, sort, limit = psel
+        if view is None or seen_view == view:
+            routed = _dispatch_select(spark, out_dir, cols, preds,
+                                      sort, limit)
+            if routed is not None:
+                return routed
 
     parsed = _parse_group(spark, sql)
     if parsed is not None:

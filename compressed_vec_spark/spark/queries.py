@@ -692,11 +692,19 @@ def encoded_table_filter_select(spark, sf_dir) -> DataFrame:
     filter evaluated on compressed dict codes, and the projection
     columns decoded only in surviving chunks (sources/encoded_table
     pruned_filter_select) — predicate pushdown + column pruning over
-    this engine's own format."""
-    from ..sources import encoded_table
+    this engine's own format.  Since r5 the statement enters as plain
+    SQL TEXT through sql_router (row-returning shapes route to the
+    same kernel; in-query asserts prove it)."""
+    from ..sources import encoded_table, sql_router
     out = _documents_by_source_store(spark, sf_dir)
-    return encoded_table.pruned_filter_select(
-        spark, out, "source", "src12", ["doc_id", "n_chars"])
+    encoded_table.register_encoded_table(spark, out, "cvx_fsel_docs")
+    df, st = sql_router.route_sql(
+        spark, out,
+        "SELECT doc_id, n_chars FROM cvx_fsel_docs"
+        " WHERE source = 'src12'", view="cvx_fsel_docs")
+    assert st["routed"] and st.get("select_kernel"), st
+    assert st["pruned_chunks"] > 0, st
+    return df
 
 
 def encoded_table_range_select(spark, sf_dir) -> DataFrame:
@@ -705,11 +713,18 @@ def encoded_table_range_select(spark, sf_dir) -> DataFrame:
     — manifest [min_val, max_val] chunk pruning, the range evaluated on
     decoded filter vectors of surviving chunks only, projections
     decoded only where the mask passes (the numeric sibling of
-    `encoded_table_filter_select`)."""
-    from ..sources import encoded_table
+    `encoded_table_filter_select`).  Since r5 the statement enters as
+    plain SQL TEXT through sql_router."""
+    from ..sources import encoded_table, sql_router
     out = _orders_store(spark, sf_dir)
-    return encoded_table.pruned_range_select(
-        spark, out, "o_orderkey", 1000, 3000, ["o_orderkey", "o_custkey"])
+    encoded_table.register_encoded_table(spark, out, "cvx_rsel_orders")
+    df, st = sql_router.route_sql(
+        spark, out,
+        "SELECT o_orderkey, o_custkey FROM cvx_rsel_orders"
+        " WHERE o_orderkey BETWEEN 1000 AND 3000", view="cvx_rsel_orders")
+    assert st["routed"] and st.get("select_kernel"), st
+    assert st["pruned_chunks"] > 0, st
+    return df
 
 
 def _documents_dict_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

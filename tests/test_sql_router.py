@@ -378,6 +378,52 @@ def test_distinct_fallback(spark, store, sql):
     assert got.count() == spark.sql(sql).count(), sql
 
 
+SELECT_ROUTED = [
+    "SELECT k, lang FROM enc_t WHERE lang = 'de' ORDER BY k",
+    "SELECT k, grp, score FROM enc_t WHERE k BETWEEN 100 AND 450"
+    " ORDER BY k",
+    "SELECT * FROM enc_t WHERE k = 777",
+    "SELECT lang, k FROM enc_t WHERE k >= 3900 ORDER BY k DESC LIMIT 10",
+    "SELECT k FROM enc_t WHERE score BETWEEN 0.40 AND 0.42 ORDER BY k",
+    "SELECT grp FROM enc_t WHERE grp = 11 ORDER BY grp LIMIT 5",
+]
+SELECT_FALLBACK = [
+    "SELECT k FROM enc_t WHERE lang = 'de' AND k < 100",  # two leaves
+    "SELECT k AS kk FROM enc_t WHERE k < 100",            # alias
+    "SELECT k FROM enc_t WHERE score > 0.99",             # strict float
+    "SELECT k FROM enc_t WHERE k < 100 LIMIT 5",          # no ORDER BY
+    "SELECT upper(lang) FROM enc_t WHERE k = 5",          # expression
+]
+
+
+@pytest.mark.parametrize("sql", SELECT_ROUTED)
+def test_select_rows_routed(spark, store, sql):
+    """Row-returning filtered projections route to the pruned select
+    kernels (store has live 'zh' deletes by this point — the kernel
+    must apply them like the view does)."""
+    out, _ = store
+    encoded_table.register_encoded_table(spark, out, "enc_t")
+    got, st = sql_router.route_sql(spark, out, sql, view="enc_t")
+    assert st["routed"] and st.get("select_kernel"), (sql, st)
+    want = spark.sql(sql)
+    assert got.columns == want.columns, sql
+    g = [tuple(r) for r in got.collect()]
+    w = [tuple(r) for r in want.collect()]
+    if "ORDER BY k" in sql or "ORDER BY grp" in sql:
+        assert g == w, sql
+    else:
+        assert sorted(map(str, g)) == sorted(map(str, w)), sql
+
+
+@pytest.mark.parametrize("sql", SELECT_FALLBACK)
+def test_select_rows_fallback(spark, store, sql):
+    out, _ = store
+    encoded_table.register_encoded_table(spark, out, "enc_t")
+    got, st = sql_router.route_sql(spark, out, sql, view="enc_t")
+    assert not st.get("select_kernel"), (sql, st)
+    assert got.count() == spark.sql(sql).count(), sql
+
+
 def test_group_where_prunes_chunks(spark, store):
     """The k-sorted layout must actually chunk-prune under the group
     kernel's WHERE, and the surviving masked rows must agree with the
