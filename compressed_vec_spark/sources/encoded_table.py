@@ -710,6 +710,94 @@ def _pruned_select(spark: SparkSession, out_dir: str, filter_col: str,
                  "pruned_chunks": total - scanned, "select_kernel": True}
 
 
+def pruned_select_where(spark: SparkSession, out_dir: str,
+                        where: list[dict], project_cols: list[str]) \
+        -> tuple[DataFrame, dict] | None:
+    """Row-returning filtered projection under an AND of predicate
+    specs — the multi-predicate generalization of `_pruned_select`.
+    Each spec is {"col", "manifest_pred", "mask_fn"} (the same shape
+    `grouped_dict_agg`'s WHERE takes): chunk candidates are the
+    INTERSECTION of every spec's manifest survivors, each surviving
+    chunk evaluates all row masks on its filter vectors (mask_fn ->
+    None = provably no match, chunk skipped), and projection columns
+    decode only where the combined mask (ANDed with live-delete keeps)
+    passes.  Returns None when a column is missing from some chunk
+    (schema evolution) — callers fall back."""
+    from ..codecs import chunk as chunk_codec
+
+    _, dtypes = stored_schema(spark, out_dir)
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    counts = (manifest.groupBy("column")
+              .agg(F.count(F.lit(1)).alias("n")).collect())
+    by_col = {r["column"]: int(r["n"]) for r in counts}
+    n_chunks = max(by_col.values(), default=0)
+    need = {w["col"] for w in where} | set(project_cols)
+    if any(by_col.get(c) != n_chunks for c in need) or not where:
+        return None
+
+    cand = None
+    for w in where:
+        ids = (manifest.where((F.col("column") == w["col"])
+                              & w["manifest_pred"])
+               .select("chunk_id"))
+        cand = ids if cand is None else cand.join(ids, "chunk_id")
+    scanned = cand.count()
+
+    chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    # broadcast the (tiny) surviving-id set into the big chunk scan,
+    # then pair filter blobs with projection blobs on chunk_id
+    paired = F.broadcast(cand)
+    for i, w in enumerate(where):
+        paired = paired.join(
+            chunks.where(F.col("column") == w["col"])
+            .select("chunk_id", F.col("codec").alias("wc%d" % i),
+                    F.col("blob").alias("w%d" % i)),
+            "chunk_id")
+    for i, col in enumerate(project_cols):
+        paired = paired.join(
+            chunks.where(F.col("column") == col)
+            .select("chunk_id", F.col("blob").alias("p%d" % i)),
+            "chunk_id")
+    paired = _join_keep(paired, _keep_mask_df(spark, out_dir))
+    out_schema = ", ".join(
+        f"{c} {dtypes.get(c, 'string').replace('int64', 'long')}"
+        for c in project_cols)
+    where_fns = [w["mask_fn"] for w in where]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                mask, dead = None, False
+                for i, mfn in enumerate(where_fns):
+                    m = mfn(bytes(getattr(row, "w%d" % i)),
+                            getattr(row, "wc%d" % i))
+                    if m is None:
+                        dead = True
+                        break
+                    mask = m if mask is None else mask & m
+                if dead or not mask.any():
+                    continue
+                km = row.keep_mask
+                if km is not None:
+                    mask &= _keep_bools(bytes(km), len(mask))
+                    if not mask.any():
+                        continue
+                cols = {}
+                for i, c in enumerate(project_cols):
+                    dec = chunk_codec.decode_column(
+                        bytes(getattr(row, "p%d" % i)), dtypes.get(c))
+                    vals = dec[mask]
+                    cols[c] = (vals.reset_index(drop=True)
+                               if isinstance(vals, pd.Series)
+                               else pd.Series(vals))
+                yield pd.DataFrame(cols)
+
+    return (paired.mapInPandas(fn, out_schema),
+            {"total_chunks": n_chunks, "scanned_chunks": scanned,
+             "pruned_chunks": n_chunks - scanned,
+             "where_specs": len(where), "select_kernel": True})
+
+
 def pruned_filter_select(spark: SparkSession, out_dir: str,
                          filter_col: str, value: str,
                          project_cols: list[str],

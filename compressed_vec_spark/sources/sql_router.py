@@ -604,13 +604,21 @@ def _dispatch_select(spark, out_dir, cols, preds, sort, limit):
         cols = list(dtypes)
     if any(c not in dtypes for c in cols):
         return None
+    if len(set(cols)) != len(cols):
+        return None  # SELECT k, k: pandas cols would collapse the dup
     if sort is not None and any(c not in cols for c, _ in sort):
         return None
     if limit is not None and not sort:
         return None  # arbitrary-k rows: Spark's call
     preds = _merge_single_col(preds)
     if len(preds) != 1:
-        return None
+        # AND of several routable leaves: the multi-predicate select
+        # kernel (intersected chunk candidates, ANDed row masks)
+        specs = _group_where_specs(dtypes, preds)
+        if not specs or len(specs) < 2:
+            return None
+        routed = et.pruned_select_where(spark, out_dir, specs, cols)
+        return _finish_select(routed, sort, limit)
     p = preds[0]
     c, dt = p["col"], dtypes.get(p["col"])
     routed = None
@@ -636,6 +644,10 @@ def _dispatch_select(spark, out_dir, cols, preds, sort, limit):
           and p["lo"] is not None and p["hi"] is not None):
         routed = et.pruned_range_select(spark, out_dir, c, p["lo"],
                                         p["hi"], cols, with_stats=True)
+    return _finish_select(routed, sort, limit)
+
+
+def _finish_select(routed, sort, limit):
     if routed is None:
         return None
     df, stats = routed

@@ -155,6 +155,24 @@ def main(argv: list[str] | None = None) -> int:
     mat.add_argument("--input", required=True, help="source store dir")
     mat.add_argument("--output", required=True, help="fresh store dir")
 
+    sqlp = sub.add_parser(
+        "sql", help="run a SQL statement against a store: supported "
+                    "shapes route to the compressed kernels (manifest "
+                    "prune, code-vector masks, dictionary heaps), the "
+                    "rest runs on the decoded view")
+    sqlp.add_argument("--encoded", required=True, help="store dir")
+    sqlp.add_argument("--query", required=True,
+                      help="SQL text; the store is registered as the "
+                           "view named by --view")
+    sqlp.add_argument("--view", default="store",
+                      help="view name the query refers to (default "
+                           "'store')")
+    sqlp.add_argument("--output", default=None,
+                      help="write result rows to this parquet dir "
+                           "instead of printing up to --show rows")
+    sqlp.add_argument("--show", type=int, default=20,
+                      help="max rows to print when no --output")
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -283,6 +301,20 @@ def main(argv: list[str] | None = None) -> int:
         from compressed_vec_spark.spark import delete_job
         stats = delete_job.materialize_deletes(
             spark, args.input, args.output)
+        print(json.dumps(stats))
+    elif args.cmd == "sql":
+        from compressed_vec_spark.sources import encoded_table, sql_router
+        encoded_table.register_encoded_table(spark, args.encoded,
+                                             args.view)
+        df, stats = sql_router.route_sql(spark, args.encoded, args.query,
+                                         view=args.view)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            stats = dict(stats)
+            stats["output"] = args.output
+        else:
+            for row in df.take(args.show):
+                print(json.dumps(row.asDict(), default=str))
         print(json.dumps(stats))
     return 0
 

@@ -386,13 +386,21 @@ SELECT_ROUTED = [
     "SELECT lang, k FROM enc_t WHERE k >= 3900 ORDER BY k DESC LIMIT 10",
     "SELECT k FROM enc_t WHERE score BETWEEN 0.40 AND 0.42 ORDER BY k",
     "SELECT grp FROM enc_t WHERE grp = 11 ORDER BY grp LIMIT 5",
+    # AND of routable leaves: multi-predicate select kernel
+    "SELECT k, lang FROM enc_t WHERE lang = 'de' AND k < 100"
+    " ORDER BY k",
+    "SELECT k FROM enc_t WHERE k BETWEEN 200 AND 900"
+    " AND grp = 4 AND score BETWEEN 0.1 AND 0.9 ORDER BY k",
+    "SELECT * FROM enc_t WHERE lang IN ('de', 'pt') AND k >= 3800"
+    " ORDER BY k",
 ]
 SELECT_FALLBACK = [
-    "SELECT k FROM enc_t WHERE lang = 'de' AND k < 100",  # two leaves
     "SELECT k AS kk FROM enc_t WHERE k < 100",            # alias
     "SELECT k FROM enc_t WHERE score > 0.99",             # strict float
     "SELECT k FROM enc_t WHERE k < 100 LIMIT 5",          # no ORDER BY
     "SELECT upper(lang) FROM enc_t WHERE k = 5",          # expression
+    # one unroutable leaf poisons the whole AND
+    "SELECT k FROM enc_t WHERE lang = 'de' AND k % 2 = 0",
 ]
 
 
