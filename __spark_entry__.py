@@ -90,6 +90,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5: SELECT DISTINCT answered from the dictionary
         # heaps (code vectors never decoded on a delete-free store) ---
         "encoded_table_sql_distinct": q.encoded_table_sql_distinct,
+        # --- changed in r5 (now entering via SQL text): need a fresh
+        # driver row for the new code path ---
+        "encoded_table_filter_select": q.encoded_table_filter_select,
+        "encoded_table_range_select": q.encoded_table_range_select,
         # --- new in r5: the last unimplemented reference row, the
         # variable-length SectionWriter (src/section.rs:83-180), driven
         # end-to-end: NibblePacked histogram rows through SectionHeader
@@ -163,8 +167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_table_string_in_count": q.encoded_table_string_in_count,
         "encoded_table_float_range_count":
             q.encoded_table_float_range_count,
-        "encoded_table_filter_select": q.encoded_table_filter_select,
-        "encoded_table_range_select": q.encoded_table_range_select,
         "encoded_table_sum_pushdown": q.encoded_table_sum_pushdown,
         "encoded_table_group_count": q.encoded_table_group_count,
         "encoded_table_dim_join_count": q.encoded_table_dim_join_count,
