@@ -1,14 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 Image, audio AND video are REAL end to end in this environment:
-payloads are real container formats (P6 PPM images, RIFF/WAVE PCM16
-audio, uncompressed RGB24 AVI video) written and parsed with numpy —
-decode, resize (stride subsample), feature extraction, windowed RMS and
-frame sampling all operate on actual pixel/sample data.
-Codec-compressed formats (png/jpeg/opus/h264) route through import-
-gated PIL / NotImplementedError hooks — those decoders need external
-libs (ffmpeg) absent here; the container walking, Spark plumbing,
-schema and batch shapes are identical either way.  Blobs ride the same
+payloads are real container formats (P6 PPM / zlib PNG / baseline
+JPEG images, RIFF/WAVE PCM16 audio, uncompressed RGB24 AVI video)
+written and parsed with numpy — decode, resize (stride subsample),
+feature extraction, windowed RMS and frame sampling all operate on
+actual pixel/sample data; JPEG is a full T.81 baseline Huffman+DCT
+pair (codecs/jpeg.py), PNG a full zlib+scanline-filter pair.  Only
+formats whose decoders genuinely need external libs absent here
+(opus, h264, exotic JPEG profiles) stay import-gated behind
+PIL/ffmpeg hooks; the container walking, Spark plumbing, schema and
+batch shapes are identical either way.  Blobs ride the same
 `deflate`/`binary_fsst` chunk codecs as html.
 
 Schema conventions:
@@ -316,10 +318,20 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                                    (yy * 7 + int(i) * 5) % 256,
                                    (xx + yy + int(i) * 11) % 256],
                                   axis=-1).astype(np.uint8)
-                    # alternate containers: uncompressed PPM and real
-                    # zlib-compressed PNG exercise both decode paths
-                    payloads.append(encode_png(px) if (i // 3) % 2
-                                    else encode_ppm(px))
+                    # rotate containers: uncompressed PPM, real
+                    # zlib-compressed PNG, real Huffman+DCT baseline
+                    # JPEG — all three decode paths exercised
+                    v = (i // 3) % 3
+                    if v == 1:
+                        payloads.append(encode_png(px))
+                    elif v == 2:
+                        from ..codecs.jpeg import encode_jpeg
+                        # quality=100: all-ones quantizers, so decoded
+                        # pixels stay within +-3 of the deterministic
+                        # gradient the metadata oracle describes
+                        payloads.append(encode_jpeg(px, quality=100))
+                    else:
+                        payloads.append(encode_ppm(px))
                 elif k == "audio":
                     t = np.arange(AUDIO_SR * int(di) // 1000)
                     freq = float(int(i) % 880 + 110)
@@ -343,7 +355,8 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 "sample_rate": sr, "duration_ms": dur,
                 "codec": np.where(
                     kinds == "image",
-                    np.where((ids // 3) % 2 == 1, "png", "ppm"),
+                    np.select([(ids // 3) % 3 == 1, (ids // 3) % 3 == 2],
+                              ["png", "jpeg"], "ppm"),
                     np.where(kinds == "audio", "wav", "rgb24avi")),
             })
 
@@ -352,19 +365,24 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 
 def decode_image(payload: bytes, codec: str = "ppm") -> np.ndarray:
-    """Image decode dispatch: PPM and PNG decode natively (pure
-    numpy / zlib); remaining compressed formats (jpeg) need PIL
-    (import-gated — absent in this sandbox)."""
+    """Image decode dispatch: PPM, PNG and baseline JPEG all decode
+    natively (pure numpy / zlib — codecs/jpeg.py implements T.81
+    baseline); anything else (exotic JPEG profiles, webp, ...) is
+    import-gated behind PIL, absent in this sandbox."""
     if codec == "ppm":
         return decode_ppm(payload)
     if codec == "png":
         return decode_png(payload)
+    if codec == "jpeg":
+        from ..codecs.jpeg import decode_jpeg
+        return decode_jpeg(payload)
     try:
         import io
         from PIL import Image  # noqa: PLC0415
     except ImportError as e:  # pragma: no cover - env without PIL
         raise NotImplementedError(
-            f"decoding {codec} requires PIL; only ppm decodes natively") from e
+            f"decoding {codec} requires PIL; ppm/png/jpeg decode "
+            "natively") from e
     return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
 
 

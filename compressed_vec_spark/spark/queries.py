@@ -1602,7 +1602,7 @@ MEDIA_ORACLE_ROWS = 300
 # bump when synthetic_media's generator or schema changes: the path is
 # keyed on (version, rows) so a changed generator can never silently
 # reuse a stale parquet written by an older build
-MEDIA_GEN_VERSION = 3  # v3: half the images are real zlib PNGs
+MEDIA_GEN_VERSION = 4  # v4: images rotate ppm / png / baseline jpeg
 
 
 def _media_oracle_dir() -> str:

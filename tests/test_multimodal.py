@@ -285,16 +285,82 @@ def test_png_color_types_normalize_to_rgb():
         mm.decode_png(bad)
 
 
-def test_synthetic_media_mixes_png_and_ppm(spark):
-    """Half the image rows are real PNGs; both containers decode to
-    the same deterministic gradient the metadata describes."""
-    pdf = mm.synthetic_media(spark, 60).toPandas()
+def test_synthetic_media_mixes_ppm_png_jpeg(spark):
+    """Image rows rotate through all three real containers; each
+    decodes to the deterministic gradient the metadata describes —
+    exactly for the lossless pair, within the +-3 DCT round-trip
+    envelope for quality-100 JPEG."""
+    pdf = mm.synthetic_media(spark, 90).toPandas()
     imgs = pdf[pdf["kind"] == "image"]
-    assert set(imgs["codec"]) == {"ppm", "png"}
+    assert set(imgs["codec"]) == {"ppm", "png", "jpeg"}
     for _, r in imgs.iterrows():
         img = mm.decode_image(bytes(r["payload"]), r["codec"])
         assert img.shape == (r["height"], r["width"], 3)
         i, w = int(r["media_id"]), int(r["width"])
         # generator's red channel: (x*3 + i) % 256 on every row
-        assert (img[0, :, 0]
-                == (np.arange(w) * 3 + i) % 256).all(), r["codec"]
+        want = (np.arange(w) * 3 + i) % 256
+        if r["codec"] == "jpeg":
+            err = np.abs(img[0, :, 0].astype(int) - want)
+            # the mod-256 wrap is a step edge; away from it the DCT
+            # round-trip stays tiny.  255-wide wraps only exist when
+            # w*3 > 255.
+            assert np.median(err) <= 3, err
+        else:
+            assert (img[0, :, 0] == want).all(), r["codec"]
+
+
+def test_jpeg_codec_roundtrip():
+    """encode_jpeg -> decode_jpeg at quality=100 (all-ones quantizers)
+    is within the DCT integer round-trip envelope on gradients AND on
+    adversarial noise; structure is a real T.81 baseline stream."""
+    from compressed_vec_spark.codecs.jpeg import decode_jpeg, encode_jpeg
+    rng = np.random.default_rng(3)
+    for (h, w) in [(8, 8), (16, 48), (13, 21), (1, 1), (9, 50), (33, 7)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack([(xx * 3 + 7) % 256, (yy * 7 + 5) % 256,
+                       (xx + yy) % 256], axis=-1).astype(np.uint8)
+        blob = encode_jpeg(px, quality=100)
+        assert blob[:2] == b"\xFF\xD8" and blob[-2:] == b"\xFF\xD9"
+        assert b"JFIF" in blob[:20]
+        out = decode_jpeg(blob)
+        assert out.shape == px.shape
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+        assert encode_jpeg(px, quality=100) == blob  # deterministic
+    for _ in range(20):  # noise fuzz: worst case for DCT rounding
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(px, quality=100))
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 4
+
+
+def test_jpeg_refuses_what_it_cannot_decode():
+    """Unsupported profiles raise instead of mis-decoding: truncated /
+    non-JPEG input, progressive SOF2, subsampled components."""
+    import struct
+    from compressed_vec_spark.codecs.jpeg import decode_jpeg, encode_jpeg
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    px = np.zeros((8, 8, 3), np.uint8)
+    blob = bytearray(encode_jpeg(px))
+    sof = bytes(blob).find(b"\xFF\xC0")
+    prog = blob.copy()
+    prog[sof + 1] = 0xC2                     # SOF0 -> SOF2 progressive
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+    sub = blob.copy()
+    sub[sof + 2 + 2 + 6 + 1] = 0x22          # Y sampling 2x2 (4:2:0)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(sub))
+
+
+def test_jpeg_quality_scales_size_and_error():
+    """Lower quality -> smaller payload and (on a smooth ramp) bounded
+    loss; quality=100 -> all-ones quantizers."""
+    from compressed_vec_spark.codecs.jpeg import decode_jpeg, encode_jpeg
+    ramp = (np.mgrid[0:32, 0:32][0] * 4).astype(np.uint8)
+    px = np.stack([ramp] * 3, axis=-1)
+    b100 = encode_jpeg(px, quality=100)
+    b50 = encode_jpeg(px, quality=50)
+    assert len(b50) < len(b100)
+    assert np.abs(decode_jpeg(b50).astype(int) - px.astype(int)).max() <= 16
+    assert np.abs(decode_jpeg(b100).astype(int) - px.astype(int)).max() <= 2
