@@ -456,3 +456,84 @@ def test_group_invalid_order_raises_like_sparksql(spark, store):
                                       view="enc_t")
         assert not st.get("group_kernel"), st  # must not route...
         df.collect()                           # ...and fallback raises
+
+
+def test_grammar_fuzz_routed_or_fallback_always_matches(spark, store):
+    """Deterministic fuzz over the router's whole statement space:
+    random WHERE conjunctions (routable and not), random aggregate /
+    GROUP BY / HAVING / DISTINCT / row-SELECT shells with optional
+    ORDER BY + LIMIT.  Whatever path the router picks, the answer must
+    equal spark.sql over the registered decoded view — the router's
+    one contract.  Seeded: failures reproduce exactly."""
+    import random
+    out, _ = store
+    encoded_table.register_encoded_table(spark, out, "enc_t")
+    rng = random.Random(20260820)
+
+    def leaf():
+        return rng.choice([
+            lambda: f"k = {rng.randrange(4000)}",
+            lambda: f"k BETWEEN {rng.randrange(2000)}"
+                    f" AND {rng.randrange(2000, 4000)}",
+            lambda: f"k >= {rng.randrange(3500)}",
+            lambda: f"k < {rng.randrange(500, 4000)}",
+            lambda: f"lang = '{rng.choice(['en', 'de', 'xx'])}'",
+            lambda: "lang IN ('en','fr')",
+            lambda: f"grp = {rng.randrange(20)}",
+            lambda: f"score BETWEEN 0.{rng.randrange(1, 5)}"
+                    f" AND 0.{rng.randrange(5, 9)}",
+            lambda: "k % 7 = 0",                 # never routable
+            lambda: "lang LIKE 'd%'",
+        ])()
+
+    def where():
+        n = rng.choice([0, 1, 1, 2, 3])
+        return (" WHERE " + " AND ".join(leaf() for _ in range(n))
+                if n else "")
+
+    def statement():
+        shape = rng.randrange(4)
+        tail = ""
+        if shape == 0:      # count aggregate
+            return f"SELECT count(*) AS c FROM enc_t{where()}"
+        if shape == 1:      # group by
+            aggs = rng.sample(["count(*) AS c", "sum(grp) AS s",
+                               "min(k) AS mn", "max(k) AS mx",
+                               "count(grp) AS cg"], rng.randrange(1, 3))
+            h = rng.choice(["", " HAVING count(*) >= 1",
+                            " HAVING c > 100" if "count(*) AS c" in aggs
+                            else ""])
+            tail = " ORDER BY lang" + (
+                f" LIMIT {rng.randrange(1, 6)}" if rng.random() < .3
+                else "")
+            return (f"SELECT lang, {', '.join(aggs)} FROM enc_t"
+                    f"{where()} GROUP BY lang{h}{tail}")
+        if shape == 2:      # distinct
+            tail = rng.choice(["", " ORDER BY lang",
+                               " ORDER BY lang LIMIT 3"])
+            return f"SELECT DISTINCT lang FROM enc_t{tail}"
+        cols = rng.sample(["k", "lang", "grp", "score"],
+                          rng.randrange(1, 4))
+        w = where() or " WHERE k < 40"
+        return (f"SELECT {', '.join(cols)} FROM enc_t{w}"
+                + (" ORDER BY " + cols[0] if "k" in cols else ""))
+
+    n_routed = 0
+    for i in range(60):
+        sql = statement()
+        got, st = sql_router.route_sql(spark, out, sql, view="enc_t")
+        want = spark.sql(sql)
+        assert got.columns == want.columns, (i, sql)
+        g = [tuple(r) for r in got.collect()]
+        w = [tuple(r) for r in want.collect()]
+        if " LIMIT " in sql and " ORDER BY lang LIMIT" in sql \
+                and "GROUP BY" in sql:
+            # ORDER BY lang is total (unique groups): exact compare
+            assert g == w, (i, sql)
+        elif " LIMIT " in sql:
+            assert len(g) == len(w), (i, sql)
+        else:
+            assert sorted(map(str, g)) == sorted(map(str, w)), (i, sql)
+        n_routed += bool(st.get("routed"))
+    # the fuzz must exercise BOTH paths, or it proves nothing
+    assert 10 <= n_routed <= 59, n_routed
