@@ -266,11 +266,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff = {}
     sof = None
     scan = None
-    while pos < len(b):
-        assert b[pos] == 0xFF, "marker expected"
+    while pos + 1 < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        while b[pos + 1] == 0xFF:      # T.81: any number of fill FFs
+            pos += 1
+            if pos + 1 >= len(b):
+                raise ValueError("truncated JPEG header")
         marker = b[pos + 1]
         if marker == 0xD9:
             break
+        if pos + 4 > len(b):
+            raise ValueError("truncated JPEG header")
         ln = struct.unpack(">H", b[pos + 2:pos + 4])[0]
         body = b[pos + 4:pos + 2 + ln]
         pos += 2 + ln
@@ -362,6 +369,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     continue
                 k += sym >> 4
                 s = sym & 15
+                if s == 0:  # run>0 with SSSS=0 is undefined in baseline
+                    raise ValueError("invalid AC symbol (SSSS=0)")
                 v = br.get(s)
                 if v < (1 << (s - 1)):
                     v -= (1 << s) - 1

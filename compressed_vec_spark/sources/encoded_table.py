@@ -710,6 +710,20 @@ def _pruned_select(spark: SparkSession, out_dir: str, filter_col: str,
                  "pruned_chunks": total - scanned, "select_kernel": True}
 
 
+def _where_candidates(manifest: DataFrame, where: list[dict]) \
+        -> tuple[DataFrame, int]:
+    """(chunk-id DataFrame, scanned count) of the chunks surviving
+    EVERY spec's manifest-stat predicate — the shared pruning front of
+    the WHERE-spec kernels (grouped_dict_agg, pruned_select_where)."""
+    cand = None
+    for w in where:
+        ids = (manifest.where((F.col("column") == w["col"])
+                              & w["manifest_pred"])
+               .select("chunk_id"))
+        cand = ids if cand is None else cand.join(ids, "chunk_id")
+    return cand, cand.count()
+
+
 def pruned_select_where(spark: SparkSession, out_dir: str,
                         where: list[dict], project_cols: list[str]) \
         -> tuple[DataFrame, dict] | None:
@@ -735,13 +749,7 @@ def pruned_select_where(spark: SparkSession, out_dir: str,
     if any(by_col.get(c) != n_chunks for c in need) or not where:
         return None
 
-    cand = None
-    for w in where:
-        ids = (manifest.where((F.col("column") == w["col"])
-                              & w["manifest_pred"])
-               .select("chunk_id"))
-        cand = ids if cand is None else cand.join(ids, "chunk_id")
-    scanned = cand.count()
+    cand, scanned = _where_candidates(manifest, where)
 
     chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
     # broadcast the (tiny) surviving-id set into the big chunk scan,
@@ -1453,14 +1461,7 @@ def grouped_dict_agg(spark: SparkSession, out_dir: str, group_col: str,
             .select("chunk_id", F.col("blob").alias("blob_g")))
     scanned = n_chunks
     if where:
-        # chunk ids surviving EVERY spec's manifest-stat predicate
-        cand = None
-        for w in where:
-            ids = (manifest.where((F.col("column") == w["col"])
-                                  & w["manifest_pred"])
-                   .select("chunk_id"))
-            cand = ids if cand is None else cand.join(ids, "chunk_id")
-        scanned = cand.count()
+        cand, scanned = _where_candidates(manifest, where)
         scan = scan.join(F.broadcast(cand), "chunk_id")
     for i, c in enumerate(extra_cols):
         scan = scan.join(

@@ -221,15 +221,24 @@ def _having_leaves(t: dict, out: list) -> bool:
     return False
 
 
-def _parse(spark: SparkSession, sql: str):
-    """(aggs, view, predicates) for a supported aggregate query, else
-    None.  Shape: Project[Alias(agg)...] <- [Filter] <-
-    UnresolvedRelation, exactly — anything more is the fallback's job."""
+def _plan_nodes(spark: SparkSession, sql: str) -> list | None:
+    """Flattened TreeNode JSON of the unresolved parse plan, via
+    Spark's own parser — parsed ONCE per route_sql call and threaded
+    through every shape matcher (the JVM round-trip is the expensive
+    part of routing)."""
     try:
         jplan = (spark._jsparkSession.sessionState().sqlParser()
                  .parsePlan(sql))
-        nodes = json.loads(jplan.toJSON())
+        return json.loads(jplan.toJSON())
     except Exception:
+        return None
+
+
+def _parse(nodes: list | None):
+    """(aggs, view, predicates) for a supported aggregate query, else
+    None.  Shape: Project[Alias(agg)...] <- [Filter] <-
+    UnresolvedRelation, exactly — anything more is the fallback's job."""
+    if nodes is None:
         return None
     classes = [_cls(n) for n in nodes if "num-children" in n]
     # plan-level nodes come first in the flat list, pre-order
@@ -296,6 +305,28 @@ def _merge_single_col(preds: list[dict]) -> list[dict]:
     return out
 
 
+def _sort_order(t: dict):
+    """(col, ascending, nulls_first) of a SortOrder tree node over a
+    plain column reference — else None.  nulls_first captures an
+    explicit NULLS FIRST/LAST (Spark's default is first-for-asc,
+    last-for-desc; the parse tree carries the resolved choice)."""
+    if t["cls"] != "SortOrder" or not t["kids"]:
+        return None
+    col = _attr(t["kids"][0])
+    if col is None:
+        return None
+    asc = "Desc" not in str(t["raw"].get("direction", "Ascending"))
+    nulls_first = "NullsLast" not in str(t["raw"].get("nullOrdering", ""))
+    return col, asc, nulls_first
+
+
+def _sort_expr(col: str, asc: bool, nulls_first: bool):
+    c = F.col(col)
+    if asc:
+        return c.asc_nulls_first() if nulls_first else c.asc_nulls_last()
+    return c.desc_nulls_first() if nulls_first else c.desc_nulls_last()
+
+
 _BAD_LIMIT = object()  # sentinel: a LIMIT clause we can't route
 
 
@@ -317,15 +348,11 @@ def _limit_of(nodes: list):
     return v
 
 
-def _parse_distinct(spark: SparkSession, sql: str):
+def _parse_distinct(nodes: list | None):
     """(col, view, sort_asc, limit) for `SELECT DISTINCT col FROM view
     [ORDER BY col] [LIMIT n]`, single un-aliased column — else None.
-    sort_asc is None (no ORDER BY) or a bool."""
-    try:
-        jplan = (spark._jsparkSession.sessionState().sqlParser()
-                 .parsePlan(sql))
-        nodes = json.loads(jplan.toJSON())
-    except Exception:
+    sort_asc is None (no ORDER BY) or (ascending, nulls_first)."""
+    if nodes is None:
         return None
     classes = [_cls(n) for n in nodes if "num-children" in n]
     limit = _limit_of(nodes)
@@ -353,28 +380,23 @@ def _parse_distinct(spark: SparkSession, sql: str):
         if len(order) != 1:
             return None
         st, _ = _tree(order[0])
-        if (st["cls"] != "SortOrder" or not st["kids"]
-                or _attr(st["kids"][0]) != col):
+        so = _sort_order(st)
+        if so is None or so[0] != col:
             return None
-        sort_asc = "Desc" not in str(
-            st["raw"].get("direction", "Ascending"))
+        sort_asc = so[1:]  # (ascending, nulls_first)
     return col, view, sort_asc, limit
 
 
 _STAR = object()  # sentinel: SELECT * projection
 
 
-def _parse_select(spark: SparkSession, sql: str):
+def _parse_select(nodes: list | None):
     """(cols, view, preds, sort, limit) for a plain row-returning
     filtered projection — `SELECT col, ... | * FROM view WHERE p
     [ORDER BY projected cols] [LIMIT n]`, bare un-aliased columns, the
     WHERE in the AND-of-leaves grammar — else None.  cols is _STAR or
     a list; sort is [(col, asc)] or None."""
-    try:
-        jplan = (spark._jsparkSession.sessionState().sqlParser()
-                 .parsePlan(sql))
-        nodes = json.loads(jplan.toJSON())
-    except Exception:
+    if nodes is None:
         return None
     classes = [_cls(n) for n in nodes if "num-children" in n]
     limit = _limit_of(nodes)
@@ -409,17 +431,14 @@ def _parse_select(spark: SparkSession, sql: str):
         sort = []
         for so in sort_nodes[0].get("order") or []:
             t, _ = _tree(so)
-            if t["cls"] != "SortOrder" or not t["kids"]:
+            o = _sort_order(t)
+            if o is None:
                 return None
-            col = _attr(t["kids"][0])
-            if col is None:
-                return None
-            sort.append((col, "Desc" not in str(
-                t["raw"].get("direction", "Ascending"))))
+            sort.append(o)
     return cols, view, preds, sort, limit
 
 
-def _parse_group(spark: SparkSession, sql: str):
+def _parse_group(nodes: list | None):
     """(out_spec, group_col, view, sort, preds, having, limit) for the
     supported GROUP BY shape — `SELECT <g and aggregates> FROM view
     [WHERE p] GROUP BY g [HAVING h] [ORDER BY output cols] [LIMIT n]`,
@@ -429,11 +448,7 @@ def _parse_group(spark: SparkSession, sql: str):
     the SELECT list in order: ("group", None) or
     ("agg", {alias, fn, col}); sort is [(col, ascending)] or None;
     limit is an int or None."""
-    try:
-        jplan = (spark._jsparkSession.sessionState().sqlParser()
-                 .parsePlan(sql))
-        nodes = json.loads(jplan.toJSON())
-    except Exception:
+    if nodes is None:
         return None
     classes = [_cls(n) for n in nodes if "num-children" in n]
     agg_nodes = [n for n in nodes if _cls(n) == "Aggregate"]
@@ -495,13 +510,10 @@ def _parse_group(spark: SparkSession, sql: str):
         sort = []
         for so in sort_nodes[0].get("order") or []:
             t, _ = _tree(so)
-            if t["cls"] != "SortOrder" or not t["kids"]:
+            o = _sort_order(t)
+            if o is None or o[0] not in out_names:
                 return None
-            col = _attr(t["kids"][0])
-            if col is None or col not in out_names:
-                return None
-            sort.append((col, "Desc" not in str(
-                t["raw"].get("direction", "Ascending"))))
+            sort.append(o)
     return out_spec, gcol, view, sort, preds, having, limit
 
 
@@ -595,9 +607,13 @@ def _group_where_specs(dtypes: dict, preds: list[dict]) \
 
 
 def _dispatch_select(spark, out_dir, cols, preds, sort, limit):
-    """(rows-DataFrame, stats) through pruned_filter_select /
-    pruned_range_select for a single routable predicate leaf, or None
-    when outside the row-kernel shapes."""
+    """(rows-DataFrame, stats) through the WHERE-spec select kernel
+    (`pruned_select_where`: intersected chunk candidates, ANDed row
+    masks, mask-gated projection decode), or None when outside the
+    routable shapes.  One kernel serves 1..n predicate leaves, so the
+    schema-evolution guard (a column absent from some chunks refuses
+    to route rather than dropping those chunks' rows) applies
+    uniformly."""
     et = encoded_table
     _, dtypes = et.stored_schema(spark, out_dir)
     if cols is _STAR:
@@ -606,54 +622,22 @@ def _dispatch_select(spark, out_dir, cols, preds, sort, limit):
         return None
     if len(set(cols)) != len(cols):
         return None  # SELECT k, k: pandas cols would collapse the dup
-    if sort is not None and any(c not in cols for c, _ in sort):
+    if sort is not None and any(c not in cols for c, *_ in sort):
         return None
     if limit is not None and not sort:
         return None  # arbitrary-k rows: Spark's call
-    preds = _merge_single_col(preds)
-    if len(preds) != 1:
-        # AND of several routable leaves: the multi-predicate select
-        # kernel (intersected chunk candidates, ANDed row masks)
-        specs = _group_where_specs(dtypes, preds)
-        if not specs or len(specs) < 2:
-            return None
-        routed = et.pruned_select_where(spark, out_dir, specs, cols)
-        return _finish_select(routed, sort, limit)
-    p = preds[0]
-    c, dt = p["col"], dtypes.get(p["col"])
-    routed = None
-    if p["op"] == "eq" and dt == "string" and isinstance(p["val"], str):
-        routed = et.pruned_filter_select(spark, out_dir, c, p["val"],
-                                         cols, with_stats=True)
-    elif p["op"] == "eq" and dt == "int64" and isinstance(p["val"], int):
-        routed = et.pruned_range_select(spark, out_dir, c, p["val"],
-                                        p["val"], cols, with_stats=True)
-    elif p["op"] == "range" and dt == "int64":
-        lo, hi = p["lo"], p["hi"]
-        if not all(isinstance(v, int) for v in (lo, hi) if v is not None):
-            return None
-        if lo is None or hi is None:  # one-sided: manifest bound
-            mn, mx = et.manifest_min_max(spark, out_dir, c)
-            if mn is None:
-                return None  # all-null column: let Spark answer
-            lo, hi = (mn if lo is None else lo), (mx if hi is None else hi)
-        routed = et.pruned_range_select(spark, out_dir, c, lo, hi, cols,
-                                        with_stats=True)
-    elif (p["op"] == "range" and dt == "double"
-          and not p.get("strict_adj")
-          and p["lo"] is not None and p["hi"] is not None):
-        routed = et.pruned_range_select(spark, out_dir, c, p["lo"],
-                                        p["hi"], cols, with_stats=True)
+    specs = _group_where_specs(dtypes, _merge_single_col(preds))
+    if not specs:
+        return None
+    routed = et.pruned_select_where(spark, out_dir, specs, cols)
     return _finish_select(routed, sort, limit)
-
 
 def _finish_select(routed, sort, limit):
     if routed is None:
         return None
     df, stats = routed
     if sort:
-        df = df.orderBy(*[F.col(s).asc() if asc else F.col(s).desc()
-                          for s, asc in sort])
+        df = df.orderBy(*[_sort_expr(*o) for o in sort])
     if limit is not None:
         df = df.limit(limit)
     stats = dict(stats)
@@ -669,7 +653,8 @@ def route_sql(spark: SparkSession, out_dir: str, sql: str,
     single-row aggregate/count statements route through
     `route_sql_count`'s pruned kernels, and anything out of grammar
     falls back to Spark's planner over the decoded view."""
-    pdist = _parse_distinct(spark, sql)
+    nodes = _plan_nodes(spark, sql)
+    pdist = _parse_distinct(nodes)
     if pdist is not None:
         dcol, seen_view, sort_asc, limit = pdist
         _, dtypes = encoded_table.stored_schema(spark, out_dir)
@@ -682,15 +667,14 @@ def route_sql(spark: SparkSession, out_dir: str, sql: str,
             if routed is not None:
                 df, stats = routed
                 if sort_asc is not None:
-                    df = df.orderBy(F.col(dcol).asc() if sort_asc
-                                    else F.col(dcol).desc())
+                    df = df.orderBy(_sort_expr(dcol, *sort_asc))
                 if limit is not None:
                     df = df.limit(limit)
                 stats = dict(stats)
                 stats["routed"] = True
                 return df, stats
 
-    psel = _parse_select(spark, sql)
+    psel = _parse_select(nodes)
     if psel is not None:
         cols, seen_view, preds, sort, limit = psel
         if view is None or seen_view == view:
@@ -699,7 +683,7 @@ def route_sql(spark: SparkSession, out_dir: str, sql: str,
             if routed is not None:
                 return routed
 
-    parsed = _parse_group(spark, sql)
+    parsed = _parse_group(nodes)
     if parsed is not None:
         out_spec, gcol, seen_view, sort, preds, having, limit = parsed
         if view is not None and seen_view != view:
@@ -716,9 +700,15 @@ def route_sql(spark: SparkSession, out_dir: str, sql: str,
         ok = True
         for h in having:
             if h["ref"] is not None:
-                if h["ref"] != gcol and not any(
-                        a["alias"] == h["ref"] for a in aggs):
-                    ok = False  # not an output column: Spark's call
+                # Spark resolves HAVING attributes against the
+                # UNDERLYING table before SELECT aliases — if the name
+                # is also a stored column (and not the group key), an
+                # alias-shadowing divergence is possible; leave those
+                # to Spark's own resolver via the fallback
+                if h["ref"] != gcol and (
+                        h["ref"] in dtypes or not any(
+                            a["alias"] == h["ref"] for a in aggs)):
+                    ok = False
                     break
                 hav_cols.append((h["ref"], h["op"], h["val"]))
                 continue
@@ -754,20 +744,21 @@ def route_sql(spark: SparkSession, out_dir: str, sql: str,
                              else F.col(a["alias"])
                              for k, a in out_spec])
             if sort:
-                df = df.orderBy(*[F.col(c).asc() if asc
-                                  else F.col(c).desc()
-                                  for c, asc in sort])
+                df = df.orderBy(*[_sort_expr(*o) for o in sort])
             if limit is not None:
                 df = df.limit(limit)
             stats = dict(stats)
             stats["routed"] = True
             stats["having_filters"] = len(hav_cols)
             return df, stats
-    return route_sql_count(spark, out_dir, sql, view)
+    return route_sql_count(spark, out_dir, sql, view,
+                           _nodes=nodes)
 
 
 def route_sql_count(spark: SparkSession, out_dir: str, sql: str,
-                    view: str | None = None) -> tuple[DataFrame, dict]:
+                    view: str | None = None,
+                    _nodes: list | None = None) \
+        -> tuple[DataFrame, dict]:
     """Answer a `SELECT count(*) AS a FROM view WHERE ...` SQL string
     through the store's pruned kernels when the predicate shape allows,
     else through `spark.sql` over the registered decoded view.
@@ -775,7 +766,8 @@ def route_sql_count(spark: SparkSession, out_dir: str, sql: str,
     Returns (one-row DataFrame with the query's own alias, stats).
     stats always carries `routed`; when True it also carries the
     kernel's prune counters (total/scanned/pruned chunks etc.)."""
-    parsed = _parse(spark, sql)
+    parsed = _parse(_nodes if _nodes is not None
+                    else _plan_nodes(spark, sql))
     if parsed is not None:
         aggs, seen_view, preds = parsed
         if view is not None and seen_view != view:

@@ -351,6 +351,11 @@ def test_jpeg_refuses_what_it_cannot_decode():
     sub[sof + 2 + 2 + 6 + 1] = 0x22          # Y sampling 2x2 (4:2:0)
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(sub))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xFF\xD8\xFF")         # truncated header
+    # T.81 allows fill 0xFF bytes before a marker: tolerated, not lost
+    filled = bytes(blob[:2]) + b"\xFF" + bytes(blob[2:])
+    assert (decode_jpeg(filled) == decode_jpeg(bytes(blob))).all()
 
 
 def test_jpeg_quality_scales_size_and_error():

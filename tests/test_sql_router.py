@@ -537,3 +537,86 @@ def test_grammar_fuzz_routed_or_fallback_always_matches(spark, store):
         n_routed += bool(st.get("routed"))
     # the fuzz must exercise BOTH paths, or it proves nothing
     assert 10 <= n_routed <= 59, n_routed
+
+
+def test_select_refuses_evolved_store_instead_of_dropping_rows(spark):
+    """On a schema-evolved store, pre-evolution chunks have no blob
+    for a later-added column; a routed SELECT that inner-joined those
+    blobs would silently drop the old chunks' rows.  The router must
+    fall back (answer == decoded view, which NULL-backfills)."""
+    pdf1 = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                         "lang": ["en", "de"] * 50})
+    pdf2 = pd.DataFrame({"k": np.arange(100, 200, dtype=np.int64),
+                         "lang": ["fr", "pt"] * 50,
+                         "extra": np.arange(100, dtype=np.int64)})
+    out = tempfile.mkdtemp(prefix="cvx_sqlev_")
+    encode_job.encode_table(spark, spark.createDataFrame(pdf1)
+                            .repartition(2), out, url_col=None,
+                            resume=False, codec_overrides={"lang": "dict"})
+    encode_job.append_table(spark, spark.createDataFrame(pdf2)
+                            .repartition(2), out, batch_id="ev1",
+                            allow_new_columns=True)
+    encoded_table.register_encoded_table(spark, out, "enc_ev")
+    for sql in ("SELECT k, extra FROM enc_ev WHERE k < 150 ORDER BY k",
+                "SELECT lang, sum(extra) AS s FROM enc_ev"
+                " WHERE k < 150 GROUP BY lang ORDER BY lang"):
+        got, st = sql_router.route_sql(spark, out, sql, view="enc_ev")
+        assert not st.get("select_kernel") \
+            and not st.get("group_kernel"), (sql, st)
+        assert _rows(got) == _rows(spark.sql(sql)), sql
+    # rows on columns every chunk has still route
+    got, st = sql_router.route_sql(
+        spark, out, "SELECT k, lang FROM enc_ev WHERE k < 150 ORDER BY k",
+        view="enc_ev")
+    assert st["routed"] and st.get("select_kernel"), st
+    assert _rows(got) == _rows(spark.sql(
+        "SELECT k, lang FROM enc_ev WHERE k < 150 ORDER BY k"))
+
+
+def test_nulls_last_ordering_honored(spark):
+    """ORDER BY ... NULLS FIRST/LAST must survive routing: the
+    DISTINCT kernel appends its NULL row, so a misread null ordering
+    returns differently-ordered (and with LIMIT, different) rows."""
+    pdf = pd.DataFrame({
+        "g": pd.Series((["a", None, "b", "c"] * 50), dtype=object),
+        "v": np.arange(200, dtype=np.int64)})
+    out = tempfile.mkdtemp(prefix="cvx_sqlnull_")
+    encode_job.encode_table(spark, spark.createDataFrame(pdf)
+                            .repartition(2), out, url_col=None,
+                            resume=False, codec_overrides={"g": "dict"})
+    encoded_table.register_encoded_table(spark, out, "enc_no")
+    for sql in ("SELECT DISTINCT g FROM enc_no ORDER BY g NULLS LAST",
+                "SELECT DISTINCT g FROM enc_no ORDER BY g DESC"
+                " NULLS FIRST",
+                "SELECT DISTINCT g FROM enc_no ORDER BY g NULLS LAST"
+                " LIMIT 2",
+                "SELECT g, count(*) AS c FROM enc_no GROUP BY g"
+                " ORDER BY g NULLS LAST",
+                "SELECT g, v FROM enc_no WHERE v < 50"
+                " ORDER BY g NULLS LAST, v"):
+        got, st = sql_router.route_sql(spark, out, sql, view="enc_no")
+        assert st["routed"], (sql, st)
+        assert [tuple(r) for r in got.collect()] \
+            == [tuple(r) for r in spark.sql(sql).collect()], sql
+
+
+def test_having_alias_shadowing_table_column_not_routed(spark, store):
+    """`HAVING k > 100` where `k` is BOTH a real table column and the
+    SELECT count alias: alias-vs-column resolution here is a Spark
+    analyzer subtlety (this Spark resolves the alias; others have
+    resolved the child column first) — the router must NOT bake in
+    either choice, so it falls back and lets Spark's own resolver
+    decide.  A bare aggregate over the shadowed name must still
+    route (no ambiguity: aggregates always resolve the column)."""
+    out, _ = store
+    encoded_table.register_encoded_table(spark, out, "enc_t")
+    sql = ("SELECT lang, count(*) AS k FROM enc_t"
+           " GROUP BY lang HAVING k > 100")
+    got, st = sql_router.route_sql(spark, out, sql, view="enc_t")
+    assert not st.get("group_kernel"), st
+    assert _rows(got) == _rows(spark.sql(sql))
+    sql2 = ("SELECT lang, count(*) AS c FROM enc_t"
+            " GROUP BY lang HAVING max(k) > 3900 ORDER BY lang")
+    got2, st2 = sql_router.route_sql(spark, out, sql2, view="enc_t")
+    assert st2["routed"] and st2.get("group_kernel"), st2
+    assert _rows(got2) == _rows(spark.sql(sql2))
