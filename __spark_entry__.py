@@ -90,6 +90,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5: SELECT DISTINCT answered from the dictionary
         # heaps (code vectors never decoded on a delete-free store) ---
         "encoded_table_sql_distinct": q.encoded_table_sql_distinct,
+        # --- new in r5: aggregate pushed below a dimension join, from
+        # SQL text (per-key group-kernel partials join the broadcast
+        # dim; the join input is the key domain, not N rows) ---
+        "encoded_table_sql_join": q.encoded_table_sql_join,
         # --- changed in r5 (now entering via SQL text): need a fresh
         # driver row for the new code path ---
         "encoded_table_filter_select": q.encoded_table_filter_select,
@@ -649,6 +653,7 @@ def oracle_sql() -> dict[str, str]:
             q.encoded_table_sql_where_group_oracle(),
         "encoded_table_sql_distinct":
             q.encoded_table_sql_distinct_oracle(),
+        "encoded_table_sql_join": q.encoded_table_sql_join_oracle(),
         "repetition_ratio":
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct, "

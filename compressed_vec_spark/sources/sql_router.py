@@ -30,11 +30,18 @@ predicate shapes the storage layer can answer from compressed bytes:
       decoded except under live deletes; NULL membership from the
       manifest null counts; route_sql entry)
 
-    SELECT col, ... | * FROM <view> WHERE str eq | int eq/range |
-      float range [ORDER BY projected cols] [LIMIT n]
-      (row-returning: pruned_filter_select / pruned_range_select —
-      manifest chunk-prune, row mask on the filter vector, projections
-      decoded only where the mask passes; route_sql entry)
+    SELECT col, ... | * FROM <view> WHERE <AND of routable leaves>
+      [ORDER BY projected cols] [LIMIT n]
+      (row-returning: the WHERE-spec select kernel — intersected
+      manifest chunk candidates, ANDed row masks, projections decoded
+      only where the mask passes; route_sql entry)
+
+    SELECT d.attr, aggs FROM <view> JOIN dim ON key = key [WHERE p]
+      GROUP BY d.attr [ORDER BY output cols] [LIMIT n]
+      (aggregate below the join: per-join-key group-kernel partials
+      join the broadcast dimension and re-aggregate — the join input
+      is the key domain, not N rows; exact for 1:N dims; route_sql
+      entry)
 
 `route_sql_count` parses the SQL with Spark's OWN parser (so quoting,
 case, comments, literal syntax all behave exactly like spark.sql),
@@ -108,6 +115,18 @@ def _attr(t: dict) -> str | None:
     parts = t["raw"].get("nameParts", "")
     # JSON form is "[col]" / "[tbl, col]" — take the last part
     return parts.strip("[]").split(", ")[-1] or None
+
+
+def _qattr(t: dict) -> tuple[str | None, str | None]:
+    """(qualifier, column) of an attribute — ("j", "lang") for j.lang,
+    (None, "lang") for a bare reference, (None, None) if not one."""
+    if t["cls"] != "UnresolvedAttribute":
+        return None, None
+    parts = [p for p in t["raw"].get("nameParts", "")
+             .strip("[]").split(", ") if p]
+    if not parts:
+        return None, None
+    return (parts[-2] if len(parts) > 1 else None), parts[-1]
 
 
 def _leaves(t: dict, out: list) -> bool:
@@ -606,6 +625,205 @@ def _group_where_specs(dtypes: dict, preds: list[dict]) \
     return specs
 
 
+def _parse_join(nodes: list | None):
+    """(out_spec, gcol, views, keys, preds, sort, limit) for the
+    dimension-join aggregate shape —
+    `SELECT <g and aggregates> FROM v1 [a] JOIN v2 [b] ON k1 = k2
+    [WHERE p] GROUP BY g [ORDER BY output cols] [LIMIT n]`,
+    inner join on one equality, single grouping column — else None.
+    views/keys are (left, right) pairs in plan order; names are
+    UNQUALIFIED (side resolution happens against the schemas at
+    route time)."""
+    if nodes is None:
+        return None
+    classes = [_cls(n) for n in nodes if "num-children" in n]
+    counts = {c: classes.count(c) for c in set(classes)}
+    allowed = {"GlobalLimit", "LocalLimit", "Sort", "Aggregate",
+               "Filter", "Join", "SubqueryAlias", "UnresolvedRelation"}
+    if (set(classes) - allowed or counts.get("Join") != 1
+            or counts.get("Aggregate") != 1
+            or counts.get("UnresolvedRelation") != 2
+            or counts.get("Sort", 0) > 1 or counts.get("Filter", 0) > 1):
+        return None
+    limit = _limit_of(nodes)
+    if limit is _BAD_LIMIT:
+        return None
+    # Aggregate above [Filter above] Join, nothing else in between
+    order = [c for c in classes
+             if c in ("Aggregate", "Filter", "Join")]
+    if order not in (["Aggregate", "Join"],
+                     ["Aggregate", "Filter", "Join"]):
+        return None
+
+    join = next(n for n in nodes if _cls(n) == "Join")
+    if "Inner" not in str(join.get("joinType", "")):
+        return None
+    cond = join.get("condition")
+    if not cond:
+        return None
+    ct, _ = _tree(cond)
+    if ct["cls"] != "EqualTo":
+        return None
+    k1, k2 = _qattr(ct["kids"][0]), _qattr(ct["kids"][1])
+    if k1[1] is None or k2[1] is None:
+        return None
+
+    # (alias-or-None, view) per side, plan order: a SubqueryAlias node
+    # immediately precedes the relation it names
+    side_ids, pending = [], None
+    for n in nodes:
+        if "num-children" not in n:
+            continue
+        c = _cls(n)
+        if c == "SubqueryAlias":
+            pending = n["identifier"]["name"]
+        elif c == "UnresolvedRelation":
+            side_ids.append((pending, n["multipartIdentifier"]
+                             .strip("[]").split(", ")[-1]))
+            pending = None
+
+    agg_node = next(n for n in nodes if _cls(n) == "Aggregate")
+    grp = agg_node.get("groupingExpressions") or []
+    if len(grp) != 1:
+        return None
+    gtree, _ = _tree(grp[0])
+    gcol = _attr(gtree)
+    if gcol is None:
+        return None
+    out_spec = []
+    for item in agg_node.get("aggregateExpressions") or []:
+        t, _ = _tree(item)
+        if _attr(t) == gcol:
+            out_spec.append(("group", None))
+            continue
+        a = _agg_of(item)
+        if a is None:
+            return None
+        out_spec.append(("agg", a))
+    if ("group", None) not in out_spec:
+        return None
+
+    filt = [n for n in nodes if _cls(n) == "Filter"]
+    preds: list[dict] = []
+    if filt:
+        ftree, _ = _tree(filt[0]["condition"])
+        if not _leaves(ftree, preds):
+            return None
+
+    sort_nodes = [n for n in nodes if _cls(n) == "Sort"]
+    sort = None
+    if sort_nodes:
+        if classes.index("Sort") > classes.index("Aggregate"):
+            return None  # Sort must be above the Aggregate
+        out_names = {gcol} | {a["alias"] for k, a in out_spec
+                              if k == "agg"}
+        sort = []
+        for so in sort_nodes[0].get("order") or []:
+            t, _ = _tree(so)
+            o = _sort_order(t)
+            if o is None or o[0] not in out_names:
+                return None
+            sort.append(o)
+    return out_spec, gcol, side_ids, (k1, k2), preds, sort, limit
+
+
+def _route_join(spark, out_dir, parsed, view):
+    """Aggregate-below-join from SQL text: the store side collapses to
+    per-join-key partials on the GROUP kernel (one bincount per chunk
+    over dict codes, WHERE as chunk-prune + row masks), and only that
+    (distinct keys)-sized result joins the broadcast dimension before
+    re-aggregating per dimension attribute.  At 100 TB the join input
+    is the key domain, not N rows — the classic group-below-join
+    rewrite, triggered by plain SQL.  Exact for 1:N dimensions too:
+    summing per-key partials once per dim match IS inner-join
+    semantics.  Returns (df, stats) or None (fallback)."""
+    out_spec, gcol, side_ids, keys, preds, sort, limit = parsed
+    views = tuple(v for _, v in side_ids)
+    if view is not None and view not in views:
+        return None
+    if limit is not None and not sort:
+        return None  # arbitrary-k group rows: Spark's call
+    store_view = view if view is not None else views[0]
+    if views[0] == views[1]:
+        return None  # self-join: Spark's planner handles it
+    store_ix = 0 if views[0] == store_view else 1
+    dim_view = views[1 - store_ix]
+    try:
+        dimdf = spark.table(dim_view)
+    except Exception:
+        return None
+    _, dtypes = encoded_table.stored_schema(spark, out_dir)
+    dimcols = set(dimdf.columns)
+    # the name each side answers to in qualified references: its alias
+    # if one was written, else the bare view name
+    ids = [alias if alias else v for alias, v in side_ids]
+
+    def side(name):
+        in_s, in_d = name in dtypes, name in dimcols
+        if in_s == in_d:
+            return None  # absent or ambiguous: Spark's resolver's job
+        return "store" if in_s else "dim"
+
+    def key_side(qual, name):
+        if qual is None:
+            return side(name)
+        if ids[0] == ids[1]:
+            return None  # both sides answer to it: ambiguous
+        if qual == ids[store_ix]:
+            return "store"
+        if qual == ids[1 - store_ix]:
+            return "dim"
+        return None
+
+    sides = (key_side(*keys[0]), key_side(*keys[1]))
+    if set(sides) != {"store", "dim"}:
+        return None
+    store_key = keys[0][1] if sides[0] == "store" else keys[1][1]
+    dim_key = keys[1][1] if sides[0] == "store" else keys[0][1]
+    if (dtypes.get(store_key) != "string" or dim_key not in dimcols
+            or side(gcol) != "dim"):
+        return None
+    aggs = [a for k, a in out_spec if k == "agg"]
+    ok = all(
+        a["fn"] == "count"
+        or (a["fn"] == "count_col" and side(a["col"]) == "store")
+        or (a["fn"] in ("sum", "min", "max")
+            and side(a["col"]) == "store"
+            and dtypes.get(a["col"]) == "int64")
+        for a in aggs)
+    # an agg alias that collides with a dim column would make the
+    # re-aggregated output ambiguous to select from
+    if not ok or any(a["alias"] in dimcols | {gcol} for a in aggs):
+        return None
+    if any(side(p["col"]) != "store" for p in preds):
+        return None  # dim-side predicates: fallback
+    where = _group_where_specs(dtypes, _merge_single_col(preds))
+    if where is None:
+        return None
+    routed = encoded_table.grouped_dict_agg(spark, out_dir, store_key,
+                                            aggs, where=where)
+    if routed is None:
+        return None
+    per_key, stats = routed
+    reagg = {"count": F.sum, "count_col": F.sum, "sum": F.sum,
+             "min": F.min, "max": F.max}
+    joined = per_key.join(F.broadcast(dimdf),
+                          per_key[store_key] == dimdf[dim_key])
+    res = (joined.groupBy(dimdf[gcol].alias(gcol))
+           .agg(*[reagg[a["fn"]](per_key[a["alias"]]).cast("long")
+                  .alias(a["alias"]) for a in aggs]))
+    df = res.select(*[F.col(gcol) if k == "group" else F.col(a["alias"])
+                      for k, a in out_spec])
+    if sort:
+        df = df.orderBy(*[_sort_expr(*o) for o in sort])
+    if limit is not None:
+        df = df.limit(limit)
+    stats = dict(stats)
+    stats["routed"] = True
+    stats["join_pushdown"] = True
+    return df, stats
+
+
 def _dispatch_select(spark, out_dir, cols, preds, sort, limit):
     """(rows-DataFrame, stats) through the WHERE-spec select kernel
     (`pruned_select_where`: intersected chunk candidates, ANDed row
@@ -751,6 +969,13 @@ def route_sql(spark: SparkSession, out_dir: str, sql: str,
             stats["routed"] = True
             stats["having_filters"] = len(hav_cols)
             return df, stats
+
+    pjoin = _parse_join(nodes)
+    if pjoin is not None:
+        routed = _route_join(spark, out_dir, pjoin, view)
+        if routed is not None:
+            return routed
+
     return route_sql_count(spark, out_dir, sql, view,
                            _nodes=nodes)
 

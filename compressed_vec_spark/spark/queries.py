@@ -469,6 +469,49 @@ def encoded_table_sql_distinct_oracle() -> str:
             " ORDER BY source LIMIT 12")
 
 
+def encoded_table_sql_join(spark, sf_dir) -> DataFrame:
+    """Dimension-join SQL text with the aggregate pushed BELOW the
+    join: the router recognizes `SELECT d.attr, aggs FROM store JOIN
+    dim ON store.key = dim.key [WHERE p] GROUP BY d.attr`, collapses
+    the store side to per-join-key partials on the group kernel (one
+    bincount per chunk over dict codes; the WHERE as chunk-prune +
+    row masks), and joins only that (distinct keys)-sized result to
+    the broadcast dimension before re-aggregating per attribute — at
+    100 TB the join input is the key domain, not N rows.  Exact for
+    1:N dimensions (partials duplicated per match IS inner-join
+    multiplicity).  In-query asserts prove the rewrite ran."""
+    from ..sources import encoded_table, sql_router
+    out = _documents_by_source_store(spark, sf_dir)
+    encoded_table.register_encoded_table(spark, out, "cvx_sqlj_docs")
+    spark.createDataFrame(
+        [("src%d" % i, "even" if i % 2 == 0 else "odd")
+         for i in range(30)], "source string, tier string") \
+        .createOrReplaceTempView("cvx_sqlj_dim")
+    df, st = sql_router.route_sql(
+        spark, out,
+        "SELECT d.tier, count(*) AS doc_count,"
+        " sum(n_chars) AS sum_chars, max(n_chars) AS max_chars"
+        " FROM cvx_sqlj_docs f JOIN cvx_sqlj_dim d"
+        " ON f.source = d.source WHERE n_chars >= 50"
+        " GROUP BY d.tier ORDER BY d.tier",
+        view="cvx_sqlj_docs")
+    assert st["routed"] and st.get("join_pushdown"), st
+    assert st.get("group_kernel") and st["where_specs"] == 1, st
+    return df
+
+
+def encoded_table_sql_join_oracle() -> str:
+    return (
+        "WITH dim AS (SELECT 'src' || CAST(i AS VARCHAR) AS source,"
+        " CASE WHEN i % 2 = 0 THEN 'even' ELSE 'odd' END AS tier"
+        " FROM range(30) t(i))"
+        " SELECT d.tier, count(*) AS doc_count,"
+        " CAST(sum(n_chars) AS BIGINT) AS sum_chars,"
+        " CAST(max(n_chars) AS BIGINT) AS max_chars"
+        " FROM documents f JOIN dim d ON f.source = d.source"
+        " WHERE n_chars >= 50 GROUP BY d.tier ORDER BY d.tier")
+
+
 def _documents_text_store(spark: SparkSession, sf_dir: str) -> str:
     """Session-cached encoded store of documents (doc_id, text) sorted
     on doc_id — so TEXT values scatter across chunks and every chunk's

@@ -620,3 +620,76 @@ def test_having_alias_shadowing_table_column_not_routed(spark, store):
     got2, st2 = sql_router.route_sql(spark, out, sql2, view="enc_t")
     assert st2["routed"] and st2.get("group_kernel"), st2
     assert _rows(got2) == _rows(spark.sql(sql2))
+
+
+# --- SQL dimension join: aggregate pushed below a broadcast join ---
+
+def _join_dims(spark):
+    spark.createDataFrame(
+        [("en", "west", 1), ("de", "west", 2), ("fr", "west", 3),
+         ("zh", "east", 4), ("pt", "west", 5), ("xx", "none", 6)],
+        "lang string, region string, rank long") \
+        .createOrReplaceTempView("jdim")
+    spark.createDataFrame(
+        [("en", "A"), ("en", "B"), ("de", "A")],
+        "lang string, tag string").createOrReplaceTempView("jdup")
+
+
+JOIN_ROUTED = [
+    "SELECT region, count(*) AS c FROM enc_t JOIN jdim"
+    " ON enc_t.lang = jdim.lang GROUP BY region ORDER BY region",
+    "SELECT d.region, count(*) AS c, sum(grp) AS s, min(k) AS mn"
+    " FROM enc_t j JOIN jdim d ON j.lang = d.lang"
+    " GROUP BY d.region ORDER BY c DESC, d.region",
+    "SELECT region, sum(grp) AS s FROM enc_t JOIN jdim"
+    " ON jdim.lang = enc_t.lang WHERE k BETWEEN 100 AND 2000"
+    " GROUP BY region ORDER BY region LIMIT 2",
+    "SELECT region, count(grp) AS cg FROM enc_t JOIN jdim"
+    " ON enc_t.lang = jdim.lang WHERE grp = 4"
+    " GROUP BY region ORDER BY region",
+    # 1:N dimension: per-key partials duplicated per match IS the
+    # inner-join multiplicity
+    "SELECT tag, count(*) AS c FROM enc_t JOIN jdup"
+    " ON enc_t.lang = jdup.lang GROUP BY tag ORDER BY tag",
+]
+JOIN_FALLBACK = [
+    # aggregate over a dimension column
+    "SELECT region, sum(rank) AS s FROM enc_t JOIN jdim"
+    " ON enc_t.lang = jdim.lang GROUP BY region ORDER BY region",
+    # dimension-side WHERE
+    "SELECT region, count(*) AS c FROM enc_t JOIN jdim"
+    " ON enc_t.lang = jdim.lang WHERE rank > 2"
+    " GROUP BY region ORDER BY region",
+    # outer join
+    "SELECT region, count(*) AS c FROM enc_t LEFT JOIN jdim"
+    " ON enc_t.lang = jdim.lang GROUP BY region ORDER BY region",
+    # grouped by the store column, not a dim attribute
+    "SELECT enc_t.lang, count(*) AS c FROM enc_t JOIN jdim"
+    " ON enc_t.lang = jdim.lang GROUP BY enc_t.lang",
+]
+
+
+@pytest.mark.parametrize("sql", JOIN_ROUTED)
+def test_join_pushdown_matches_sparksql(spark, store, sql):
+    """Aggregate-below-join from SQL text (store has live 'zh'
+    deletes by this point — partials must reflect them)."""
+    out, _ = store
+    encoded_table.register_encoded_table(spark, out, "enc_t")
+    _join_dims(spark)
+    got, st = sql_router.route_sql(spark, out, sql, view="enc_t")
+    assert st["routed"] and st.get("join_pushdown"), (sql, st)
+    assert got.columns == spark.sql(sql).columns, sql
+    assert [tuple(r) for r in got.collect()] \
+        == [tuple(r) for r in spark.sql(sql).collect()], sql
+
+
+@pytest.mark.parametrize("sql", JOIN_FALLBACK)
+def test_join_fallback_matches_sparksql(spark, store, sql):
+    out, _ = store
+    encoded_table.register_encoded_table(spark, out, "enc_t")
+    _join_dims(spark)
+    got, st = sql_router.route_sql(spark, out, sql, view="enc_t")
+    assert not st.get("join_pushdown"), (sql, st)
+    assert sorted((tuple(r) for r in got.collect()), key=str) \
+        == sorted((tuple(r) for r in spark.sql(sql).collect()),
+                  key=str), sql
