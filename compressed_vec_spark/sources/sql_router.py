@@ -188,9 +188,13 @@ def _agg_fn_of(fn_t: dict) -> dict | None:
     None."""
     fn = (str(fn_t["raw"].get("nameParts", "")).strip("[]").lower()
           if fn_t["cls"] == "UnresolvedFunction" else "")
-    if (fn not in _AGG_FNS or len(fn_t["kids"]) != 1
-            or fn_t["raw"].get("isDistinct")):
+    if fn not in _AGG_FNS or len(fn_t["kids"]) != 1:
         return None
+    if fn_t["raw"].get("isDistinct"):
+        col = _attr(fn_t["kids"][0])
+        if fn != "count" or col is None:
+            return None
+        return {"fn": "count_distinct", "col": col}
     arg = fn_t["kids"][0]
     if fn == "count" and _literal(arg) == 1:       # count(*) / count(1)
         return {"fn": "count", "col": None}
@@ -1189,6 +1193,19 @@ def _dispatch_aggs(spark, out_dir, dtypes, aggs, preds):
             stats["metadata_only"] = (stats["metadata_only"]
                                       and st.get("partial_chunks") == 0)
             vals.append(total)
+        elif a["fn"] == "count_distinct":
+            # COUNT(DISTINCT dict col) from the dictionary heaps —
+            # the code vectors are never decoded on a delete-free
+            # store; SQL semantics exclude the NULL member
+            if dtypes.get(a["col"]) != "string":
+                return None
+            routed = et.dict_distinct(spark, out_dir, a["col"])
+            if routed is None:
+                return None
+            ddf, dst = routed
+            vals.append(ddf.where(F.col(a["col"]).isNotNull()).count())
+            stats["metadata_only"] = False
+            stats["distinct_kernel"] = True
         else:
             return None
     return vals, stats

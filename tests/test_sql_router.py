@@ -116,11 +116,14 @@ AGG_ROUTED = [
     "SELECT min(k) AS mn, max(k) AS mx, count(*) AS c FROM enc_t",
     "SELECT sum(grp) AS s FROM enc_t WHERE k BETWEEN 100 AND 900",
     "SELECT sum(grp) AS s FROM enc_t WHERE k < 700",
+    # COUNT(DISTINCT dict col) from the dictionary heaps
+    "SELECT count(DISTINCT lang) AS cd FROM enc_t",
+    "SELECT count(DISTINCT lang) AS cd, count(*) AS c FROM enc_t",
 ]
 AGG_FALLBACK = [
     "SELECT avg(grp) AS a FROM enc_t",            # no avg kernel
     "SELECT min(lang) AS m FROM enc_t",           # string min/max
-    "SELECT count(DISTINCT grp) AS c FROM enc_t",  # distinct
+    "SELECT count(DISTINCT grp) AS c FROM enc_t",  # int col: no heap
     "SELECT sum(grp) AS s FROM enc_t WHERE lang = 'de'",  # pred shape
 ]
 
