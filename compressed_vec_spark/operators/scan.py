@@ -24,7 +24,30 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
-def _bucket_col(df: DataFrame, order_col: str, n_buckets: int):
+def _bucket_col(df: DataFrame, order_col: str, n_buckets: int,
+                mode: str = "minmax"):
+    """Monotonic bucket expression over order_col.
+
+    mode="minmax" (default): equal-WIDTH buckets from one narrow
+    min/max aggregate — a single cheap JVM pass and a one-division
+    bucket expression.  Bucket balance only affects task sizing, never
+    correctness (offsets come from actual per-bucket counts), and the
+    engine's order keys are near-uniform; pass mode="quantile" for
+    heavily skewed keys to get equal-HEIGHT buckets from an
+    approxQuantile sketch (an extra pass + an O(n_buckets) comparison
+    chain per row)."""
+    if mode == "minmax":
+        r = df.agg(F.min(order_col).alias("mn"),
+                   F.max(order_col).alias("mx")).collect()[0]
+        mn, mx = r["mn"], r["mx"]
+        if mn is None or mx is None or mx <= mn:
+            return F.lit(0).alias("__bucket"), 1
+        mn_i, mx_i = int(mn), int(mx)
+        # integer ceil-div width: exact, monotonic, overflow-free
+        width = max((mx_i - mn_i + n_buckets) // n_buckets, 1)
+        bucket = F.expr(f"CAST((CAST({order_col} AS BIGINT) - {mn_i}) "
+                        f"DIV {width} AS INT)")
+        return bucket.alias("__bucket"), (mx_i - mn_i) // width + 1
     bounds = df.approxQuantile(
         order_col, [i / n_buckets for i in range(1, n_buckets)], 0.001)
     bounds = sorted(set(bounds))

@@ -105,37 +105,60 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
 
 
 def cosine_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
-                        threshold_ppm: int = 950000, n_planes: int = 8,
-                        n_tables: int = 24, seed: int = 42,
+                        threshold_ppm: int = 950000, n_planes: int | None = None,
+                        n_tables: int | None = None, seed: int = 42,
                         bucket_cap: int = 1024) -> DataFrame:
     """All-pairs cosine near-dup WITHOUT the all-pairs join: multi-table
-    random-hyperplane LSH generates candidates (docs sharing a (table,
-    bucket) key), then an exact JVM-side cosine verifies them.
+    random-hyperplane LSH buckets vectors (vectors sharing a (table,
+    bucket) key are candidates), and each bucket verifies its own
+    candidates with one exact numpy cosine matmul — pairs never leave
+    the bucket unverified, so the only shuffle is the banding shuffle
+    and the only cross-partition rows are the (tiny) surviving id
+    pairs.
 
-    Recall: a pair at cos=0.95 collides per table w.p. (1-acos(.95)/pi)^8
-    ~= 0.43, so 24 tables miss it w.p. 0.57^24 ~= 2e-6; precision is
-    exact (verify recomputes cosine).  Scale: the banded self-join is the
-    only large shuffle and its keys are uniform hyperplane buckets; at
-    larger corpora raise n_planes (~log2(N/64)) and n_tables together so
-    per-bucket occupancy and recall both hold.  The verify stage
-    broadcasts only the id-pair list; embeddings are never shuffled.
+    Banding is SCALE-ADAPTIVE: n_planes ~ log2(N / 8) keeps expected
+    bucket occupancy ~8 so candidate work stays ~linear in N (fixed
+    planes would make collisions — and the verify stage — quadratic as
+    the corpus grows); n_tables is then sized so a true pair at the
+    threshold is missed w.p. <= 1e-5 (per-table collision
+    r = (1 - acos(thr)/pi)^p; miss = (1-r^p)^T).  At the default 0.95
+    threshold and N=2e4 this gives p=12, T=36.  Small corpora keep the
+    old fixed (8, 24).
 
     `bucket_cap` drops (table, bucket) groups holding more vectors than
-    the cap — the same guard as minhash's bucket_cap: without it a
-    corpus dense with near-identical embeddings (exactly the dedup use
-    case) makes one join group quadratic.  Byte-identical embeddings
-    beyond the cap collide in EVERY table and should be collapsed by
-    exact dedup first (they are exact dups — a hash groupBy, far
-    cheaper); the LSH pass then handles the non-identical remainder.
+    the cap — without it a corpus dense with near-identical embeddings
+    (exactly the dedup use case) makes one bucket quadratic.
+    Byte-identical embeddings beyond the cap collide in EVERY table and
+    should be collapsed by exact dedup first (they are exact dups — a
+    hash groupBy, far cheaper); the LSH pass then handles the
+    non-identical remainder.
 
     Returns (v1, v2) with floor(cos * 1e6) >= threshold_ppm, v1 < v2.
     """
-    from ..functions import cosine_similarity
-
     dim = len(df.select(vec_col).first()[0])
+    if n_planes is None or n_tables is None:
+        n = df.count()
+        if n_planes is None:
+            n_planes = int(min(max(8, np.ceil(np.log2(max(n, 1) / 8))), 20))
+        if n_tables is None:
+            r = 1.0 - np.arccos(min(threshold_ppm / 1e6, 1.0)) / np.pi
+            p_tab = r ** n_planes
+            n_tables = int(np.clip(np.ceil(np.log(1e-5)
+                                           / np.log(max(1.0 - p_tab, 1e-12))),
+                                   24, 48))
+    else:
+        n = None
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
     pows = (1 << np.arange(n_planes, dtype=np.uint64))
+    # coarse grouping key so one applyInPandas group holds ~2k banded
+    # rows (many buckets): per-group overhead amortizes, and the group
+    # count still spreads evenly over the cluster (uniform sign bits)
+    gpt = 1
+    n_est = n if n is not None else 1 << 16
+    while gpt * 2048 < n_est and gpt < (1 << n_planes):
+        gpt *= 2
+    shift = n_planes - int(round(np.log2(gpt)))
 
     def band_fn(batches):
         for pdf in batches:
@@ -146,38 +169,61 @@ def cosine_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
             bits = (np.einsum("bd,tpd->btp", m, planes) > 0).astype(np.uint64)
             buckets = (bits @ pows).astype(np.int64)
             ids = pdf[id_col].to_numpy()
-            n, t = buckets.shape
+            n_rows, t = buckets.shape
+            # vectors travel as PACKED float32 bytes, not Arrow lists:
+            # one contiguous buffer sliced per row — the T-way repeat
+            # duplicates references only, and the verify side rebuilds
+            # the matrix with one frombuffer instead of 10^5 list->array
+            # conversions (guide §4.2)
+            f32 = np.ascontiguousarray(m.astype(np.float32))
+            flat = f32.tobytes()
+            w = f32.shape[1] * 4
+            packed = np.array([flat[i * w:(i + 1) * w]
+                               for i in range(n_rows)], dtype=object)
             yield pd.DataFrame({
                 id_col: np.repeat(ids, t),
-                "table": np.tile(np.arange(t, dtype=np.int32), n),
+                "table": np.tile(np.arange(t, dtype=np.int32), n_rows),
                 "bucket": buckets.ravel(),
+                "vecb": packed.repeat(t),
             })
 
     banded = df.select(id_col, vec_col).mapInPandas(
-        band_fn, f"{id_col} long, table int, bucket long")
-    if bucket_cap:
-        small = (banded.groupBy("table", "bucket")
-                 .agg(F.count("*").alias("sz"))
-                 .where(F.col("sz") <= bucket_cap)
-                 .select("table", "bucket"))
-        banded = banded.join(small, ["table", "bucket"])
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (a.join(b, on=["table", "bucket"])
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("v1"),
-                    F.col(f"b.{id_col}").alias("v2"))
-            .distinct())
+        band_fn, f"{id_col} long, table int, bucket long, vecb binary")
 
-    e1 = df.select(F.col(id_col).alias("v1"),
-                   F.col(vec_col).cast("array<double>").alias("e1"))
-    e2 = df.select(F.col(id_col).alias("v2"),
-                   F.col(vec_col).cast("array<double>").alias("e2"))
-    s1 = e1.join(F.broadcast(cand), "v1")
-    s2 = e2.join(F.broadcast(cand), "v2")
-    pairs = s1.join(s2, ["v1", "v2"])
-    sim = cosine_similarity(F.col("e1"), F.col("e2"))
-    return (pairs.where(F.floor(sim * 1000000.0) >= threshold_ppm)
-            .select("v1", "v2"))
+    def verify_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_all = pdf[id_col].to_numpy()
+        buckets = pdf["bucket"].to_numpy()
+        order = np.argsort(buckets, kind="stable")
+        e_all = np.frombuffer(
+            b"".join(pdf["vecb"]), dtype=np.float32) \
+            .reshape(len(pdf), -1).astype(np.float64)
+        out1, out2 = [], []
+        bounds = np.flatnonzero(np.diff(buckets[order])) + 1
+        for idx in np.split(order, bounds):
+            g = len(idx)
+            if g < 2 or (bucket_cap and g > bucket_cap):
+                continue
+            ids = ids_all[idx]
+            m = e_all[idx]
+            norms = np.linalg.norm(m, axis=1)
+            m = m / np.where(norms == 0, 1.0, norms)[:, None]
+            iu, ju = np.triu_indices(g, 1)
+            sims = (m @ m.T)[iu, ju]
+            sel = np.floor(sims * 1000000.0) >= threshold_ppm
+            a, b = ids[iu[sel]], ids[ju[sel]]
+            out1.append(np.minimum(a, b))
+            out2.append(np.maximum(a, b))
+        if not out1:
+            return pd.DataFrame({"v1": np.empty(0, np.int64),
+                                 "v2": np.empty(0, np.int64)})
+        return pd.DataFrame({"v1": np.concatenate(out1).astype(np.int64),
+                             "v2": np.concatenate(out2).astype(np.int64)})
+
+    grouped = banded.withColumn(
+        "bhi", F.shiftright(F.col("bucket"), shift))
+    return (grouped.groupBy("table", "bhi")
+            .applyInPandas(verify_fn, "v1 long, v2 long")
+            .distinct())
 
 
 def lsh_bucket_topk(df: DataFrame, id_col: str, vec_col: str,

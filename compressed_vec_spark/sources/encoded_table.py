@@ -1752,7 +1752,10 @@ def manifest_null_count(spark: SparkSession, out_dir: str,
             .agg(F.sum("num_elements").alias("part_rows")))
     col_man = m.where(F.col("column") == column)
     from ..spark import delete_job
-    mm = delete_job.merged_masks(spark, out_dir)
+    # check_empty=False: skips the one-job zero-row probe; an
+    # empty-but-present sidecar then flows through the delete path,
+    # where empty joins yield the same answer
+    mm = delete_job.merged_masks(spark, out_dir, check_empty=False)
     if mm is None:
         col_stats = (col_man.groupBy("part_id")
                      .agg(F.sum("null_count").alias("nulls"),
@@ -1765,31 +1768,31 @@ def manifest_null_count(spark: SparkSession, out_dir: str,
                .collect()[0])
         return int(agg["n"] or 0), int(agg["nn"] or 0)
 
-    side = mm.select("chunk_id", "part_id", "n_deleted", "mask").collect()
-    keep = {r["chunk_id"]: bytes(r["mask"]) for r in side}
-    del_per_part: dict[int, int] = {}
-    for r in side:
-        del_per_part[r["part_id"]] = (del_per_part.get(r["part_id"], 0)
-                                      + int(r["n_deleted"]))
+    # masks stay DISTRIBUTED (the same _keep_mask_df join every pruned
+    # reader uses): the former driver-side mask collect put
+    # O(affected_chunks x rows/8) bytes on the driver and in every task
+    # closure — a corpus-wide delete at 10^12 rows is ~125 GB
+    mask_ids = mm.select("chunk_id")
     # clean chunks: manifest stats are live
-    clean = (col_man.where(~F.col("chunk_id").isin(list(keep)))
+    clean = (col_man.join(mask_ids, "chunk_id", "left_anti")
              .agg(F.sum("null_count").alias("n"),
                   F.sum(F.col("num_elements")
                         - F.col("null_count")).alias("nn")).collect()[0])
     n = int(clean["n"] or 0)
     nn = int(clean["nn"] or 0)
-    # affected chunks of THIS column: decode, null/keep intersect
+    # affected chunks of THIS column: decode, null/keep intersect —
+    # each task reads only its own chunks' masks via the join
     aff = (spark.read.parquet(os.path.join(out_dir, "chunks"))
-           .where((F.col("column") == column)
-                  & F.col("chunk_id").isin(list(keep)))
-           .select("chunk_id", "blob"))
+           .where(F.col("column") == column)
+           .join(mm.select("chunk_id", "mask"), "chunk_id")
+           .select("chunk_id", "blob", "mask"))
 
     def live_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             a = b = 0
-            for cid, blob in zip(pdf["chunk_id"], pdf["blob"]):
+            for blob, mask in zip(pdf["blob"], pdf["mask"]):
                 s = pd.Series(chunk_codec.decode_column(bytes(blob)))
-                kb = _keep_bools(keep[cid], len(s))
+                kb = _keep_bools(bytes(mask), len(s))
                 isna = s.isna().to_numpy(dtype=bool)
                 a += int((isna & kb).sum())
                 b += int((~isna & kb).sum())
@@ -1800,9 +1803,14 @@ def manifest_null_count(spark: SparkSession, out_dir: str,
     n += int(la["n"] or 0)
     nn += int(la["nn"] or 0)
     # evolved parts (no manifest rows for the column): all live rows
-    # are virtual NULLs — the part's deleted count comes off the top
+    # are virtual NULLs — the part's deleted count comes off the top,
+    # aggregated store-side (no driver loop over parts)
     virt = (rows.join(col_man.select("part_id").distinct(),
-                      "part_id", "left_anti").collect())
-    for r in virt:
-        n += int(r["part_rows"]) - del_per_part.get(int(r["part_id"]), 0)
+                      "part_id", "left_anti")
+            .join(mm.groupBy("part_id")
+                  .agg(F.sum("n_deleted").alias("nd")), "part_id", "left")
+            .agg(F.sum(F.col("part_rows")
+                       - F.coalesce(F.col("nd"), F.lit(0))).alias("v"))
+            .collect()[0])
+    n += int(virt["v"] or 0)
     return n, nn

@@ -310,41 +310,49 @@ def encoded_table_sql_pushdown(spark, sf_dir) -> DataFrame:
     asserts prove routing AND real chunk pruning happened (sorted
     layouts; holds at every SF: the predicate covers a fixed small
     fraction of a sorted key/dict space spread over 8+ chunks)."""
+    from concurrent.futures import ThreadPoolExecutor
     from ..sources import encoded_table, sql_router
     out_o = _orders_store(spark, sf_dir)
     encoded_table.register_encoded_table(spark, out_o, "cvx_sql_orders")
-    r_df, r_st = sql_router.route_sql_count(
-        spark, out_o,
-        "SELECT count(*) AS range_hits FROM cvx_sql_orders "
-        "WHERE o_orderkey BETWEEN 1 AND 1000",
-        view="cvx_sql_orders")
-    assert r_st["routed"] and r_st["pruned_chunks"] > 0, r_st
-
     out_d = _documents_by_source_store(spark, sf_dir)
     encoded_table.register_encoded_table(spark, out_d, "cvx_sql_docs")
-    e_df, e_st = sql_router.route_sql_count(
-        spark, out_d,
-        "SELECT count(*) AS eq_hits FROM cvx_sql_docs "
-        "WHERE source = 'src12'", view="cvx_sql_docs")
+    # five independent routed statements over two stores: submit them
+    # from a thread pool so their small kernel jobs overlap instead of
+    # serializing five driver round-trips (guide §2.6 "overlap
+    # independent jobs"); results and asserts are unchanged
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_r = pool.submit(
+            sql_router.route_sql_count, spark, out_o,
+            "SELECT count(*) AS range_hits FROM cvx_sql_orders "
+            "WHERE o_orderkey BETWEEN 1 AND 1000", view="cvx_sql_orders")
+        f_e = pool.submit(
+            sql_router.route_sql_count, spark, out_d,
+            "SELECT count(*) AS eq_hits FROM cvx_sql_docs "
+            "WHERE source = 'src12'", view="cvx_sql_docs")
+        f_i = pool.submit(
+            sql_router.route_sql_count, spark, out_d,
+            "SELECT count(*) AS in_hits FROM cvx_sql_docs "
+            "WHERE source IN ('src3', 'src17')", view="cvx_sql_docs")
+        # aggregate pushdown from SQL text: SUM routed through the
+        # three-level manifest-sum kernel, count(*) metadata-only
+        f_s = pool.submit(
+            sql_router.route_sql_count, spark, out_o,
+            "SELECT sum(o_custkey) AS sum_cust FROM cvx_sql_orders "
+            "WHERE o_orderkey BETWEEN 1 AND 20000", view="cvx_sql_orders")
+        f_c = pool.submit(
+            sql_router.route_sql_count, spark, out_o,
+            "SELECT count(*) AS n_rows FROM cvx_sql_orders",
+            view="cvx_sql_orders")
+        r_df, r_st = f_r.result()
+        e_df, e_st = f_e.result()
+        i_df, i_st = f_i.result()
+        s_df, s_st = f_s.result()
+        c_df, c_st = f_c.result()
+    assert r_st["routed"] and r_st["pruned_chunks"] > 0, r_st
     assert e_st["routed"] and e_st["pruned_chunks"] > 0, e_st
     assert e_st["dict_fast_chunks"] == e_st["scanned_chunks"], e_st
-
-    i_df, i_st = sql_router.route_sql_count(
-        spark, out_d,
-        "SELECT count(*) AS in_hits FROM cvx_sql_docs "
-        "WHERE source IN ('src3', 'src17')", view="cvx_sql_docs")
     assert i_st["routed"], i_st
-
-    # aggregate pushdown from SQL text: SUM routed through the
-    # three-level manifest-sum kernel, count(*) metadata-only
-    s_df, s_st = sql_router.route_sql_count(
-        spark, out_o,
-        "SELECT sum(o_custkey) AS sum_cust FROM cvx_sql_orders "
-        "WHERE o_orderkey BETWEEN 1 AND 20000", view="cvx_sql_orders")
     assert s_st["routed"], s_st
-    c_df, c_st = sql_router.route_sql_count(
-        spark, out_o, "SELECT count(*) AS n_rows FROM cvx_sql_orders",
-        view="cvx_sql_orders")
     assert c_st["routed"] and c_st["metadata_only"], c_st
     # the kernels ran eagerly; each df is a 1-row local relation —
     # assemble ONE row rather than chaining crossJoins (a 5-way
@@ -1006,20 +1014,34 @@ def match_positions_query(spark, sf_dir) -> DataFrame:
     """match_positions: global row ordinals (ordered by o_orderkey) whose
     o_orderstatus dict-code equals 'F' — filtering runs on compressed
     dictionary codes; ordinals come from the distributed two-pass
-    prefix-sum scan (no single-partition bottleneck)."""
-    from ..operators.scan import global_positions
+    prefix-sum scan (no single-partition bottleneck).
+
+    The dict-encode + equals-mask kernel is FUSED into the same
+    applyInPandas task that assigns the bucket's ordinals (one Python
+    crossing instead of two, and only the hit positions — not every
+    row — leave the task), so the two-pass scan's second pass is also
+    the filter pass."""
+    from ..operators.scan import _bucket_col
     df = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    with_pos = global_positions(df, ["o_orderkey"])
+    bucket, _ = _bucket_col(df, "o_orderkey", 64)
+    d = df.withColumn("__bucket", bucket)
+    counts = {r["__bucket"]: r["n"] for r in
+              d.groupBy("__bucket").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
 
-    def fn(batches):
-        for pdf in batches:
-            blob = dictionary.encode(pdf["o_orderstatus"])
-            code = dictionary.code_of(blob, "F")
-            masks = filters.equals_mask(dictionary.codes_vector(blob), "u32", code)
-            hits = filters.match_positions(masks)
-            yield pd.DataFrame({"pos": pdf["pos"].to_numpy()[hits].astype(np.int64)})
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_orderkey"], kind="mergesort")
+        blob = dictionary.encode(pdf["o_orderstatus"])
+        code = dictionary.code_of(blob, "F")
+        masks = filters.equals_mask(dictionary.codes_vector(blob), "u32", code)
+        hits = filters.match_positions(masks)
+        return pd.DataFrame(
+            {"pos": hits.astype(np.int64) + offsets[key[0]]})
 
-    return with_pos.mapInPandas(fn, "pos long")
+    return d.groupBy("__bucket").applyInPandas(fn, "pos long")
 
 
 # --- sink / transform family --------------------------------------------------
@@ -1091,28 +1113,81 @@ def codec_histogram(spark, sf_dir) -> DataFrame:
     same decision from per-256-block min/max, so this checks the codec
     chooser end to end.
 
-    Distributed with GLOBALLY ALIGNED 256-blocks: the two-pass
-    prefix-sum scan assigns every row its global ordinal, rows group by
-    floor(pos / K) with K a multiple of 256, so every task's section
-    boundaries coincide with the oracle's row_number()-based blocks
-    (only the globally-last task can hold a partial, zero-padded block).
-    No single-partition stage anywhere."""
-    from ..operators.scan import global_positions
+    Distributed with GLOBALLY ALIGNED 256-blocks, FUSED into the
+    prefix-sum scan's second pass (one wide shuffle + one Python
+    crossing, not two of each): each order-key bucket knows its global
+    row offset, encodes the 256-aligned interior of its own rows
+    directly, and emits only the <=255-row head/tail fragments of the
+    blocks that straddle bucket boundaries; a tiny second stage
+    reassembles those straddling blocks by global block id.  The
+    globally-last (partial) block is absorbed by the last bucket, whose
+    encode zero-pads it — exactly the oracle's padding rule.  No
+    single-partition stage anywhere."""
+    from ..operators.scan import _bucket_col
     df = _read(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_orderkey", "l_linenumber")
-    with_pos = global_positions(df, ["l_orderkey", "l_linenumber"])
-    K = 256 * 32  # rows per task: multiple of 256 => global alignment
-    d = with_pos.withColumn("__blk", F.floor(F.col("pos") / K).cast("int"))
+    bucket, _ = _bucket_col(df, "l_orderkey", 64)
+    d = df.withColumn("__bucket", bucket)
+    counts = {r["__bucket"]: r["n"] for r in
+              d.groupBy("__bucket").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    total_rows = acc
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["l_orderkey", "l_linenumber"],
+                              kind="mergesort")
+        vals = pdf["l_partkey"].to_numpy(np.uint64)
+        off = offsets[key[0]]
+        end = off + len(vals)
+        astart = min(-(-off // 256) * 256, end)   # first aligned boundary
+        aend = end if end == total_rows else max((end // 256) * 256, astart)
+        parts = []
+        if aend > astart:
+            buf = vec.encode_vector(vals[astart - off:aend - off], "u64")
+            hist = vec.vector_stats(buf, "u64")["sect_types_histogram"]
+            parts.append(pd.DataFrame(
+                {"codec": list(hist.keys()),
+                 "sections": np.asarray(list(hist.values()), np.int64),
+                 "pos": np.int64(-1), "v": np.int64(0)}))
+        for lo, hi in ((off, astart), (aend, end)):
+            if hi > lo:
+                parts.append(pd.DataFrame(
+                    {"codec": None, "sections": np.int64(0),
+                     "pos": np.arange(lo, hi, dtype=np.int64),
+                     "v": vals[lo - off:hi - off].astype(np.int64)}))
+        if not parts:
+            return pd.DataFrame({"codec": pd.Series([], dtype=object),
+                                 "sections": pd.Series([], dtype=np.int64),
+                                 "pos": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64)})
+        return pd.concat(parts, ignore_index=True)
+
+    # the (small) partial output feeds two branches; localCheckpoint
+    # materializes the wide pass ONCE so neither branch re-runs it
+    out = d.groupBy("__bucket").applyInPandas(
+        fn, "codec string, sections long, pos long, v long") \
+        .localCheckpoint(eager=True)
+    hists = (out.where(F.col("codec").isNotNull())
+             .select("codec", "sections"))
+    frags = out.where(F.col("codec").isNull()).select("pos", "v")
+
+    def frag_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("pos", kind="mergesort")
-        buf = vec.encode_vector(pdf["l_partkey"].to_numpy(np.uint64), "u64")
+        buf = vec.encode_vector(pdf["v"].to_numpy(np.uint64), "u64")
         hist = vec.vector_stats(buf, "u64")["sect_types_histogram"]
         return pd.DataFrame({"codec": list(hist.keys()),
-                             "sections": list(hist.values())})
+                             "sections": np.asarray(list(hist.values()),
+                                                    np.int64)})
 
-    return (d.groupBy("__blk").applyInPandas(fn, "codec string, sections long")
-             .groupBy("codec").agg(F.sum("sections").cast("long").alias("sections")))
+    frag_hists = (frags.withColumn("__blk", F.expr("pos div 256"))
+                  .groupBy("__blk")
+                  .applyInPandas(frag_fn, "codec string, sections long"))
+    return (hists.unionByName(frag_hists)
+            .groupBy("codec")
+            .agg(F.sum("sections").cast("long").alias("sections")))
 
 
 # --- north-rule codec family --------------------------------------------------
@@ -1216,35 +1291,39 @@ def xor_f64_sum(spark, sf_dir) -> DataFrame:
 def histogram_2d_delta(spark, sf_dir) -> DataFrame:
     """2D-delta histogram pipeline (reference src/histogram.rs
     DeltaDiffPackSink): per-order cumulative l_linenumber histograms ->
-    2D-delta encode -> decode -> per-bucket totals."""
+    2D-delta encode -> decode -> per-bucket totals.
+
+    No pre-shuffle: bucket totals are ADDITIVE across any partitioning
+    of the rows, so each scan task 2D-delta-encodes its own cumulative
+    counter series straight off the parquet split (an order whose rows
+    straddle two tasks contributes two partial counter series — the
+    codec round-trip is exercised identically and the totals are
+    unchanged).  The former range-bucket exchange shuffled the full
+    6M-row projection only to re-group rows the sum never needed
+    grouped (guide §2.4: remove shuffles outright)."""
     from ..codecs import histogram2d as h2d
-    from ..operators.scan import _bucket_col
     df = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
-    # range-bucket on the order key: every order's rows stay together,
-    # each bucket 2D-delta-encodes its own cumulative counter series in
-    # parallel (totals are additive across buckets) — no repartition(1)
-    bucket, _ = _bucket_col(df, "l_orderkey", 16)
-    d = df.withColumn("__rb", bucket)
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("l_orderkey", kind="mergesort")
-        orders, inv = np.unique(pdf["l_orderkey"].to_numpy(), return_inverse=True)
-        lns = pdf["l_linenumber"].to_numpy(np.int64)
-        B = 8
-        hists = np.zeros((max(len(orders), 1), B), dtype=np.uint64)
-        if len(pdf):
-            np.add.at(hists, (inv, np.minimum(lns - 1, B - 1)), 1)
-        # cumulative counters across orders (increasing counters feed
-        # the 2D-delta path like Prometheus-style histograms)
-        cum = np.cumsum(hists, axis=0, dtype=np.uint64)
-        blob = h2d.encode(cum)
-        dec = h2d.decode(blob)
-        assert (dec == cum).all()
-        per_bucket = dec[-1] if len(dec) else np.zeros(B, np.uint64)
-        return pd.DataFrame({"bucket": np.arange(1, B + 1),
-                             "total": per_bucket.astype(np.int64)})
+    def fn(batches):
+        for pdf in batches:
+            orders, inv = np.unique(pdf["l_orderkey"].to_numpy(),
+                                    return_inverse=True)
+            lns = pdf["l_linenumber"].to_numpy(np.int64)
+            B = 8
+            hists = np.zeros((max(len(orders), 1), B), dtype=np.uint64)
+            if len(pdf):
+                np.add.at(hists, (inv, np.minimum(lns - 1, B - 1)), 1)
+            # cumulative counters across orders (increasing counters feed
+            # the 2D-delta path like Prometheus-style histograms)
+            cum = np.cumsum(hists, axis=0, dtype=np.uint64)
+            blob = h2d.encode(cum)
+            dec = h2d.decode(blob)
+            assert (dec == cum).all()
+            per_bucket = dec[-1] if len(dec) else np.zeros(B, np.uint64)
+            yield pd.DataFrame({"bucket": np.arange(1, B + 1),
+                                "total": per_bucket.astype(np.int64)})
 
-    return (d.groupBy("__rb").applyInPandas(fn, "bucket int, total long")
+    return (df.mapInPandas(fn, "bucket int, total long")
              .groupBy("bucket").agg(F.sum("total").cast("long").alias("total"))
              .where(F.col("total") > 0))
 
@@ -1408,10 +1487,54 @@ def lang_id_stopword(spark, sf_dir) -> DataFrame:
 
 
 def doc_fingerprint(spark, sf_dir) -> DataFrame:
-    """Rolling-hash document fingerprint (integer-exact, oracle-checked)."""
-    from ..operators import text_analysis as ta
-    df = _read(spark, sf_dir, "documents")
-    return df.select("doc_id", ta.rolling_fingerprint("text").alias("fingerprint"))
+    """Rolling-hash document fingerprint (integer-exact, oracle-checked).
+
+    Same formula as text_analysis.rolling_fingerprint (position-weighted
+    codepoint sum, period-8 weights, mod 2^31) but computed as one
+    vectorized numpy pass over the batch's Arrow string buffer instead
+    of a per-character JVM transform/aggregate lambda chain (guide §4.2:
+    hand whole batches to native code) — byte fast path for ASCII docs,
+    exact UTF-32 codepoint path for any doc carrying non-ASCII bytes,
+    NULL text stays NULL."""
+    import pyarrow as pa
+    from ..codecs.fsst import _string_buffers
+    from ..operators.text_analysis import FP_WEIGHTS
+    df = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    W = np.array(FP_WEIGHTS, dtype=np.int64)
+    MOD = np.int64(1 << 31)
+
+    def fn(batches):
+        for pdf in batches:
+            texts = pdf["text"]
+            isnull = texts.isna().to_numpy()
+            arr = pa.array(texts.fillna(""), type=pa.large_utf8())
+            data, offsets = _string_buffers(arr)
+            lens = np.diff(offsets)
+            starts = offsets[:-1]
+            sums = np.zeros(len(lens), dtype=np.int64)
+            ne = lens > 0
+            if ne.any():
+                pos = (np.arange(len(data), dtype=np.int64)
+                       - np.repeat(starts, lens))
+                contrib = data.astype(np.int64) * W[pos & 7]
+                sums[ne] = np.add.reduceat(contrib, starts[ne])
+                hibyte = data >= 0x80
+                if hibyte.any():
+                    hi = np.zeros(len(lens), bool)
+                    hi[ne] = np.add.reduceat(
+                        hibyte.astype(np.int64), starts[ne]) > 0
+                    for j in np.flatnonzero(hi):
+                        cp = np.frombuffer(
+                            str(texts.iloc[j]).encode("utf-32-le"),
+                            dtype=np.uint32).astype(np.int64)
+                        sums[j] = int(
+                            (cp * W[np.arange(len(cp)) & 7]).sum())
+            fp = pd.Series(sums % MOD, dtype="Int64")
+            fp[isnull] = pd.NA
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "fingerprint": fp})
+
+    return df.mapInPandas(fn, "doc_id long, fingerprint long")
 
 
 def events_windowed_stats(spark, sf_dir) -> DataFrame:
@@ -1449,8 +1572,9 @@ def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
       2. each candidate PAIR is verified with the vectorized exact
          batch-Jaccard kernel (operators.dedup.batch_jaccard) over the
          pair's two texts — the same verify stage MinHash uses.  Only
-         the (small) id-pair list is broadcast; the corpus text column
-         is scanned twice but never shuffled, and no join downstream of
+         the id-pair list moves (broadcast when it fits, AQE-planned
+         beyond the gate); the corpus text column
+         is never shuffled when the list broadcasts, and no join downstream of
          candidate generation is keyed on a shingle — a stop-shingle
          shared by every candidate doc can no longer make any join
          group quadratic.  The reported pairs are the same exact
@@ -1477,12 +1601,18 @@ def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
                     F.col("b.doc_id").alias("d2"))
             .distinct())
 
-    # 2. exact per-pair Jaccard: texts attached by broadcasting the
-    # id-pair list into two corpus scans, scored batch-at-a-time
+    # 2. exact per-pair Jaccard: texts attached by joining the id-pair
+    # list into two corpus scans, scored batch-at-a-time.  The list is
+    # materialized once (it feeds both scans) and the broadcast hint is
+    # gated on its measured size — same rule as minhash_near_dups
+    from ..operators.dedup import CAND_BROADCAST_MAX_PAIRS
+    cand = cand.localCheckpoint(eager=True)
+    cand_hint = (F.broadcast(cand)
+                 if cand.count() <= CAND_BROADCAST_MAX_PAIRS else cand)
     t1 = df.select(F.col("doc_id").alias("d1"), F.col("text").alias("t1"))
     t2 = df.select(F.col("doc_id").alias("d2"), F.col("text").alias("t2"))
-    withtext = (t1.join(F.broadcast(cand), "d1")
-                .join(t2.join(F.broadcast(cand), "d2"), ["d1", "d2"]))
+    withtext = (t1.join(cand_hint, "d1")
+                .join(t2.join(cand_hint, "d2"), ["d1", "d2"]))
 
     def verify_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1499,8 +1629,9 @@ def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
 
 def embedding_near_dup(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup WITHOUT an all-pairs join: multi-table
-    hyperplane-LSH candidate generation + exact JVM cosine verify
-    (operators.similarity.cosine_near_dup_lsh).  No cross /
+    hyperplane-LSH bucketing with exact in-bucket numpy cosine verify
+    (operators.similarity.cosine_near_dup_lsh) — scale-adaptive plane /
+    table counts keep candidate work ~linear in N.  No cross /
     broadcast-nested-loop join appears in the plan; the only large
     shuffle keys on uniform (table, bucket).
 
@@ -1678,8 +1809,9 @@ def media_inventory(spark, sf_dir) -> DataFrame:
     import hashlib
     from ..operators import multimodal as mm
     pq = os.path.join(_media_oracle_dir(), "media.parquet")
-    mm.synthetic_media(spark, MEDIA_ORACLE_ROWS).write \
-        .mode("overwrite").parquet(pq)
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):  # write-once
+        mm.synthetic_media(spark, MEDIA_ORACLE_ROWS).write \
+            .mode("overwrite").parquet(pq)
     df = spark.read.parquet(pq)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1782,8 +1914,12 @@ def url_canonical_dedup(spark, sf_dir) -> DataFrame:
     Python rows); the oracle re-derives the same canonicalization in
     DuckDB SQL over the same deterministic parquet."""
     pq = os.path.join(_url_oracle_dir(), "urls.parquet")
-    spark.createDataFrame(_messy_urls()).coalesce(1).write \
-        .mode("overwrite").parquet(pq)
+    # write-once fixture (same rule as the nulls oracle): content is a
+    # pure function of the version-keyed path, so a completed write
+    # never needs refreshing and the oracle can never race an overwrite
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):
+        spark.createDataFrame(_messy_urls()).coalesce(1).write \
+            .mode("overwrite").parquet(pq)
     df = spark.read.parquet(pq)
     c = F.regexp_replace("url", "#.*", "")
     c = F.regexp_replace(c, r"\?.*", "")
@@ -1857,8 +1993,9 @@ def pii_scrub(spark, sf_dir) -> DataFrame:
     applies the same two regexes in DuckDB (RE2, 'g' flag) and the
     scrubbed text must match byte-for-byte."""
     pq = os.path.join(_pii_oracle_dir(), "docs.parquet")
-    spark.createDataFrame(_pii_docs()).coalesce(1).write \
-        .mode("overwrite").parquet(pq)
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):  # write-once
+        spark.createDataFrame(_pii_docs()).coalesce(1).write \
+            .mode("overwrite").parquet(pq)
     df = spark.read.parquet(pq)
     scrubbed = F.regexp_replace(
         F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
@@ -1878,16 +2015,19 @@ FROM '{_pii_oracle_dir()}/docs.parquet/*.parquet'
 
 def repetition_ratio(spark, sf_dir) -> DataFrame:
     """Within-doc token-repetition ratio (the Gopher-rules quality
-    signal: heavily repetitive docs are boilerplate/spam).  One explode
-    + one groupBy — map-side combine keeps the shuffle at
-    (doc, distinct-token) granularity; the ratio is exact integer ppm
-    so both engines agree bit-for-bit."""
+    signal: heavily repetitive docs are boilerplate/spam).  The counts
+    are per-document array functions (size / array_distinct), so the
+    whole query is a narrow JVM map over the corpus — no explode, no
+    shuffle at all (the former explode + count_distinct groupBy
+    shuffled one row per (doc, distinct token)); the ratio is exact
+    integer ppm so both engines agree bit-for-bit."""
     df = (_read(spark, sf_dir, "documents")
           .where(F.col("text").isNotNull())
-          .select("doc_id", F.explode(F.split("text", " ")).alias("tok")))
-    agg = df.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_tokens"),
-        F.count_distinct("tok").cast("long").alias("n_distinct"))
+          .select("doc_id", F.split("text", " ").alias("toks")))
+    agg = df.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"))
     # integer `div`, not float `/`: DuckDB's `//` is exact integer
     # floor division and float rounding could differ at the boundary
     dup_ppm = F.expr(
@@ -2078,8 +2218,9 @@ def c4_line_filter(spark, sf_dir) -> DataFrame:
     100 TB).  Byte-exact cleaned text vs the DuckDB oracle's
     list_filter over the same deterministic parquet."""
     pq = os.path.join(_c4_oracle_dir(), "docs.parquet")
-    spark.createDataFrame(_c4_docs()).coalesce(1).write \
-        .mode("overwrite").parquet(pq)
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):  # write-once
+        spark.createDataFrame(_c4_docs()).coalesce(1).write \
+            .mode("overwrite").parquet(pq)
     df = spark.read.parquet(pq)
     kept = F.expr(
         "filter(split(text, '\n'), x -> "
@@ -2146,10 +2287,18 @@ def duplicate_span_removal(spark, sf_dir) -> DataFrame:
     docs = (_read(spark, sf_dir, "documents")
             .where(F.col("text").isNotNull())
             .select("doc_id", F.split("text", " ").alias("toks")))
+    # gram identity = xxhash64 of the k-token slice (content-hashed in
+    # the JVM): the global-df shuffle and the duplicate-gram join carry
+    # 8-byte keys instead of ~(k * token) gram STRINGS — an order of
+    # magnitude fewer shuffle bytes for the widest dataset in the job
+    # (guide §2.3 "narrower types / shuffle keys instead of payloads");
+    # token arrays hash equal iff the slices are equal, so the covered
+    # position set is unchanged (64-bit collisions: ~1e-6 at 10^6
+    # distinct grams)
     grams = (docs.where(F.size("toks") >= k)
              .select("doc_id", F.explode(F.expr(
                  f"transform(sequence(1, size(toks)-{k - 1}), "
-                 f"i -> struct(i AS i, array_join(slice(toks, i, {k}), ' ')"
+                 f"i -> struct(i AS i, xxhash64(slice(toks, i, {k}))"
                  f" AS gram))")).alias("g"))
              .select("doc_id", F.col("g.i").alias("i"),
                      F.col("g.gram").alias("gram")))
@@ -2221,15 +2370,20 @@ def decontaminate_ngram_overlap(spark, sf_dir) -> DataFrame:
     docs = (_read(spark, sf_dir, "documents")
             .where(F.col("text").isNotNull())
             .select("doc_id", F.split("text", " ").alias("toks")))
+    # both sides key on xxhash64 of the token slice (content hash, JVM):
+    # no ~(n * token)-byte gram string is ever materialized for the
+    # corpus-side explode — the broadcast probe and the per-doc
+    # aggregation work on 8-byte keys (guide §2.3; same derivation on
+    # both sides, so membership — and the per-doc hit count — is
+    # unchanged modulo 64-bit collisions, ~5e-9 here)
     eval_grams = (docs.where((F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
                              & (F.size("toks") >= n + 3))
-                  .select(F.array_join(F.slice("toks", 4, n), " ")
-                          .alias("gram"))
+                  .select(F.xxhash64(F.slice("toks", 4, n)).alias("gram"))
                   .distinct())
     doc_grams = (docs.where(F.size("toks") >= n)
                  .select("doc_id", F.explode(F.expr(
                      f"transform(sequence(1, size(toks)-{n - 1}), "
-                     f"i -> array_join(slice(toks, i, {n}), ' '))"))
+                     f"i -> xxhash64(slice(toks, i, {n})))"))
                      .alias("gram")))
     return (doc_grams.join(F.broadcast(eval_grams), "gram")
             .groupBy("doc_id")
@@ -2292,8 +2446,9 @@ def boilerplate_removal(spark, sf_dir) -> DataFrame:
     the same cleaned text in DuckDB (list_filter over the same
     frequent-line list); cleaned docs must match byte-for-byte."""
     pq = os.path.join(_boiler_oracle_dir(), "docs.parquet")
-    spark.createDataFrame(_boiler_docs()).coalesce(1).write \
-        .mode("overwrite").parquet(pq)
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):  # write-once
+        spark.createDataFrame(_boiler_docs()).coalesce(1).write \
+            .mode("overwrite").parquet(pq)
     df = spark.read.parquet(pq)
     lines = df.select("doc_id",
                       F.explode(F.array_distinct(F.split("text", "\n")))
@@ -2520,15 +2675,26 @@ def encoded_table_delete_pushdown(spark, sf_dir) -> DataFrame:
     deleted rows.  Green only if the dict-code string equality count,
     the section-skip numeric range count, the three-level filtered SUM
     and the threshold-pruned top-k all equal the oracle's live view."""
+    from concurrent.futures import ThreadPoolExecutor
     from ..sources import encoded_table
     out = _deleted_store(spark, sf_dir)
-    cnt_de, st_eq = encoded_table.pruned_string_equals_count(
-        spark, out, "lang", "de")
-    cnt_rng, _ = encoded_table.pruned_range_count(
-        spark, out, "n_chars", 200, 400)
-    sum_ids, st_sum = encoded_table.pruned_filtered_sum(
-        spark, out, "n_chars", 200, 400, "doc_id")
-    top5, _ = encoded_table.pruned_topk(spark, out, "n_chars", 5)
+    # the four kernels are independent reads of one store: submit them
+    # from a small thread pool so each kernel's straggler tail
+    # backfills with the next kernel's tasks instead of serializing
+    # four job round-trips (guide §2.6 "overlap independent jobs")
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_eq = pool.submit(encoded_table.pruned_string_equals_count,
+                           spark, out, "lang", "de")
+        f_rng = pool.submit(encoded_table.pruned_range_count,
+                            spark, out, "n_chars", 200, 400)
+        f_sum = pool.submit(encoded_table.pruned_filtered_sum,
+                            spark, out, "n_chars", 200, 400, "doc_id")
+        f_top = pool.submit(encoded_table.pruned_topk,
+                            spark, out, "n_chars", 5)
+        cnt_de, st_eq = f_eq.result()
+        cnt_rng, _ = f_rng.result()
+        sum_ids, st_sum = f_sum.result()
+        top5, _ = f_top.result()
     # the delete-affected chunks must NOT have taken the manifest
     # shortcut: their stats describe pre-delete rows
     assert st_sum["covered_from_manifest"] + st_sum["partial_chunks"] \
@@ -2590,19 +2756,19 @@ def var_section_histogram(spark, sf_dir) -> DataFrame:
     SectionHeader-based sections (rollover at 256 elements / 64 KB), then
     decoded back through the section iterator -> per-bucket totals.
 
-    Scale shape: range-bucketed on l_orderkey so every group encodes its
-    own independent section stream in parallel; totals are additive
-    across groups, so the final aggregate is a tiny 8-row shuffle."""
+    Scale shape: every scan task encodes its own independent section
+    stream in parallel straight off its parquet split — totals are
+    ADDITIVE across any partitioning, so the former range-bucket
+    exchange (a full shuffle of the 6M-row projection) is removed
+    outright (guide §2.4) and the final aggregate is a tiny 8-row
+    shuffle."""
     from ..codecs.section_writer import (
         HEADER_LEN, SectionWriter, NotEnoughSpace, iter_sections)
-    from ..operators.scan import _bucket_col
     from ..sections import SECT_NP_MED
     from .. import nibblepack as npk
 
     B = 8
     df = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
-    bucket, _ = _bucket_col(df, "l_orderkey", 16)
-    d = df.withColumn("__rb", bucket)
 
     def _decode_stream(stream: bytes) -> np.ndarray:
         """All rows back out of a var-section stream, (N, 8) uint64.
@@ -2629,34 +2795,34 @@ def var_section_histogram(spark, sf_dir) -> DataFrame:
         vals, _ = npk.unpack_groups(body, flat[flat >= 0])
         return vals
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("l_orderkey", kind="mergesort")
-        orders, inv = np.unique(pdf["l_orderkey"].to_numpy(),
-                                return_inverse=True)
-        lns = pdf["l_linenumber"].to_numpy(np.int64)
-        hists = np.zeros((len(orders), B), dtype=np.uint64)
-        if len(pdf):
-            np.add.at(hists, (inv, np.minimum(lns - 1, B - 1)), 1)
-        R = len(hists)
-        buf = bytearray(R * 70 + (R // 256 + 2) * HEADER_LEN + 64)
-        writer = SectionWriter(buf, max_elements_per_sect=256)
-        pos = 0
-        while pos < R:
-            def filler(writable, elements_left, _pos=pos):
-                take = min(elements_left, R - _pos)
-                payload, _ = npk.pack_groups(hists[_pos:_pos + take])
-                if len(payload) > len(writable):
-                    raise NotEnoughSpace
-                writable[:len(payload)] = payload.tobytes()
-                return len(payload), take
-            _, ne = writer.add(SECT_NP_MED, filler)
-            pos += ne
-        dec = _decode_stream(writer.finish())
-        assert dec.shape == hists.shape and (dec == hists).all()
-        per_bucket = dec.sum(axis=0) if len(dec) else np.zeros(B, np.uint64)
-        return pd.DataFrame({"bucket": np.arange(1, B + 1),
-                             "total": per_bucket.astype(np.int64)})
+    def fn(batches):
+        for pdf in batches:
+            orders, inv = np.unique(pdf["l_orderkey"].to_numpy(),
+                                    return_inverse=True)
+            lns = pdf["l_linenumber"].to_numpy(np.int64)
+            hists = np.zeros((len(orders), B), dtype=np.uint64)
+            if len(pdf):
+                np.add.at(hists, (inv, np.minimum(lns - 1, B - 1)), 1)
+            R = len(hists)
+            buf = bytearray(R * 70 + (R // 256 + 2) * HEADER_LEN + 64)
+            writer = SectionWriter(buf, max_elements_per_sect=256)
+            pos = 0
+            while pos < R:
+                def filler(writable, elements_left, _pos=pos):
+                    take = min(elements_left, R - _pos)
+                    payload, _ = npk.pack_groups(hists[_pos:_pos + take])
+                    if len(payload) > len(writable):
+                        raise NotEnoughSpace
+                    writable[:len(payload)] = payload.tobytes()
+                    return len(payload), take
+                _, ne = writer.add(SECT_NP_MED, filler)
+                pos += ne
+            dec = _decode_stream(writer.finish())
+            assert dec.shape == hists.shape and (dec == hists).all()
+            per_bucket = dec.sum(axis=0) if len(dec) else np.zeros(B, np.uint64)
+            yield pd.DataFrame({"bucket": np.arange(1, B + 1),
+                                "total": per_bucket.astype(np.int64)})
 
-    return (d.groupBy("__rb").applyInPandas(fn, "bucket int, total long")
+    return (df.mapInPandas(fn, "bucket int, total long")
              .groupBy("bucket").agg(F.sum("total").cast("long").alias("total"))
              .where(F.col("total") > 0))

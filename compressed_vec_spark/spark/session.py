@@ -22,6 +22,16 @@ def get_spark(app: str = "compressed-vec-spark", cores: int | None = None,
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        # scan parallelism floor DERIVED from the worker grid (not a
+        # byte constant tuned to one input size): a single ~128 MB
+        # parquet file is otherwise ONE split (maxPartitionBytes), so
+        # every no-shuffle mapInPandas kernel over it would run on one
+        # task regardless of cores.  minPartitionNum shrinks split
+        # sizes only when files are large enough (openCostInBytes
+        # still floors tiny tables), so many-small-file scans are
+        # unaffected; on a real cluster the same expression scales
+        # with the executor grid (guide §6).
+        .config("spark.sql.files.minPartitionNum", str(max(cores * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -408,3 +408,56 @@ def test_wide_delete_every_chunk_distributed_masks(spark, tmp_path):
         assert ".collect()" not in inspect.getsource(fn)
     assert 'join(masks, "chunk_id", "left")' in inspect.getsource(
         encoded_table._join_keep)
+
+
+def test_wide_delete_null_count_no_driver_masks(spark, tmp_path, monkeypatch):
+    """manifest_null_count on a store where EVERY chunk carries live
+    deletes: the answer must stay exact AND the delete masks must ride
+    the distributed chunk_id join — no driver-side collect of any
+    mask-carrying row set (the pre-r6 path collected the whole sidecar
+    into a dict captured by every task closure)."""
+    try:  # Spark 4: concrete class lives in sql.classic
+        import pyspark.sql.classic.dataframe as df_mod
+    except ImportError:  # pragma: no cover - Spark 3.x fallback
+        import pyspark.sql.dataframe as df_mod
+
+    out = str(tmp_path / "widedelnull")
+    n = 3000
+    vals = pd.array([None if i % 5 == 0 else (i * 7) % 1000
+                     for i in range(n)], dtype="Int64")
+    pdf = pd.DataFrame({"k": np.arange(n, dtype=np.int64), "v": vals})
+    df = spark.createDataFrame(pdf).coalesce(2)
+    encode_job.encode_table(spark, df, out, url_col=None, resume=False)
+
+    def mask_fn(blob, codec):
+        from compressed_vec_spark.codecs import chunk as chunk_codec
+        kv = np.asarray(chunk_codec.decode_column(blob))
+        return (kv % 3) == 0  # hits every 500-row chunk
+
+    stats = delete_job.delete_rows(spark, out, "k", F.lit(True),
+                                   mask_fn, "wdn1")
+    assert stats["rows_deleted"] == int(((pdf["k"] % 3) == 0).sum())
+    masks = encoded_table._keep_mask_df(spark, out)
+    k_chunks = (spark.read.parquet(os.path.join(out, "manifest"))
+                .where(F.col("column") == "k").count())
+    assert masks is not None and masks.count() == k_chunks  # all wide
+
+    collected_schemas = []
+    orig_collect = df_mod.DataFrame.collect
+
+    def spy(self):
+        collected_schemas.append([f.name for f in self.schema.fields])
+        return orig_collect(self)
+
+    monkeypatch.setattr(df_mod.DataFrame, "collect", spy)
+    n_null, n_nn = encoded_table.manifest_null_count(spark, out, "v")
+    monkeypatch.undo()
+
+    live = pdf[(pdf["k"].to_numpy() % 3) != 0]
+    assert n_null == int(live["v"].isna().sum())
+    assert n_nn == int(live["v"].notna().sum())
+    # every driver collect on the null-count path is a tiny aggregate —
+    # never a row set carrying the packed masks
+    assert collected_schemas, "spy never engaged"
+    for cols in collected_schemas:
+        assert "mask" not in cols and "keep_mask" not in cols, cols
