@@ -98,6 +98,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver row for the new code path ---
         "encoded_table_filter_select": q.encoded_table_filter_select,
         "encoded_table_range_select": q.encoded_table_range_select,
+        # --- rotated INTO the window for r6 (r5 verdict #3): their
+        # shared read path was rewritten in r5 (distributed delete
+        # masks) and r6 touched delete_pushdown (kernel overlap) — the
+        # oracle has never seen the rewritten kernels for these four.
+        # Rule adopted: any query whose kernel changed this round
+        # enters the next window. ---
+        "encoded_table_delete_count": q.encoded_table_delete_count,
+        "encoded_table_delete_pushdown": q.encoded_table_delete_pushdown,
+        "encoded_table_upsert_count": q.encoded_table_upsert_count,
+        "store_membership_antijoin": q.store_membership_antijoin,
         # --- new in r5: the last unimplemented reference row, the
         # variable-length SectionWriter (src/section.rs:83-180), driven
         # end-to-end: NibblePacked histogram rows through SectionHeader
@@ -141,9 +151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-text point lookup: per-chunk Bloom filters prune where
         # zone maps can't (unsorted probe column)
         "encoded_table_point_lookup": q.encoded_table_point_lookup,
-        # incremental-crawl dedup: batch membership anti-join against
-        # the persisted store, Bloom-answered from the manifest
-        "store_membership_antijoin": q.store_membership_antijoin,
         # snapshot (time-travel) reads off the append_log's reserved
         # part ranges: as-of a batch, and a single batch's diff
         "snapshot_as_of_count": q.snapshot_as_of_count,
@@ -154,18 +161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # schema evolution: batch-added column, NULL back-fill on
         # pre-evolution parts, no existing chunk rewritten
         "schema_evolution_nulls": q.schema_evolution_nulls,
-        # row-level DELETE: position deletion vectors (no chunk
-        # rewritten; metadata-exact live counts) + the chunk-local
-        # materialization rewrite
-        "encoded_table_delete_count": q.encoded_table_delete_count,
+        # row-level DELETE materialization rewrite (delete_count /
+        # delete_pushdown / upsert rotated into the front window above)
         "encoded_table_delete_materialize":
             q.encoded_table_delete_materialize,
-        # pruned fast-path reads subtract live deletes (clean chunks
-        # keep the compressed kernels; affected chunks decode + mask)
-        "encoded_table_delete_pushdown": q.encoded_table_delete_pushdown,
-        # MERGE-INTO by key: matched rows position-deleted, batch
-        # appended — the micro-batch correction loop
-        "encoded_table_upsert_count": q.encoded_table_upsert_count,
         # IN-list over the store: OneOf on compressed codes, blooms
         # pruning chunks where every listed value is provably absent
         "encoded_table_string_in_count": q.encoded_table_string_in_count,

@@ -27,6 +27,74 @@ _MERSENNE = (1 << 61) - 1
 # broadcast of an O(N) pair list would OOM the driver at corpus scale)
 CAND_BROADCAST_MAX_PAIRS = 2_000_000
 
+# polynomial base for token-gram span hashes: odd => invertible mod 2^64
+_GRAM_B = np.uint64(0x100000001B3)
+_GRAM_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def token_gram_hashes(texts: pa.Array, k: int) \
+        -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """64-bit hash of every k-TOKEN gram of every doc (tokens =
+    space-separated, exactly Spark's split(text, ' ')), fully
+    vectorized over the batch: one boundary scan + two wrap-around
+    prefix products/sums over the concatenated bytes — no per-doc
+    Python, no gram string ever materialized.
+
+    The hash is the polynomial hash of the gram's BYTE SPAN (the k
+    tokens joined by single spaces).  Join-with-space is injective for
+    space-free tokens, so span equality <=> token-sequence equality —
+    the same gram identity as array_join(slice(toks, i, k), ' ') /
+    xxhash64(slice(...)), modulo 64-bit collisions.
+
+    Returns (doc_idx, pos_1based, hash) int64/int32/uint64 arrays, one
+    entry per gram, docs with fewer than k tokens contributing none —
+    mirroring the size(toks) >= k filter.  Multi-byte UTF-8 never
+    contains 0x20, so byte spaces are exactly character spaces."""
+    data, offsets = _string_buffers(texts)
+    n_bytes = len(data)
+    n_docs = len(offsets) - 1
+    sp = np.flatnonzero(data == 32)
+    sc = np.diff(np.searchsorted(sp, offsets))        # spaces per doc
+    ntok = sc + 1
+    n_toks = int(ntok.sum())
+    tok_off = np.concatenate(([0], np.cumsum(ntok)))
+    first = np.zeros(n_toks, dtype=bool)
+    first[tok_off[:-1]] = True
+    last = np.zeros(n_toks, dtype=bool)
+    last[tok_off[1:] - 1] = True
+    tok_start = np.empty(n_toks, dtype=np.int64)
+    tok_start[first] = offsets[:-1]
+    tok_start[~first] = sp + 1
+    tok_end = np.empty(n_toks, dtype=np.int64)
+    tok_end[last] = offsets[1:]
+    tok_end[~last] = sp
+
+    n_gr = np.maximum(ntok - (k - 1), 0) * (ntok >= k)
+    total = int(n_gr.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int32),
+                np.empty(0, np.uint64))
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_gr)
+    within = _within_counts(n_gr)
+    g_tok = np.repeat(tok_off[:-1], n_gr) + within    # first token index
+    a = tok_start[g_tok]                              # span [a, b)
+    b = tok_end[g_tok + (k - 1)]
+
+    # wrap-around prefix machinery: Q[j] = sum_{t<j} data[t]*Binv^t,
+    # span hash = (Q[b]-Q[a]) * B^(b-1)  ==  sum data[t]*B^(b-1-t)
+    ip = np.full(n_bytes, _GRAM_BINV, dtype=np.uint64)
+    if n_bytes:
+        ip[0] = 1
+    ip = np.cumprod(ip)
+    q = np.zeros(n_bytes + 1, dtype=np.uint64)
+    np.cumsum(data.astype(np.uint64) * ip, out=q[1:])
+    bp = np.full(n_bytes, _GRAM_B, dtype=np.uint64)
+    if n_bytes:
+        bp[0] = 1
+    bp = np.cumprod(bp)
+    h = (q[b] - q[a]) * bp[np.maximum(b - 1, 0)]  # empty span: q diff = 0
+    return doc_idx, (within + 1).astype(np.int32), h
+
 
 def _shingle_hashes(texts: pa.Array, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     """k-byte shingle hashes for every doc, vectorized over the whole

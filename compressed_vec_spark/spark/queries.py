@@ -26,6 +26,62 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+_SCAN_UNITS_CACHE: dict[str, int] = {}
+
+
+def _scan_units(path: str, cap: int = 256) -> int:
+    """Number of independently readable units (files x row groups) of a
+    parquet table — the TRUE upper bound on scan parallelism (byte-range
+    splits of a single-row-group file all collapse onto one reader).
+    Bounded metadata walk, memoized per path (input LAYOUT, not data)."""
+    if path in _SCAN_UNITS_CACHE:
+        return _SCAN_UNITS_CACHE[path]
+    import glob as _glob
+    import pyarrow.parquet as _pq
+    files = (_glob.glob(os.path.join(path, "*.parquet"))
+             if os.path.isdir(path) else [path])
+    total = 0
+    for f in files:
+        if total >= cap:
+            break
+        try:
+            total += _pq.ParquetFile(f).metadata.num_row_groups
+        except Exception:
+            total += 1
+    _SCAN_UNITS_CACHE[path] = total
+    return total
+
+
+def _read_spread(spark: SparkSession, sf_dir: str, table: str,
+                 keys: list[str] | None = None,
+                 min_units: int | None = None) -> DataFrame:
+    """Read for PER-ROW (order-free) kernels, with the guide §2.5
+    unsplittable-input remedy: when the table's real scan parallelism
+    (files x row groups) is below the gate — the single-file,
+    single-row-group shape of the local test tables gives ONE reader
+    regardless of byte-range splits — one repartition of the
+    (column-pruned) rows spreads the Python kernel over every core.
+
+    Default gate (min_units=3) spreads only near-serial scans: a
+    measured 6-unit 6M-row table LOST time to the round-robin spread
+    (sort-before-repartition, §2.5) while 1-unit tables gained 2-4x.
+    Pass `keys` to use hash partitioning (no pre-sort — cheaper for
+    wide tables) and a higher `min_units` gate when the kernel is
+    expensive enough to want the full grid.  A production layout with
+    enough files/row groups skips the shuffle entirely, so this is
+    layout-adaptive, not a local-mode constant.  Never use for
+    order- or grouping-sensitive kernels (RLE runs, bucketed scans)."""
+    df = _read(spark, sf_dir, table)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    gate = 3 if min_units is None else min_units
+    if _scan_units(path) < min(gate, target):
+        if keys:
+            return df.repartition(target, *[F.col(k) for k in keys])
+        return df.repartition(target)
+    return df
+
+
 def _scratch_dir(spark: SparkSession, prefix: str) -> str:
     """Scratch path for queries that materialize an encoded store.
     On a cluster set `spark.cvx.scratchDir` (or $CVX_SCRATCH_DIR) to a
@@ -1247,7 +1303,7 @@ def fsst_text_roundtrip(spark, sf_dir) -> DataFrame:
     aggregating over the DECODED strings."""
     from ..codecs import fsst
     import pyarrow as pa
-    df = _read(spark, sf_dir, "documents").select("text")
+    df = _read_spread(spark, sf_dir, "documents").select("text")
 
     def fn(batches):
         import pyarrow.compute as pc
@@ -1302,7 +1358,8 @@ def histogram_2d_delta(spark, sf_dir) -> DataFrame:
     6M-row projection only to re-group rows the sum never needed
     grouped (guide §2.4: remove shuffles outright)."""
     from ..codecs import histogram2d as h2d
-    df = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    df = _read_spread(spark, sf_dir, "lineitem", keys=["l_orderkey"],
+                      min_units=32).select("l_orderkey", "l_linenumber")
 
     def fn(batches):
         for pdf in batches:
@@ -1437,7 +1494,7 @@ def simhash_signatures_query(spark, sf_dir) -> DataFrame:
     (votes per bit over every window occurrence)."""
     import pyarrow as pa
     from ..operators import dedup
-    df = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    df = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
 
     def fn(batches):
         for pdf in batches:
@@ -1481,7 +1538,7 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
 def lang_id_stopword(spark, sf_dir) -> DataFrame:
     """Language-ID heuristic: English stopword ppm per document."""
     from ..operators import text_analysis as ta
-    df = _read(spark, sf_dir, "documents")
+    df = _read_spread(spark, sf_dir, "documents")
     return df.select("doc_id",
                      ta.stopword_ratio_ppm(F.col("text")).alias("stopword_ppm"))
 
@@ -1499,7 +1556,7 @@ def doc_fingerprint(spark, sf_dir) -> DataFrame:
     import pyarrow as pa
     from ..codecs.fsst import _string_buffers
     from ..operators.text_analysis import FP_WEIGHTS
-    df = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    df = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
     W = np.array(FP_WEIGHTS, dtype=np.int64)
     MOD = np.int64(1 << 31)
 
@@ -1692,7 +1749,7 @@ def exact_dedup(spark, sf_dir) -> DataFrame:
 
 def token_count_per_doc(spark, sf_dir) -> DataFrame:
     """Whitespace token counting (text analysis family)."""
-    df = _read(spark, sf_dir, "documents")
+    df = _read_spread(spark, sf_dir, "documents")
     t = F.trim(F.col("text"))
     cnt = F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1)
@@ -1760,7 +1817,7 @@ def corpus_clean_pipeline(spark, sf_dir) -> DataFrame:
 
 def quality_score(spark, sf_dir) -> DataFrame:
     """Quality metrics: length / space ratio / uppercase-start share."""
-    df = _read(spark, sf_dir, "documents")
+    df = _read_spread(spark, sf_dir, "documents")
     length = F.length(F.col("text"))
     spaces = length - F.length(F.regexp_replace(F.col("text"), " ", ""))
     # ppm as floor(double) is bit-deterministic across engines, unlike round()
@@ -2021,7 +2078,7 @@ def repetition_ratio(spark, sf_dir) -> DataFrame:
     shuffle at all (the former explode + count_distinct groupBy
     shuffled one row per (doc, distinct token)); the ratio is exact
     integer ppm so both engines agree bit-for-bit."""
-    df = (_read(spark, sf_dir, "documents")
+    df = (_read_spread(spark, sf_dir, "documents")
           .where(F.col("text").isNotNull())
           .select("doc_id", F.split("text", " ").alias("toks")))
     agg = df.select(
@@ -2112,7 +2169,7 @@ def gopher_quality_flags(spark, sf_dir) -> DataFrame:
     pure map over the corpus; ratios are integer `div` so both engines
     agree bit-for-bit."""
     stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
-    df = (_read(spark, sf_dir, "documents")
+    df = (_read_spread(spark, sf_dir, "documents")
           .where(F.col("text").isNotNull())
           .select("doc_id", F.split("text", " ").alias("toks")))
     s = df.select(
@@ -2284,24 +2341,33 @@ def duplicate_span_removal(spark, sf_dir) -> DataFrame:
     `transform`/`filter` over the token array.  Returns
     (doc_id, n_removed, cleaned) for affected docs only."""
     k = DUPSPAN_K
-    docs = (_read(spark, sf_dir, "documents")
-            .where(F.col("text").isNotNull())
-            .select("doc_id", F.split("text", " ").alias("toks")))
-    # gram identity = xxhash64 of the k-token slice (content-hashed in
-    # the JVM): the global-df shuffle and the duplicate-gram join carry
-    # 8-byte keys instead of ~(k * token) gram STRINGS — an order of
-    # magnitude fewer shuffle bytes for the widest dataset in the job
-    # (guide §2.3 "narrower types / shuffle keys instead of payloads");
-    # token arrays hash equal iff the slices are equal, so the covered
-    # position set is unchanged (64-bit collisions: ~1e-6 at 10^6
-    # distinct grams)
-    grams = (docs.where(F.size("toks") >= k)
-             .select("doc_id", F.explode(F.expr(
-                 f"transform(sequence(1, size(toks)-{k - 1}), "
-                 f"i -> struct(i AS i, xxhash64(slice(toks, i, {k}))"
-                 f" AS gram))")).alias("g"))
-             .select("doc_id", F.col("g.i").alias("i"),
-                     F.col("g.gram").alias("gram")))
+    docs_txt = (_read_spread(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull())
+                .select("doc_id", "text"))
+    docs = docs_txt.select("doc_id", F.split("text", " ").alias("toks"))
+    # gram identity = 64-bit span hash from ONE vectorized numpy pass
+    # (operators.dedup.token_gram_hashes): equal iff the k-token slices
+    # are equal, so the covered position set is unchanged (collisions
+    # ~1e-6 at 10^6 distinct grams).  The global-df shuffle and the
+    # duplicate-gram join carry 8-byte keys instead of ~(k * token)
+    # gram STRINGS (guide §2.3), and the former per-position JVM
+    # transform/slice/hash chain — the single most expensive stage of
+    # this query, re-run once per consumer — is gone; the gram table is
+    # localCheckpoint'ed so both consumers read it without regenerating.
+    from ..operators.dedup import token_gram_hashes
+
+    def gram_fn(batches):
+        import pyarrow as pa
+        for pdf in batches:
+            arr = pa.array(pdf["text"], type=pa.large_utf8())
+            di, pos, gh = token_gram_hashes(arr, k)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[di],
+                "i": pos,
+                "gram": gh.view(np.int64)})
+
+    grams = (docs_txt.mapInPandas(gram_fn, "doc_id long, i int, gram long")
+             .localCheckpoint(eager=True))
     dup = (grams.groupBy("gram").agg(F.count("*").alias("n"))
            .where(F.col("n") >= 2).select("gram"))
     # no .distinct() before collect_set: the set aggregate already
@@ -2367,25 +2433,34 @@ def decontaminate_ngram_overlap(spark, sf_dir) -> DataFrame:
     (doc_id, n_contaminated) for contaminated docs only — the removal
     list."""
     n = DECONTAM_N
-    docs = (_read(spark, sf_dir, "documents")
-            .where(F.col("text").isNotNull())
-            .select("doc_id", F.split("text", " ").alias("toks")))
-    # both sides key on xxhash64 of the token slice (content hash, JVM):
-    # no ~(n * token)-byte gram string is ever materialized for the
-    # corpus-side explode — the broadcast probe and the per-doc
-    # aggregation work on 8-byte keys (guide §2.3; same derivation on
-    # both sides, so membership — and the per-doc hit count — is
-    # unchanged modulo 64-bit collisions, ~5e-9 here)
-    eval_grams = (docs.where((F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
-                             & (F.size("toks") >= n + 3))
-                  .select(F.xxhash64(F.slice("toks", 4, n)).alias("gram"))
-                  .distinct())
-    doc_grams = (docs.where(F.size("toks") >= n)
-                 .select("doc_id", F.explode(F.expr(
-                     f"transform(sequence(1, size(toks)-{n - 1}), "
-                     f"i -> xxhash64(slice(toks, i, {n})))"))
-                     .alias("gram")))
-    return (doc_grams.join(F.broadcast(eval_grams), "gram")
+    docs_txt = (_read_spread(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull())
+                .select("doc_id", "text"))
+    # gram identity = 64-bit span hash from ONE vectorized numpy pass
+    # (operators.dedup.token_gram_hashes, shared with the dup-span
+    # query): no gram string is ever materialized, the broadcast probe
+    # and per-doc aggregation work on 8-byte keys, and the eval set is
+    # a filter of the SAME gram table (a position-4 gram exists exactly
+    # when size(toks) >= n + 3), so one pass feeds both sides
+    from ..operators.dedup import token_gram_hashes
+
+    def gram_fn(batches):
+        import pyarrow as pa
+        for pdf in batches:
+            arr = pa.array(pdf["text"], type=pa.large_utf8())
+            di, pos, gh = token_gram_hashes(arr, n)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[di],
+                "i": pos,
+                "gram": gh.view(np.int64)})
+
+    grams = (docs_txt.mapInPandas(gram_fn, "doc_id long, i int, gram long")
+             .localCheckpoint(eager=True))
+    eval_grams = (grams.where((F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+                              & (F.col("i") == 4))
+                  .select("gram").distinct())
+    return (grams.select("doc_id", "gram")
+            .join(F.broadcast(eval_grams), "gram")
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_contaminated")))
 
@@ -2768,7 +2843,8 @@ def var_section_histogram(spark, sf_dir) -> DataFrame:
     from .. import nibblepack as npk
 
     B = 8
-    df = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    df = _read_spread(spark, sf_dir, "lineitem", keys=["l_orderkey"],
+                      min_units=32).select("l_orderkey", "l_linenumber")
 
     def _decode_stream(stream: bytes) -> np.ndarray:
         """All rows back out of a var-section stream, (N, 8) uint64.

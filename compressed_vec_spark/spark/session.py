@@ -32,6 +32,12 @@ def get_spark(app: str = "compressed-vec-spark", cores: int | None = None,
         # unaffected; on a real cluster the same expression scales
         # with the executor grid (guide §6).
         .config("spark.sql.files.minPartitionNum", str(max(cores * 2, 8)))
+        # openCostInBytes models per-file open/seek cost; the 4 MB
+        # default floors split sizes so a small-but-expensive input
+        # (e.g. a 6 MB zstd documents table feeding a Python kernel)
+        # lands on ~2 tasks.  512 KB matches local/NVMe reality and is
+        # a no-op for the >=128 MB files of a production layout.
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
