@@ -42,7 +42,7 @@ def main() -> None:
     args = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    repeats, plans = 1, None
+    repeats, plans, warm = 1, None, True
     names = []
     i = 0
     while i < len(args):
@@ -52,6 +52,8 @@ def main() -> None:
             repeats = int(args[i + 1]); i += 2
         elif args[i] == "--plans":
             plans = args[i + 1]; i += 2
+        elif args[i] == "--no-warm":
+            warm = False; i += 1  # only for store-free queries
         else:
             names.append(args[i]); i += 1
 
@@ -64,7 +66,7 @@ def main() -> None:
     spark = get_spark("cvx-bench-extra", cores=cpus)
     timings: dict[str, list[float]] = {}
     try:
-        for w in WARM:
+        for w in (WARM if warm else ()):
             qs[w](spark, sf_dir).write.format("noop").mode("overwrite").save()
         for name in names:
             fn = qs[name]
