@@ -266,6 +266,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff = {}
     sof = None
     scan = None
+    app14_transform = None
     while pos + 1 < len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -322,10 +323,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
                      body[2 + 2 * i] & 15) for i in range(ns)]
             break
-        # APPn / COM / DRI etc.: skipped (DRI unsupported below)
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            app14_transform = body[11]
+        # other APPn / COM / DRI etc.: skipped (DRI unsupported below)
     if sof is None or scan is None:
         raise ValueError("missing SOF0/SOS")
     h, w, comps = sof
+    # refuse-don't-mis-decode (module contract): scan components are
+    # paired with SOF components POSITIONALLY below, and the color
+    # transform assumes YCbCr — a conforming foreign file with
+    # reordered scan components or an Adobe RGB transform would decode
+    # silently wrong without these guards
+    if [c[0] for c in scan] != [c[0] for c in comps]:
+        raise NotImplementedError("scan component order differs from SOF")
+    if len(comps) == 3 and app14_transform == 0:
+        raise NotImplementedError("Adobe APP14 RGB color transform")
 
     # entropy-coded segment: up to EOI, 0xFF00 unstuffed
     end = b.rfind(b"\xFF\xD9")

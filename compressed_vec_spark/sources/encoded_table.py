@@ -960,8 +960,11 @@ def store_membership(spark: SparkSession, out_dir: str, column: str,
     # re-run for each of the two stats counts AND the verify join below
     cand = (manifest.select(*man_cols)
             .mapInPandas(probe_fn, "chunk_id string, pid long")).persist()
-    candidate_pairs = cand.count()
-    candidate_chunks = cand.select("chunk_id").distinct().count()
+    # both stats from ONE aggregate job over the persisted pass
+    crow = cand.agg(F.count(F.lit(1)).alias("p"),
+                    F.count_distinct("chunk_id").alias("c")).collect()[0]
+    candidate_pairs = int(crow["p"])
+    candidate_chunks = int(crow["c"])
 
     # pair each candidate with its probe VALUE (first time values move),
     # then verify per chunk: one decode answers all of that chunk's pairs

@@ -813,9 +813,19 @@ def _route_join(spark, out_dir, parsed, view):
              "min": F.min, "max": F.max}
     joined = per_key.join(F.broadcast(dimdf),
                           per_key[store_key] == dimdf[dim_key])
+    def _reagg_col(a):
+        # SUM partials re-accumulate in decimal(38,0) and only the
+        # final total casts to long — matching the single-table group
+        # kernel's overflow protection (r5 advice: a long-typed re-sum
+        # loses it exactly where several near-limit partials combine)
+        if a["fn"] == "sum":
+            return (F.sum(per_key[a["alias"]].cast("decimal(38,0)"))
+                    .cast("long").alias(a["alias"]))
+        return (reagg[a["fn"]](per_key[a["alias"]]).cast("long")
+                .alias(a["alias"]))
+
     res = (joined.groupBy(dimdf[gcol].alias(gcol))
-           .agg(*[reagg[a["fn"]](per_key[a["alias"]]).cast("long")
-                  .alias(a["alias"]) for a in aggs]))
+           .agg(*[_reagg_col(a) for a in aggs]))
     df = res.select(*[F.col(gcol) if k == "group" else F.col(a["alias"])
                       for k, a in out_spec])
     if sort:
@@ -943,6 +953,13 @@ def route_sql(spark: SparkSession, out_dir: str, sql: str,
                 alias = "__hav%d" % len(kernel_aggs)
                 kernel_aggs.append({"alias": alias, **h["agg"]})
             hav_cols.append((alias, h["op"], h["val"]))
+        # an agg alias equal to the group column, or duplicate aliases,
+        # would make the post-kernel select AMBIGUOUS_REFERENCE where
+        # plain spark.sql succeeds — refuse to route (mirrors the join
+        # path's collision guard)
+        aliases = [a["alias"] for a in kernel_aggs]
+        ok = (ok and gcol not in aliases
+              and len(set(aliases)) == len(aliases))
         ok = ok and dtypes.get(gcol) == "string" and all(
             a["fn"] == "count"
             or (a["fn"] == "count_col" and a["col"] in dtypes)

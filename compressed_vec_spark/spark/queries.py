@@ -248,10 +248,15 @@ def encoded_table_cluster_layout(spark, sf_dir) -> DataFrame:
         _STORE_CACHE[key] = dst
     dst = _STORE_CACHE[key]
     lo, hi = 100, 160
-    hits_src, st_src = encoded_table.pruned_range_count(
-        spark, src, "o_custkey", lo, hi)
-    hits, st = encoded_table.pruned_range_count(
-        spark, dst, "o_custkey", lo, hi)
+    # the two layouts' counts are independent reads: overlap them
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_src = pool.submit(encoded_table.pruned_range_count,
+                            spark, src, "o_custkey", lo, hi)
+        f_dst = pool.submit(encoded_table.pruned_range_count,
+                            spark, dst, "o_custkey", lo, hi)
+        hits_src, st_src = f_src.result()
+        hits, st = f_dst.result()
     # identical answer from both layouts; the clustered one must prune
     # strictly more chunks than the scattered one AND a real fraction
     assert hits == hits_src, (hits, hits_src)
@@ -318,12 +323,17 @@ def encoded_table_string_filter_count(spark, sf_dir) -> DataFrame:
     answer equality via code_of + equals_mask and LIKE-prefix via
     prefix_range + range_mask on the compressed u32 code vector — no
     string is ever materialized on the fast path."""
+    from concurrent.futures import ThreadPoolExecutor
     from ..sources import encoded_table
     out = _documents_by_source_store(spark, sf_dir)
-    eq_hits, st_eq = encoded_table.pruned_string_equals_count(
-        spark, out, "source", "src12")
-    pre_hits, st_pre = encoded_table.pruned_string_prefix_count(
-        spark, out, "source", "src1")
+    # two independent kernels over one store: overlap them (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_eq = pool.submit(encoded_table.pruned_string_equals_count,
+                           spark, out, "source", "src12")
+        f_pre = pool.submit(encoded_table.pruned_string_prefix_count,
+                            spark, out, "source", "src1")
+        eq_hits, st_eq = f_eq.result()
+        pre_hits, st_pre = f_pre.result()
     # the source-sorted layout must actually prune: with 8 range
     # partitions over 20 source values most chunks exclude 'src12'
     assert st_eq["pruned_chunks"] > 0, st_eq

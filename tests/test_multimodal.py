@@ -369,3 +369,36 @@ def test_jpeg_quality_scales_size_and_error():
     assert len(b50) < len(b100)
     assert np.abs(decode_jpeg(b50).astype(int) - px.astype(int)).max() <= 16
     assert np.abs(decode_jpeg(b100).astype(int) - px.astype(int)).max() <= 2
+
+
+def test_jpeg_refuses_reordered_scan_and_adobe_rgb():
+    """Refuse-don't-mis-decode: a baseline JPEG whose SOS lists the
+    components in a different order than SOF, or that declares an
+    Adobe APP14 RGB transform, must raise instead of silently decoding
+    wrong colors (r5 advice)."""
+    import numpy as np
+    import pytest
+    from compressed_vec_spark.codecs import jpeg as J
+
+    img = (np.arange(16 * 16 * 3, dtype=np.uint32) % 256) \
+        .astype(np.uint8).reshape(16, 16, 3)
+    blob = bytearray(J.encode_jpeg(img))
+    # decodes fine as produced
+    assert J.decode_jpeg(bytes(blob)).shape == (16, 16, 3)
+
+    # 1) swap the first two SOS component entries (ids + tables)
+    sos = bytes(blob).find(b"\xFF\xDA")
+    assert sos > 0
+    hdr = sos + 4  # FF DA len(2) -> ns byte
+    swapped = bytearray(blob)
+    a = hdr + 1
+    swapped[a:a + 2], swapped[a + 2:a + 4] = blob[a + 2:a + 4], blob[a:a + 2]
+    with pytest.raises(NotImplementedError, match="scan component order"):
+        J.decode_jpeg(bytes(swapped))
+
+    # 2) inject an Adobe APP14 segment with transform=0 (RGB)
+    app14 = (b"\xFF\xEE" + (14).to_bytes(2, "big")
+             + b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0]))
+    with_adobe = bytes(blob[:2]) + app14 + bytes(blob[2:])
+    with pytest.raises(NotImplementedError, match="Adobe APP14 RGB"):
+        J.decode_jpeg(with_adobe)

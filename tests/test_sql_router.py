@@ -696,3 +696,23 @@ def test_join_fallback_matches_sparksql(spark, store, sql):
     assert sorted((tuple(r) for r in got.collect()), key=str) \
         == sorted((tuple(r) for r in spark.sql(sql).collect()),
                   key=str), sql
+
+
+@pytest.mark.parametrize("sql", [
+    # agg alias shadows the group column
+    "SELECT lang, count(*) AS lang FROM enc_t GROUP BY lang ORDER BY 1",
+    # duplicate agg aliases
+    "SELECT lang, count(*) AS c, sum(k) AS c FROM enc_t"
+    " GROUP BY lang ORDER BY lang",
+])
+def test_group_alias_collision_not_routed(spark, store, sql):
+    """An agg alias equal to the group column (or duplicated) must NOT
+    route: the kernel's withColumnRenamed would produce ambiguous
+    columns where plain spark.sql succeeds — the router falls back and
+    still answers (r5 advice)."""
+    out, _ = store
+    got, st = sql_router.route_sql(spark, out, sql, view="enc_t")
+    assert not st.get("group_kernel")
+    want = spark.sql(sql)
+    assert [r.asDict() for r in got.collect()] \
+        == [r.asDict() for r in want.collect()]
