@@ -1136,7 +1136,14 @@ def delta_cumsum_query(spark, sf_dir) -> DataFrame:
     df = _read(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", F.col("l_quantity").cast("long").alias("q"))
     bucket, _ = _bucket_col(df, "l_orderkey", 64)
-    d = df.withColumn("__bucket", bucket)
+    # (l_orderkey, l_linenumber) is NOT a total order (~24% duplicate
+    # pairs in the generated table): without a tiebreak, tied rows
+    # take the running sum in shuffle-arrival order, which stops being
+    # file order once the scan has >1 partition — the scan-order
+    # ordinal pins tie order to FILE order at every scale, matching
+    # the oracle window's observed tie behavior
+    d = (df.withColumn("__mid", F.monotonically_increasing_id())
+         .withColumn("__bucket", bucket))
     sums = {r["__bucket"]: r["s"] for r in
             d.groupBy("__bucket").agg(F.sum("q").alias("s")).collect()}
     offsets, acc = {}, 0
@@ -1145,7 +1152,8 @@ def delta_cumsum_query(spark, sf_dir) -> DataFrame:
         acc += sums[b] or 0
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["l_orderkey", "l_linenumber"], kind="mergesort")
+        pdf = pdf.sort_values(["l_orderkey", "l_linenumber", "__mid"],
+                              kind="mergesort")
         buf = vec.encode_vector(pdf["q"].to_numpy(np.uint64), "u64")
         run = np.cumsum(vec.decode_vector(buf, "u64")) + np.uint64(offsets[key[0]])
         return pd.DataFrame({
@@ -1193,7 +1201,12 @@ def codec_histogram(spark, sf_dir) -> DataFrame:
     df = _read(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_orderkey", "l_linenumber")
     bucket, _ = _bucket_col(df, "l_orderkey", 64)
-    d = df.withColumn("__bucket", bucket)
+    # scan-order ordinal as the tiebreak for duplicate
+    # (l_orderkey, l_linenumber) pairs — same reasoning as
+    # delta_cumsum: block membership must not depend on shuffle
+    # arrival order
+    d = (df.withColumn("__mid", F.monotonically_increasing_id())
+         .withColumn("__bucket", bucket))
     counts = {r["__bucket"]: r["n"] for r in
               d.groupBy("__bucket").agg(F.count("*").alias("n")).collect()}
     offsets, acc = {}, 0
@@ -1203,7 +1216,7 @@ def codec_histogram(spark, sf_dir) -> DataFrame:
     total_rows = acc
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["l_orderkey", "l_linenumber"],
+        pdf = pdf.sort_values(["l_orderkey", "l_linenumber", "__mid"],
                               kind="mergesort")
         vals = pdf["l_partkey"].to_numpy(np.uint64)
         off = offsets[key[0]]
