@@ -26,6 +26,19 @@ _I64MAX = (1 << 63) - 1
 _I64MIN = -(1 << 63)
 
 
+def _overlap(*thunks):
+    """Run independent read-only Spark actions concurrently and return
+    their results in call order (guide §2.6: overlap independent jobs).
+    Every pruned kernel pays a small metadata action (manifest stats /
+    chunk counts) beside its main scan; they share no state, so running
+    them from a thread pool turns sum-of-latencies into max — the same
+    pattern the composite queries already use at the query level."""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _keep_mask_df(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """(chunk_id, keep_mask) DataFrame of OR-merged DELETE bitmasks for
     every delete-affected chunk; None for a store with no live deletes.
@@ -174,8 +187,6 @@ def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
     on chunks pruned / answered compressed / decoded)."""
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
     zone_pred = (F.col("min_val") <= value) & (F.col("max_val") >= value)
-    total_chunks, scanned_chunks, _ = _prune_counts(
-        manifest, column, zone_pred)
     # the candidate ids stay distributed: a broadcast join prunes the
     # chunk scan instead of collecting ids into a driver-side isin()
     # (which would put millions of literals in the plan at scale)
@@ -223,10 +234,13 @@ def pruned_equals_count(spark: SparkSession, out_dir: str, column: str,
                     _unwrap_vec(b), kind, value))
         yield pd.DataFrame({"hits": [n], "fast": [fast], "dec": [dec]})
 
-    agg = (chunks.select("blob", "codec", "keep_mask")
-           .mapInPandas(fn, "hits long, fast long, dec long")
-           .agg(F.sum("hits").alias("h"), F.sum("fast").alias("f"),
-                F.sum("dec").alias("d")).collect()[0])
+    # the prune accounting and the chunk scan share no state: overlap
+    (total_chunks, scanned_chunks, _), agg = _overlap(
+        lambda: _prune_counts(manifest, column, zone_pred),
+        lambda: (chunks.select("blob", "codec", "keep_mask")
+                 .mapInPandas(fn, "hits long, fast long, dec long")
+                 .agg(F.sum("hits").alias("h"), F.sum("fast").alias("f"),
+                      F.sum("dec").alias("d")).collect()[0]))
     return int(agg["h"] or 0), {
         "total_chunks": total_chunks,
         "scanned_chunks": scanned_chunks,
@@ -261,8 +275,6 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
         manifest = manifest.where(F.col("part_id") < cutoff)
         chunks_src = chunks_src.where(F.col("part_id") < cutoff)
     zone_pred = (F.col("min_val") <= hi) & (F.col("max_val") >= lo)
-    total_chunks, scanned_chunks, _ = _prune_counts(
-        manifest, column, zone_pred)
     cand_ids = (manifest.where((F.col("column") == column) & zone_pred)
                 .select("chunk_id"))
 
@@ -331,10 +343,13 @@ def pruned_range_count(spark: SparkSession, out_dir: str, column: str,
         yield pd.DataFrame({"hits": [hits], "skipped": [skipped],
                             "sections": [sections]})
 
-    agg = (chunks.select("blob", "codec", "keep_mask").mapInPandas(
-        fn, "hits long, skipped long, sections long")
-        .agg(F.sum("hits").alias("h"), F.sum("skipped").alias("sk"),
-             F.sum("sections").alias("se")).collect()[0])
+    # prune accounting overlapped with the chunk scan (independent jobs)
+    (total_chunks, scanned_chunks, _), agg = _overlap(
+        lambda: _prune_counts(manifest, column, zone_pred),
+        lambda: (chunks.select("blob", "codec", "keep_mask").mapInPandas(
+            fn, "hits long, skipped long, sections long")
+            .agg(F.sum("hits").alias("h"), F.sum("skipped").alias("sk"),
+                 F.sum("sections").alias("se")).collect()[0]))
     return int(agg["h"] or 0), {
         "total_chunks": total_chunks,
         "scanned_chunks": scanned_chunks,
@@ -372,7 +387,6 @@ def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
     those chunks."""
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
     candidates = manifest.where((F.col("column") == column) & manifest_pred)
-    bloom_pruned = 0
     if bloom_value is not None and "bloom" in manifest.columns:
         import pyarrow as pa
         from ..codecs import bloom as bloom_codec
@@ -388,14 +402,12 @@ def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
                 for b in blooms])
 
         # total / zone-survivor / bloom-survivor counts in ONE pass
-        total_chunks, zone_survivors, ex = _prune_counts(
+        prune_thunk = lambda: _prune_counts(  # noqa: E731
             manifest, column, manifest_pred,
             extra={"__b": manifest_pred & _probe(F.col("bloom"))})
-        scanned_chunks = ex["__b"]
-        bloom_pruned = zone_survivors - scanned_chunks
         candidates = candidates.where(_probe(F.col("bloom")))
     else:
-        total_chunks, scanned_chunks, _ = _prune_counts(
+        prune_thunk = lambda: _prune_counts(  # noqa: E731
             manifest, column, manifest_pred)
     cand_ids = candidates.select("chunk_id")
 
@@ -430,17 +442,21 @@ def _pruned_count_scan(spark: SparkSession, out_dir: str, column: str,
                     decoded += 1
         yield pd.DataFrame({"hits": [hits], "fast": [fast], "dec": [decoded]})
 
-    agg = (chunks.select("blob", "codec", "keep_mask")
-           .mapInPandas(fn, "hits long, fast long, dec long")
-           .agg(F.sum("hits").alias("h"), F.sum("fast").alias("f"),
-                F.sum("dec").alias("d")).collect()[0])
+    # prune accounting overlapped with the chunk scan (independent jobs)
+    (total_chunks, zone_survivors, ex), agg = _overlap(
+        prune_thunk,
+        lambda: (chunks.select("blob", "codec", "keep_mask")
+                 .mapInPandas(fn, "hits long, fast long, dec long")
+                 .agg(F.sum("hits").alias("h"), F.sum("fast").alias("f"),
+                      F.sum("dec").alias("d")).collect()[0]))
+    scanned_chunks = ex["__b"] if "__b" in ex else zone_survivors
     stats = {
         "total_chunks": total_chunks,
         "scanned_chunks": scanned_chunks,
         "pruned_chunks": total_chunks - scanned_chunks,
     }
     if bloom_value is not None:
-        stats["bloom_pruned_chunks"] = bloom_pruned
+        stats["bloom_pruned_chunks"] = zone_survivors - scanned_chunks
     if track_fallback:
         stats["dict_fast_chunks"] = int(agg["f"] or 0)
         stats["decoded_fallback_chunks"] = int(agg["d"] or 0)
@@ -926,16 +942,17 @@ def store_membership(spark: SparkSession, out_dir: str, column: str,
             yield pd.DataFrame({"pid": pdf[id_col].to_numpy(np.int64),
                                 "h": h.view(np.int64)})
 
-    hp = (nn.select(id_col, value_col)
-          .mapInPandas(hash_fn, "pid long, h long").toPandas())
+    manifest = (spark.read.parquet(os.path.join(out_dir, "manifest"))
+                .where(F.col("column") == column))
+    # probe hashing and the manifest count are independent jobs
+    hp, total_chunks = _overlap(
+        lambda: (nn.select(id_col, value_col)
+                 .mapInPandas(hash_fn, "pid long, h long").toPandas()),
+        lambda: manifest.count())
     ids = hp["pid"].to_numpy(np.int64)
     hashes = hp["h"].to_numpy(np.int64).view(np.uint64)
     n_probes = len(ids)
     bc = spark.sparkContext.broadcast((ids, hashes))
-
-    manifest = (spark.read.parquet(os.path.join(out_dir, "manifest"))
-                .where(F.col("column") == column))
-    total_chunks = manifest.count()
     has_bloom = "bloom" in manifest.columns
     man_cols = ["chunk_id"] + (["bloom"] if has_bloom else [])
 
@@ -1114,7 +1131,6 @@ def pruned_multi_and_count(spark: SparkSession, out_dir: str,
          (section_masks(skip_sections=...)), exactly the reference's
          sparse-first ordering."""
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
-    total_chunks = manifest.where(F.col("column") == range_col).count()
     cand_r = manifest.where(
         (F.col("column") == range_col)
         & (F.col("min_val") <= hi) & (F.col("max_val") >= lo))
@@ -1123,7 +1139,6 @@ def pruned_multi_and_count(spark: SparkSession, out_dir: str,
         & (F.col("min_val") <= value) & (F.col("max_val") >= value))
     cand = (cand_r.select("chunk_id")
             .join(cand_e.select("chunk_id"), "chunk_id"))
-    scanned = cand.count()
 
     chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
     vec_codecs = ["vec_u64", "vec_u32"]
@@ -1175,11 +1190,15 @@ def pruned_multi_and_count(spark: SparkSession, out_dir: str,
                 hits += filters.count_hits(m1 & m2)
         yield pd.DataFrame({"hits": [hits], "skipped": [skipped_sections]})
 
-    agg = (paired.select("blob_r", "codec_r", "blob_e",
-                         "codec_e", "keep_mask")
-           .mapInPandas(fn, "hits long, skipped long")
-           .agg(F.sum("hits").alias("h"), F.sum("skipped").alias("s"))
-           .collect()[0])
+    # the two metadata counts and the chunk scan are independent jobs
+    total_chunks, scanned, agg = _overlap(
+        lambda: manifest.where(F.col("column") == range_col).count(),
+        lambda: cand.count(),
+        lambda: (paired.select("blob_r", "codec_r", "blob_e",
+                               "codec_e", "keep_mask")
+                 .mapInPandas(fn, "hits long, skipped long")
+                 .agg(F.sum("hits").alias("h"), F.sum("skipped").alias("s"))
+                 .collect()[0]))
     return int(agg["h"] or 0), {
         "total_chunks": total_chunks,
         "scanned_chunks": scanned,
@@ -1211,7 +1230,6 @@ def pruned_filtered_sum(spark: SparkSession, out_dir: str,
     """
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
     f_man = manifest.where(F.col("column") == filter_col)
-    total_chunks = f_man.count()
     overlap = f_man.where((F.col("min_val") <= hi) & (F.col("max_val") >= lo))
 
     s_man = (manifest.where(F.col("column") == sum_col)
@@ -1226,15 +1244,6 @@ def pruned_filtered_sum(spark: SparkSession, out_dir: str,
     covered = ((F.col("min_val") >= lo) & (F.col("max_val") <= hi)
                & (F.col("null_count") == 0) & F.col("s_sum").isNotNull()
                & F.col("keep_mask").isNull())
-    agg = j.agg(
-        F.sum(F.when(covered, F.col("s_sum")).otherwise(F.lit(0))
-              .cast("decimal(38,0)")).alias("manifest_sum"),
-        F.sum(F.when(covered, 1).otherwise(0)).alias("covered"),
-        F.count("*").alias("scanned")).collect()[0]
-    manifest_sum = int(agg["manifest_sum"] or 0)
-    covered_chunks = int(agg["covered"] or 0)
-    scanned = int(agg["scanned"] or 0)
-
     partial_ids = j.where(~covered).select(
         "chunk_id", "null_count", "s_nulls", "codec", "s_codec")
     chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
@@ -1278,9 +1287,22 @@ def pruned_filtered_sum(spark: SparkSession, out_dir: str,
         yield pd.DataFrame({"part_sum": [str(task_sum)],
                             "fast_sections": [fast_sections]})
 
-    part = (paired.mapInPandas(fn, "part_sum string, fast_sections long")
-            .agg(F.sum(F.col("part_sum").cast("decimal(38,0)")).alias("s"),
-                 F.sum("fast_sections").alias("fs")).collect()[0])
+    # metadata count, covered-chunk aggregate and the partial-chunk
+    # scan are three independent jobs: overlap them
+    total_chunks, agg, part = _overlap(
+        lambda: f_man.count(),
+        lambda: j.agg(
+            F.sum(F.when(covered, F.col("s_sum")).otherwise(F.lit(0))
+                  .cast("decimal(38,0)")).alias("manifest_sum"),
+            F.sum(F.when(covered, 1).otherwise(0)).alias("covered"),
+            F.count("*").alias("scanned")).collect()[0],
+        lambda: (paired.mapInPandas(fn, "part_sum string, fast_sections long")
+                 .agg(F.sum(F.col("part_sum").cast("decimal(38,0)"))
+                      .alias("s"),
+                      F.sum("fast_sections").alias("fs")).collect()[0]))
+    manifest_sum = int(agg["manifest_sum"] or 0)
+    covered_chunks = int(agg["covered"] or 0)
+    scanned = int(agg["scanned"] or 0)
     partial_sum = int(part["s"] or 0)
     return manifest_sum + partial_sum, {
         "total_chunks": total_chunks,
@@ -1311,7 +1333,6 @@ def pruned_topk(spark: SparkSession, out_dir: str, column: str,
             f"{dtypes.get(column)!r}; integer columns only")
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
     col_man = manifest.where(F.col("column") == column)
-    total_chunks = col_man.count()
     masks = _keep_mask_df(spark, out_dir)
     # metadata-only job: the k largest chunk maxima.  The threshold is
     # sound only if each contributing max is a LIVE value, so delete-
@@ -1321,16 +1342,17 @@ def pruned_topk(spark: SparkSession, out_dir: str, column: str,
     thr_man = (col_man.join(masks.select("chunk_id"),
                             "chunk_id", "left_anti")
                if masks is not None else col_man)
-    maxes = [r["max_val"] for r in
-             thr_man.orderBy(F.desc("max_val")).limit(k).collect()
-             if r["max_val"] is not None]
+    # the total count and the threshold derivation are independent jobs
+    total_chunks, thr_rows = _overlap(
+        lambda: col_man.count(),
+        lambda: thr_man.orderBy(F.desc("max_val")).limit(k).collect())
+    maxes = [r["max_val"] for r in thr_rows if r["max_val"] is not None]
     if not maxes and masks is None:
         return [], {"total_chunks": total_chunks, "scanned_chunks": 0,
                     "pruned_chunks": total_chunks}
     threshold = min(maxes) if len(maxes) >= k else None
     cand = col_man if threshold is None else \
         col_man.where(F.col("max_val") >= threshold)
-    scanned = cand.count()
 
     chunks = _join_keep(
         (spark.read.parquet(os.path.join(out_dir, "chunks"))
@@ -1350,8 +1372,11 @@ def pruned_topk(spark: SparkSession, out_dir: str, column: str,
                 part = np.sort(v)[-k:]  # chunk-local top-k only
                 yield pd.DataFrame({"v": part.astype(np.int64)})
 
-    top = (chunks.select("blob", "keep_mask").mapInPandas(fn, "v long")
-           .orderBy(F.desc("v")).limit(k).collect())
+    # the survivor count and the data top-k are independent jobs
+    scanned, top = _overlap(
+        lambda: cand.count(),
+        lambda: (chunks.select("blob", "keep_mask").mapInPandas(fn, "v long")
+                 .orderBy(F.desc("v")).limit(k).collect()))
     return [int(r["v"]) for r in top], {
         "total_chunks": total_chunks,
         "scanned_chunks": scanned,
@@ -1777,12 +1802,10 @@ def manifest_null_count(spark: SparkSession, out_dir: str,
     # closure — a corpus-wide delete at 10^12 rows is ~125 GB
     mask_ids = mm.select("chunk_id")
     # clean chunks: manifest stats are live
-    clean = (col_man.join(mask_ids, "chunk_id", "left_anti")
-             .agg(F.sum("null_count").alias("n"),
-                  F.sum(F.col("num_elements")
-                        - F.col("null_count")).alias("nn")).collect()[0])
-    n = int(clean["n"] or 0)
-    nn = int(clean["nn"] or 0)
+    clean_df = (col_man.join(mask_ids, "chunk_id", "left_anti")
+                .agg(F.sum("null_count").alias("n"),
+                     F.sum(F.col("num_elements")
+                           - F.col("null_count")).alias("nn")))
     # affected chunks of THIS column: decode, null/keep intersect —
     # each task reads only its own chunks' masks via the join
     aff = (spark.read.parquet(os.path.join(out_dir, "chunks"))
@@ -1801,19 +1824,24 @@ def manifest_null_count(spark: SparkSession, out_dir: str,
                 b += int((~isna & kb).sum())
             yield pd.DataFrame({"n": [a], "nn": [b]})
 
-    la = (aff.mapInPandas(live_fn, "n long, nn long")
-          .agg(F.sum("n").alias("n"), F.sum("nn").alias("nn")).collect()[0])
-    n += int(la["n"] or 0)
-    nn += int(la["nn"] or 0)
-    # evolved parts (no manifest rows for the column): all live rows
+    # the clean-chunk aggregate, the affected-chunk scan and the
+    # evolved-part correction are three independent jobs: overlap them.
+    # Evolved parts (no manifest rows for the column): all live rows
     # are virtual NULLs — the part's deleted count comes off the top,
     # aggregated store-side (no driver loop over parts)
-    virt = (rows.join(col_man.select("part_id").distinct(),
-                      "part_id", "left_anti")
-            .join(mm.groupBy("part_id")
-                  .agg(F.sum("n_deleted").alias("nd")), "part_id", "left")
-            .agg(F.sum(F.col("part_rows")
-                       - F.coalesce(F.col("nd"), F.lit(0))).alias("v"))
-            .collect()[0])
-    n += int(virt["v"] or 0)
+    clean, la, virt = _overlap(
+        lambda: clean_df.collect()[0],
+        lambda: (aff.mapInPandas(live_fn, "n long, nn long")
+                 .agg(F.sum("n").alias("n"),
+                      F.sum("nn").alias("nn")).collect()[0]),
+        lambda: (rows.join(col_man.select("part_id").distinct(),
+                           "part_id", "left_anti")
+                 .join(mm.groupBy("part_id")
+                       .agg(F.sum("n_deleted").alias("nd")),
+                       "part_id", "left")
+                 .agg(F.sum(F.col("part_rows")
+                            - F.coalesce(F.col("nd"), F.lit(0))).alias("v"))
+                 .collect()[0]))
+    n = int(clean["n"] or 0) + int(la["n"] or 0) + int(virt["v"] or 0)
+    nn = int(clean["nn"] or 0) + int(la["nn"] or 0)
     return n, nn

@@ -2641,12 +2641,18 @@ def snapshot_pruned_range_count(spark, sf_dir) -> DataFrame:
     still get zone-map pruning + header-only section skipping.  The
     query a living-corpus consumer runs to reproduce yesterday's
     numbers after today's crawl landed."""
+    from concurrent.futures import ThreadPoolExecutor
     from ..sources import encoded_table
     out = _snapshot_store(spark, sf_dir)
-    hits, stats = encoded_table.pruned_range_count(
-        spark, out, "n_chars", 100, 400, as_of="b1")
-    full_hits, _ = encoded_table.pruned_range_count(
-        spark, out, "n_chars", 100, 400)
+    # the as-of and current-table counts are independent reads of one
+    # immutable store: overlap them (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_asof = pool.submit(encoded_table.pruned_range_count,
+                             spark, out, "n_chars", 100, 400, as_of="b1")
+        f_full = pool.submit(encoded_table.pruned_range_count,
+                             spark, out, "n_chars", 100, 400)
+        hits, stats = f_asof.result()
+        full_hits, _ = f_full.result()
     assert stats["pruned_chunks"] >= 0
     assert full_hits >= hits  # b2's rows are invisible as of b1
     return spark.createDataFrame(
