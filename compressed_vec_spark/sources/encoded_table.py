@@ -726,18 +726,17 @@ def _pruned_select(spark: SparkSession, out_dir: str, filter_col: str,
                  "pruned_chunks": total - scanned, "select_kernel": True}
 
 
-def _where_candidates(manifest: DataFrame, where: list[dict]) \
-        -> tuple[DataFrame, int]:
-    """(chunk-id DataFrame, scanned count) of the chunks surviving
-    EVERY spec's manifest-stat predicate — the shared pruning front of
-    the WHERE-spec kernels (grouped_dict_agg, pruned_select_where)."""
+def _where_cand_df(manifest: DataFrame, where: list[dict]) -> DataFrame:
+    """Lazy chunk-id DataFrame of the chunks surviving EVERY spec's
+    manifest-stat predicate — the shared pruning front of the
+    WHERE-spec kernels (grouped_dict_agg, pruned_select_where)."""
     cand = None
     for w in where:
         ids = (manifest.where((F.col("column") == w["col"])
                               & w["manifest_pred"])
                .select("chunk_id"))
         cand = ids if cand is None else cand.join(ids, "chunk_id")
-    return cand, cand.count()
+    return cand
 
 
 def pruned_select_where(spark: SparkSession, out_dir: str,
@@ -755,17 +754,22 @@ def pruned_select_where(spark: SparkSession, out_dir: str,
     (schema evolution) — callers fall back."""
     from ..codecs import chunk as chunk_codec
 
+    if not where:
+        return None
     _, dtypes = stored_schema(spark, out_dir)
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
-    counts = (manifest.groupBy("column")
-              .agg(F.count(F.lit(1)).alias("n")).collect())
+    cand = _where_cand_df(manifest, where)
+    # the column census and the survivor count are independent jobs
+    # (the count is wasted work only on the rare fallback-return path)
+    counts, scanned = _overlap(
+        lambda: (manifest.groupBy("column")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()),
+        lambda: cand.count())
     by_col = {r["column"]: int(r["n"]) for r in counts}
     n_chunks = max(by_col.values(), default=0)
     need = {w["col"] for w in where} | set(project_cols)
-    if any(by_col.get(c) != n_chunks for c in need) or not where:
+    if any(by_col.get(c) != n_chunks for c in need):
         return None
-
-    cand, scanned = _where_candidates(manifest, where)
 
     chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
     # broadcast the (tiny) surviving-id set into the big chunk scan,
@@ -1455,10 +1459,18 @@ def grouped_dict_agg(spark: SparkSession, out_dir: str, group_col: str,
 
     where = list(where or [])
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
-    pairs = (manifest.groupBy("column")
-             .agg(F.count(F.lit(1)).alias("n"),
-                  F.sum(F.when(F.col("codec") == "dict", 1).otherwise(0))
-                  .alias("n_dict")).collect())
+    pairs_thunk = lambda: (  # noqa: E731
+        manifest.groupBy("column")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.when(F.col("codec") == "dict", 1).otherwise(0))
+             .alias("n_dict")).collect())
+    if where:
+        # overlap the column census with the WHERE survivor count (the
+        # count is wasted work only on the rare fallback-return path)
+        w_cand = _where_cand_df(manifest, where)
+        pairs, w_scanned = _overlap(pairs_thunk, lambda: w_cand.count())
+    else:
+        pairs = pairs_thunk()
     by_col = {r["column"]: r for r in pairs}
     if group_col not in by_col:
         return None
@@ -1489,8 +1501,8 @@ def grouped_dict_agg(spark: SparkSession, out_dir: str, group_col: str,
             .select("chunk_id", F.col("blob").alias("blob_g")))
     scanned = n_chunks
     if where:
-        cand, scanned = _where_candidates(manifest, where)
-        scan = scan.join(F.broadcast(cand), "chunk_id")
+        scanned = w_scanned
+        scan = scan.join(F.broadcast(w_cand), "chunk_id")
     for i, c in enumerate(extra_cols):
         scan = scan.join(
             chunks.where(F.col("column") == c)
