@@ -135,9 +135,14 @@ def cosine_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
 
     Returns (v1, v2) with floor(cos * 1e6) >= threshold_ppm, v1 < v2.
     """
-    dim = len(df.select(vec_col).first()[0])
     if n_planes is None or n_tables is None:
-        n = df.count()
+        # the dim probe and the corpus count are independent driver
+        # jobs: overlap them (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_dim = pool.submit(lambda: len(df.select(vec_col).first()[0]))
+            f_n = pool.submit(df.count)
+            dim, n = f_dim.result(), f_n.result()
         if n_planes is None:
             n_planes = int(min(max(8, np.ceil(np.log2(max(n, 1) / 8))), 20))
         if n_tables is None:
@@ -147,6 +152,7 @@ def cosine_near_dup_lsh(df: DataFrame, id_col: str, vec_col: str,
                                            / np.log(max(1.0 - p_tab, 1e-12))),
                                    24, 48))
     else:
+        dim = len(df.select(vec_col).first()[0])
         n = None
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))

@@ -1547,12 +1547,18 @@ def ann_ivf_topk(spark, sf_dir) -> DataFrame:
     k-means training, bucket assignment, candidate scan, tie-broken
     partial top-k) end to end.  Production recall/latency trades come
     from lowering nprobe, exercised in test_similarity."""
+    from concurrent.futures import ThreadPoolExecutor
     from ..operators import similarity
     df = _read(spark, sf_dir, "embeddings")
-    qvec = np.array(df.where(F.col("vec_id") == 0)
-                    .select("embedding").first()[0], dtype=np.float64)
-    cents = similarity.train_ivf_centroids(df, "embedding", n_centroids=8,
-                                           id_col="vec_id")
+    # the query-vector fetch and the centroid training sample are
+    # independent driver jobs: overlap them (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_q = pool.submit(lambda: np.array(
+            df.where(F.col("vec_id") == 0)
+            .select("embedding").first()[0], dtype=np.float64))
+        f_c = pool.submit(similarity.train_ivf_centroids, df, "embedding",
+                          n_centroids=8, id_col="vec_id")
+        qvec, cents = f_q.result(), f_c.result()
     top = similarity.ivf_topk(df, "vec_id", "embedding", cents, qvec,
                               k=10, nprobe=len(cents), exclude_ids=(0,))
     return top.select("vec_id")
