@@ -2733,13 +2733,19 @@ def encoded_table_delete_count(spark, sf_dir) -> DataFrame:
     subtracts the masks in-task.  Returns the LIVE row count and a live
     value aggregate; the count is additionally cross-checked against
     the metadata-only answer (manifest + sidecar, no blob read)."""
+    from concurrent.futures import ThreadPoolExecutor
     from ..spark import delete_job
     from ..sources import encoded_table
     out = _deleted_store(spark, sf_dir)
-    meta = delete_job.delete_stats(spark, out)
-    res = (encoded_table.read_decoded(spark, out)
-           .agg(F.count("*").alias("live_rows"),
-                F.sum("n_chars").alias("sum_chars")).collect()[0])
+    # the metadata-only stats and the decoded aggregate are independent
+    # reads of one immutable store: overlap them (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_meta = pool.submit(delete_job.delete_stats, spark, out)
+        f_res = pool.submit(
+            lambda: (encoded_table.read_decoded(spark, out)
+                     .agg(F.count("*").alias("live_rows"),
+                          F.sum("n_chars").alias("sum_chars")).collect()[0]))
+        meta, res = f_meta.result(), f_res.result()
     assert int(res["live_rows"]) == meta["live_rows"]  # data == metadata
     return spark.createDataFrame(
         pd.DataFrame({"live_rows": [int(res["live_rows"])],
@@ -2764,10 +2770,13 @@ def encoded_table_delete_materialize(spark, sf_dir) -> DataFrame:
     dst = _STORE_CACHE[key]
     assert not delete_job.has_deletes(spark, dst)
     m = spark.read.parquet(os.path.join(dst, "manifest"))
-    live = (m.where(F.col("column") == "doc_id")
-            .agg(F.sum("num_elements")).collect()[0][0])
-    sum_chars = (m.where(F.col("column") == "n_chars")
-                 .agg(F.sum("sum_val")).collect()[0][0])
+    # both answers from ONE manifest aggregate (was two sequential jobs)
+    row = m.agg(
+        F.sum(F.when(F.col("column") == "doc_id",
+                     F.col("num_elements"))).alias("live"),
+        F.sum(F.when(F.col("column") == "n_chars",
+                     F.col("sum_val"))).alias("sum_chars")).collect()[0]
+    live, sum_chars = row["live"], row["sum_chars"]
     return spark.createDataFrame(
         pd.DataFrame({"live_rows": [int(live)],
                       "sum_chars": [int(sum_chars)]})) \
