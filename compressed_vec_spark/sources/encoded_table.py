@@ -948,11 +948,14 @@ def store_membership(spark: SparkSession, out_dir: str, column: str,
 
     manifest = (spark.read.parquet(os.path.join(out_dir, "manifest"))
                 .where(F.col("column") == column))
-    # probe hashing and the manifest count are independent jobs
-    hp, total_chunks = _overlap(
+    # probe hashing, the manifest count and the null-probe check are
+    # three independent jobs: one overlap wave
+    hp, total_chunks, has_null_probes = _overlap(
         lambda: (nn.select(id_col, value_col)
                  .mapInPandas(hash_fn, "pid long, h long").toPandas()),
-        lambda: manifest.count())
+        lambda: manifest.count(),
+        lambda: bool(probes.where(F.col(value_col).isNull())
+                     .limit(1).count()))
     ids = hp["pid"].to_numpy(np.int64)
     hashes = hp["h"].to_numpy(np.int64).view(np.uint64)
     n_probes = len(ids)
@@ -1056,7 +1059,7 @@ def store_membership(spark: SparkSession, out_dir: str, column: str,
               .join(found_df, "pid", "left")
               .select(F.col("pid").alias(id_col),
                       F.coalesce("present", F.lit(False)).alias("present")))
-    if probes.where(F.col(value_col).isNull()).limit(1).count():
+    if has_null_probes:
         result = result.unionByName(
             probes.where(F.col(value_col).isNull())
             .select(id_col, F.lit(False).alias("present")))

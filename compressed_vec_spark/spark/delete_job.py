@@ -379,15 +379,16 @@ def delete_stats(spark: SparkSession, out_dir: str) -> dict:
     METADATA alone — no chunk blob is read at any store size.  Row
     totals come from the store's position-0 column, which every part
     carries (schema evolution only ever adds columns)."""
-    from ..sources.encoded_table import _schema_rows
+    from ..sources.encoded_table import _overlap, _schema_rows
     m = spark.read.parquet(os.path.join(out_dir, "manifest"))
     first_col = _schema_rows(spark, out_dir)[0]["name"]
-    total = int(m.where(F.col("column") == first_col)
-                .agg(F.sum("num_elements")).collect()[0][0] or 0)
     d = _read_deletes(spark, out_dir)
-    deleted = 0
-    if d is not None:
-        deleted = int(d.agg(F.sum("n_deleted")).collect()[0][0] or 0)
+    # the manifest total and the sidecar sum are independent jobs
+    total, deleted = _overlap(
+        lambda: int(m.where(F.col("column") == first_col)
+                    .agg(F.sum("num_elements")).collect()[0][0] or 0),
+        lambda: (0 if d is None
+                 else int(d.agg(F.sum("n_deleted")).collect()[0][0] or 0)))
     return {"total_rows": total, "deleted_rows": deleted,
             "live_rows": total - deleted}
 
