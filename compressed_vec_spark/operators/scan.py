@@ -24,8 +24,48 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
+def parquet_col_minmax(path: str, col: str) -> tuple[int, int] | None:
+    """(min, max) of an integer column from parquet ROW-GROUP FOOTER
+    statistics — no Spark job, no data read (the Iceberg-metadata
+    pattern _schema_rows/_log_rows already use for store metadata).
+    Returns None when any row group lacks stats or the path is not a
+    local file/dir — callers fall back to an aggregate.  Footer stats
+    are exact bounds per the parquet spec, and bucket bounds only need
+    to COVER the data (offsets always come from actual counts)."""
+    local = path[7:] if path.startswith("file://") else path
+    if "://" in local:
+        return None
+    try:
+        import os
+        import pyarrow.parquet as pq
+        files = (sorted(os.path.join(local, f) for f in os.listdir(local)
+                        if f.endswith(".parquet"))
+                 if os.path.isdir(local) else [local])
+        if not files:
+            return None
+        mn = mx = None
+        for f in files:
+            pf = pq.ParquetFile(f)
+            try:
+                ci = pf.schema_arrow.names.index(col)
+            except ValueError:
+                return None
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        if mn is None:
+            return None
+        return int(mn), int(mx)
+    except Exception:
+        return None
+
+
 def _bucket_col(df: DataFrame, order_col: str, n_buckets: int,
-                mode: str = "minmax"):
+                mode: str = "minmax",
+                bounds: tuple[int, int] | None = None):
     """Monotonic bucket expression over order_col.
 
     mode="minmax" (default): equal-WIDTH buckets from one narrow
@@ -35,11 +75,16 @@ def _bucket_col(df: DataFrame, order_col: str, n_buckets: int,
     engine's order keys are near-uniform; pass mode="quantile" for
     heavily skewed keys to get equal-HEIGHT buckets from an
     approxQuantile sketch (an extra pass + an O(n_buckets) comparison
-    chain per row)."""
+    chain per row).  `bounds=(mn, mx)` skips the aggregate entirely —
+    e.g. from parquet_col_minmax's footer stats; any covering interval
+    is valid."""
     if mode == "minmax":
-        r = df.agg(F.min(order_col).alias("mn"),
-                   F.max(order_col).alias("mx")).collect()[0]
-        mn, mx = r["mn"], r["mx"]
+        if bounds is not None:
+            mn, mx = bounds
+        else:
+            r = df.agg(F.min(order_col).alias("mn"),
+                       F.max(order_col).alias("mx")).collect()[0]
+            mn, mx = r["mn"], r["mx"]
         if mn is None or mx is None or mx <= mn:
             return F.lit(0).alias("__bucket"), 1
         mn_i, mx_i = int(mn), int(mx)
@@ -58,11 +103,12 @@ def _bucket_col(df: DataFrame, order_col: str, n_buckets: int,
 
 
 def global_positions(df: DataFrame, order_cols: list[str],
-                     n_buckets: int = 64) -> DataFrame:
+                     n_buckets: int = 64,
+                     bounds: tuple[int, int] | None = None) -> DataFrame:
     """Adds `pos`: the 0-based global ordinal of each row in
     (order_cols) order.  order_cols[0] must be numeric (range-bucketed);
     remaining columns break ties within a bucket."""
-    bucket, _ = _bucket_col(df, order_cols[0], n_buckets)
+    bucket, _ = _bucket_col(df, order_cols[0], n_buckets, bounds=bounds)
     d = df.withColumn("__bucket", bucket)
     counts = {r["__bucket"]: r["n"] for r in
               d.groupBy("__bucket").agg(F.count("*").alias("n")).collect()}
@@ -84,11 +130,12 @@ def global_positions(df: DataFrame, order_cols: list[str],
 
 
 def global_cumsum(df: DataFrame, order_cols: list[str], value_col: str,
-                  n_buckets: int = 64, out_col: str = "running_total") -> DataFrame:
+                  n_buckets: int = 64, out_col: str = "running_total",
+                  bounds: tuple[int, int] | None = None) -> DataFrame:
     """Adds `out_col`: running sum of value_col in (order_cols) order —
     DeltaSink's cumulative restore (reference src/nibblepacking.rs:
     239-279) as a distributed scan."""
-    bucket, _ = _bucket_col(df, order_cols[0], n_buckets)
+    bucket, _ = _bucket_col(df, order_cols[0], n_buckets, bounds=bounds)
     d = df.withColumn("__bucket", bucket)
     sums = {r["__bucket"]: r["s"] for r in
             d.groupBy("__bucket").agg(F.sum(value_col).alias("s")).collect()}

@@ -26,6 +26,16 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+def _table_minmax(sf_dir: str, table: str, col: str):
+    """(min, max) of an input table's integer column from parquet
+    footer statistics — saves the two-pass scans' bounds-probe job (no
+    data read); None (missing stats / remote path) falls back to the
+    aggregate inside _bucket_col."""
+    from ..operators.scan import parquet_col_minmax
+    return parquet_col_minmax(
+        os.path.join(sf_dir, f"{table}.parquet"), col)
+
+
 _SCAN_UNITS_CACHE: dict[str, int] = {}
 
 
@@ -1089,7 +1099,9 @@ def match_positions_query(spark, sf_dir) -> DataFrame:
     the filter pass."""
     from ..operators.scan import _bucket_col
     df = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    bucket, _ = _bucket_col(df, "o_orderkey", 64)
+    bucket, _ = _bucket_col(df, "o_orderkey", 64,
+                            bounds=_table_minmax(sf_dir, "orders",
+                                                 "o_orderkey"))
     d = df.withColumn("__bucket", bucket)
     counts = {r["__bucket"]: r["n"] for r in
               d.groupBy("__bucket").agg(F.count("*").alias("n")).collect()}
@@ -1135,7 +1147,9 @@ def delta_cumsum_query(spark, sf_dir) -> DataFrame:
     from ..operators.scan import _bucket_col
     df = _read(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", F.col("l_quantity").cast("long").alias("q"))
-    bucket, _ = _bucket_col(df, "l_orderkey", 64)
+    bucket, _ = _bucket_col(df, "l_orderkey", 64,
+                            bounds=_table_minmax(sf_dir, "lineitem",
+                                                 "l_orderkey"))
     # (l_orderkey, l_linenumber) is NOT a total order (~24% duplicate
     # pairs in the generated table): without a tiebreak, tied rows
     # take the running sum in shuffle-arrival order, which stops being
@@ -1200,7 +1214,9 @@ def codec_histogram(spark, sf_dir) -> DataFrame:
     from ..operators.scan import _bucket_col
     df = _read(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_orderkey", "l_linenumber")
-    bucket, _ = _bucket_col(df, "l_orderkey", 64)
+    bucket, _ = _bucket_col(df, "l_orderkey", 64,
+                            bounds=_table_minmax(sf_dir, "lineitem",
+                                                 "l_orderkey"))
     # scan-order ordinal as the tiebreak for duplicate
     # (l_orderkey, l_linenumber) pairs — same reasoning as
     # delta_cumsum: block membership must not depend on shuffle
@@ -1292,7 +1308,9 @@ def rle_run_count(spark, sf_dir) -> DataFrame:
     bucket-boundary runs (first/last value per bucket — B rows)."""
     from ..operators.scan import _bucket_col
     df = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    bucket, _ = _bucket_col(df, "o_orderkey", 32)
+    bucket, _ = _bucket_col(df, "o_orderkey", 32,
+                            bounds=_table_minmax(sf_dir, "orders",
+                                                 "o_orderkey"))
     d = df.withColumn("__bucket", bucket)
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1798,7 +1816,9 @@ def token_budget_shards(spark, sf_dir) -> DataFrame:
     n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1).cast("long")
     d = df.select("doc_id", n_tokens.alias("n_tokens"))
-    with_run = global_cumsum(d, ["doc_id"], "n_tokens", out_col="run_tokens")
+    with_run = global_cumsum(d, ["doc_id"], "n_tokens", out_col="run_tokens",
+                             bounds=_table_minmax(sf_dir, "documents",
+                                                  "doc_id"))
     return with_run.select(
         "doc_id", "n_tokens",
         F.floor((F.col("run_tokens") - F.col("n_tokens")) / BUDGET)
