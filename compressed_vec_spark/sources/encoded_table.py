@@ -980,15 +980,11 @@ def store_membership(spark: SparkSession, out_dir: str, column: str,
                 "pid": (np.concatenate(id_out) if id_out
                         else np.empty(0, dtype=np.int64))})
 
-    # persist: the Bloom pass over every chunk's filter would otherwise
-    # re-run for each of the two stats counts AND the verify join below
-    cand = (manifest.select(*man_cols)
-            .mapInPandas(probe_fn, "chunk_id string, pid long")).persist()
-    # both stats from ONE aggregate job over the persisted pass
-    crow = cand.agg(F.count(F.lit(1)).alias("p"),
-                    F.count_distinct("chunk_id").alias("c")).collect()[0]
-    candidate_pairs = int(crow["p"])
-    candidate_chunks = int(crow["c"])
+    # single consumer now (stats come from the materialized verify
+    # verdicts below), so the Bloom pass needs no persist and no
+    # separate stats job
+    cand = manifest.select(*man_cols).mapInPandas(
+        probe_fn, "chunk_id string, pid long")
 
     # pair each candidate with its probe VALUE (first time values move),
     # then verify per chunk: one decode answers all of that chunk's pairs
@@ -1006,9 +1002,11 @@ def store_membership(spark: SparkSession, out_dir: str, column: str,
 
     def verify_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for blob, codec, plist, km in zip(pdf["blob"], pdf["codec"],
-                                              pdf["plist"],
-                                              pdf["keep_mask"]):
+            for cid, blob, codec, plist, km in zip(pdf["chunk_id"],
+                                                   pdf["blob"],
+                                                   pdf["codec"],
+                                                   pdf["plist"],
+                                                   pdf["keep_mask"]):
                 pid = np.array([r["pid"] for r in plist], dtype=np.int64)
                 vals = [r["v"] for r in plist]
                 km = None if km is None else bytes(km)
@@ -1041,18 +1039,26 @@ def store_membership(spark: SparkSession, out_dir: str, column: str,
                         vals = [v.encode("utf-8") for v in vals]
                     found = np.array([v in present for v in vals],
                                      dtype=bool)
-                yield pd.DataFrame({"pid": pid, "found": found})
+                yield pd.DataFrame({
+                    "chunk_id": pd.Series([cid] * len(pid), dtype=object),
+                    "pid": pid, "found": found})
 
-    # materialize the verify verdicts NOW — ≤ n_probes rows, the same
-    # driver bound the broadcast probe hashes already assume — so the
-    # Bloom-candidate cache can be released before return; leaving it
-    # persisted accumulated cached partitions for the session lifetime
-    # when callers never unpersisted (they couldn't: the handle was
-    # internal)
-    found_pdf = (chunks.mapInPandas(verify_fn, "pid long, found boolean")
-                 .groupBy("pid").agg(F.max("found").alias("present"))
-                 .toPandas())
-    cand.unpersist()
+    # materialize the PER-PAIR verdicts NOW — candidate_pairs rows,
+    # the same driver bound the broadcast probe hashes already assume —
+    # and derive presence AND both stats counts from this single job
+    # (previously a persisted candidate pass fed a separate stats
+    # aggregate plus the verify join)
+    raw_pdf = (chunks.mapInPandas(verify_fn,
+                                  "chunk_id string, pid long, "
+                                  "found boolean")
+               .toPandas())
+    candidate_pairs = len(raw_pdf)
+    candidate_chunks = int(raw_pdf["chunk_id"].nunique())
+    found_pdf = (raw_pdf.groupby("pid", as_index=False)["found"].max()
+                 .rename(columns={"found": "present"})
+                 if len(raw_pdf) else
+                 pd.DataFrame({"pid": pd.Series([], dtype="int64"),
+                               "present": pd.Series([], dtype=bool)}))
     found_df = spark.createDataFrame(found_pdf,
                                      "pid long, present boolean")
     result = (nn.select(F.col(id_col).alias("pid"))
