@@ -2401,8 +2401,14 @@ def duplicate_span_removal(spark, sf_dir) -> DataFrame:
     # duplicate-gram join carry 8-byte keys instead of ~(k * token)
     # gram STRINGS (guide §2.3), and the former per-position JVM
     # transform/slice/hash chain — the single most expensive stage of
-    # this query, re-run once per consumer — is gone; the gram table is
-    # localCheckpoint'ed so both consumers read it without regenerating.
+    # this query, re-run once per consumer — is gone.  The gram table
+    # is NOT checkpointed: both consumers (the df count and the cov
+    # join) regenerate it in one pipelined DAG — with the cheap numpy
+    # kernel the second pass costs less than the blocking localCheckpoint
+    # materialization did (fresh-session A/B at the 6M-row replica:
+    # 4.9 s checkpointed vs 3.15 s pipelined; a wash at sf0.1).
+    # token_gram_hashes is deterministic, so recomputation under task
+    # retry yields identical grams.
     from ..operators.dedup import token_gram_hashes
 
     def gram_fn(batches):
@@ -2415,8 +2421,7 @@ def duplicate_span_removal(spark, sf_dir) -> DataFrame:
                 "i": pos,
                 "gram": gh.view(np.int64)})
 
-    grams = (docs_txt.mapInPandas(gram_fn, "doc_id long, i int, gram long")
-             .localCheckpoint(eager=True))
+    grams = docs_txt.mapInPandas(gram_fn, "doc_id long, i int, gram long")
     dup = (grams.groupBy("gram").agg(F.count("*").alias("n"))
            .where(F.col("n") >= 2).select("gram"))
     # no .distinct() before collect_set: the set aggregate already
