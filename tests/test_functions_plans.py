@@ -63,3 +63,22 @@ def test_small_dim_join_broadcasts(spark):
     j = fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey) \
         .groupBy("c_nationkey").count()
     assert plans.uses_broadcast_join(j)
+
+
+def test_duplicate_span_gram_pass_is_pipelined_and_deterministic(spark):
+    """The r6 optimization removed the gram-table localCheckpoint: both
+    consumers (global df count + cov join) regenerate the grams inside
+    one pipelined DAG.  Two contracts follow: the plan must carry the
+    two MapInPandas gram subtrees with NO checkpoint RDD scan, and the
+    recomputed passes must be deterministic (identical results across
+    invocations — the same property that makes task retries safe)."""
+    from compressed_vec_spark.spark import queries as q
+
+    df = q.duplicate_span_removal(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" not in plan, "checkpoint crept back in"
+    assert plan.count("MapInPandas") >= 2, plan[:500]
+
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, q.duplicate_span_removal(spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0
