@@ -63,6 +63,27 @@ def parquet_col_minmax(path: str, col: str) -> tuple[int, int] | None:
         return None
 
 
+def parquet_num_rows(path: str) -> int | None:
+    """Total row count from parquet file footers — no Spark job, no
+    data read (same metadata-only pattern as parquet_col_minmax).
+    Returns None for non-local paths or on any metadata error; callers
+    fall back to a default."""
+    local = path[7:] if path.startswith("file://") else path
+    if "://" in local:
+        return None
+    try:
+        import os
+        import pyarrow.parquet as pq
+        files = (sorted(os.path.join(local, f) for f in os.listdir(local)
+                        if f.endswith(".parquet"))
+                 if os.path.isdir(local) else [local])
+        if not files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
 def _bucket_col(df: DataFrame, order_col: str, n_buckets: int,
                 mode: str = "minmax",
                 bounds: tuple[int, int] | None = None):

@@ -66,3 +66,11 @@ def test_bucket_col_skips_aggregate_when_bounds_given(spark, monkeypatch):
     monkeypatch.setattr(type(df), "collect", boom, raising=True)
     bucket, n = _bucket_col(df, "o_orderkey", 16, bounds=(0, 159999))
     assert n >= 1  # expression built without touching the data
+
+
+def test_footer_num_rows_matches_count(spark):
+    from compressed_vec_spark.operators.scan import parquet_num_rows
+    path = "/root/testdata/sf0.01/orders.parquet"
+    got = parquet_num_rows(path)
+    assert got == spark.read.parquet(path).count()
+    assert parquet_num_rows("s3://nowhere/x.parquet") is None
